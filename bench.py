@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is materialized via a count-style action (``collect`` on
+already-aggregated results) so the timing covers scan→shuffle→result,
+not just plan construction. A warmup query amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# Headline set: the flagship + the queries that exercise each engine
+# lane (scan/filter, hash agg, broadcast join chain, window, dedup,
+# similarity, streaming-batch window, text pipeline).
+HEADLINE = [
+    "q_token_topk",
+    "q_filter_compound",
+    "q_groupby_agg",
+    "q_join_multi",
+    "q_window_rank",
+    "q_window_running",
+    "q_topk",
+    "q_dedup_near",
+    "q_knn_topk",
+    "q_window_tumbling",
+    "q_clean_stem",
+    "q_embed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark("team_02_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + whole-stage codegen + parquet footer caches.
+    QUERIES["q_topk"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: computes every column of every row (unlike count(),
+        # which lets Spark skip unevaluated projections), writes nothing.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Multi-model batch scoring (SURVEY.md §2.8 U9).
+
+Reference shape: for each registered model, predict per row in a
+Python loop and insert_one to Mongo (src/main.py:140-158 — with the
+dict-key bug documented in SURVEY §2.10.2). Spec adopted: ONE output
+row per input with one prediction column per model, produced in a
+single distributed pass — one ``withColumn`` per model, column-
+parallel, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def score_with_models(df: DataFrame, vec_col: str, models: dict) -> DataFrame:
+    """Apply each fitted spark.ml model as a prediction column named
+    after the model (reference intent: {model_name: prediction, tweet:
+    text}). ``models`` maps name → fitted MLlib model."""
+    from pyspark.ml.functions import array_to_vector
+
+    out = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    for name, model in models.items():
+        # MLlib models transform a features column; rename per model.
+        scored = model.transform(
+            out.select("*", F.col("__features").alias("features"))
+        ).withColumnRenamed("prediction", name)
+        keep = [c for c in scored.columns if c not in ("features", "rawPrediction", "probability")]
+        out = scored.select(*keep)
+    return out.drop("__features")
+
+
+def score_deterministic(df: DataFrame, id_col: str, model_names: list[str]) -> DataFrame:
+    """Deterministic stand-in scorer for environments without fitted
+    models: prediction(model_i) = (xxhash64(id, i) mod 2) — preserves
+    the one-column-per-model output contract for pipeline tests."""
+    out = df
+    for i, name in enumerate(model_names):
+        out = out.withColumn(
+            name, (F.abs(F.xxhash64(F.col(id_col), F.lit(i))) % 2).cast("int")
+        )
+    return out

@@ -1,0 +1,84 @@
+"""Relational core: projections, filters, sampling, set ops, splits.
+
+Most of these are one Spark call — the engine's value is (a) the exact-N
+stratified sampler the reference needs but Spark lacks as a builtin
+(SURVEY.md §2.3 M1, reference src/main.py:67-69), and (b) deterministic
+ordering discipline (md5-of-key, FIXTURES.md §C) so sampling queries are
+oracle-checkable.
+
+Scale notes: every operator here is a narrow transformation or a single
+shuffle; nothing touches the driver. The stratified sampler is a window
+over ``partitionBy(strata)`` — one shuffle on the strata key; at 100 TB
+with few strata, salting applies (see ``stratified_sample_exact``
+docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def det_order_key(col: Column) -> Column:
+    """Deterministic pseudo-random order key both Spark and DuckDB agree
+    on: md5 of the string form (FIXTURES.md §C — never engine hash())."""
+    return F.md5(col.cast("string"))
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata: str, n_per_stratum: int, *, key: str, seed: str = ""
+) -> DataFrame:
+    """Exactly-n-per-group sample (reference semantics: 1000 uniform
+    rows per sentiment class, src/main.py:67-69), deterministic: rows
+    ranked by md5(seed || key) within each stratum, first n kept.
+
+    One shuffle on ``strata``. With few strata and huge data the window
+    sort is the bottleneck; for that regime pre-filter cheaply first —
+    keep only rows whose md5 prefix falls below a bound ~ n/N (a
+    deterministic Bernoulli pre-sample), then rank the survivors. The
+    pre-filter keeps the windowed set O(n) per stratum.
+    """
+    rank_key = det_order_key(F.concat(F.lit(seed), F.col(key).cast("string")))
+    w = Window.partitionBy(strata).orderBy(rank_key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_fractions(
+    df: DataFrame, strata: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Approximate per-stratum Bernoulli sample — the scale path (no
+    shuffle at all; sampleBy is a map-side filter)."""
+    return df.sampleBy(strata, fractions, seed)
+
+
+def random_split(df: DataFrame, weights: list[float], seed: int = 15) -> list[DataFrame]:
+    """M6: holdout split (reference: train_test_split(test_size=0.2,
+    random_state=15), src/main.py:89)."""
+    return df.randomSplit(weights, seed=seed)
+
+
+def deterministic_split(df: DataFrame, frac: float, key: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, repartition-stable split: md5(key) < threshold.
+    Disjoint + exhaustive by construction; oracle-checkable."""
+    bound = format(int(frac * 16**8), "08x")
+    pred = F.substring(det_order_key(F.col(key)), 1, 8) < bound
+    return df.filter(pred), df.filter(~pred)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """M2: vertical concat, duplicate-preserving (pandas concat
+    semantics, src/main.py:70); by-name so column order is irrelevant."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def dedup_exact(df: DataFrame, *cols: str) -> DataFrame:
+    """M3: exact dedup on a column subset (hash groupBy under the hood —
+    map-side partial dedup then one shuffle on the dedup key)."""
+    return df.dropDuplicates(list(cols) if cols else None)

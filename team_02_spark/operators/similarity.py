@@ -1,0 +1,126 @@
+"""Similarity-search lane: top-k nearest neighbors over an
+``array<float>`` embedding column (SURVEY.md §2.4 J5; north-star
+"similarity search").
+
+Two paths, same result contract (query_id, neighbor id, score, rank):
+
+- ``knn_bruteforce``: exact cosine top-k via broadcast of the (small)
+  query set against the full corpus — the baseline and the
+  oracle-checkable form. The corpus is never collected; the only
+  shuffle is the per-query top-k (TakeOrderedAndProject-style window).
+- ``knn_lsh``: the 100 TB path — random-hyperplane buckets with
+  multi-probe (flip one bit), candidates re-ranked by exact cosine.
+  The bucket equi-join replaces the cross product; recall is tunable
+  via num_planes/probes.
+
+Also ``knn_classify``: majority vote over the k neighbors — the
+engine's stand-in for the reference's sklearn KNeighborsClassifier
+(k=5) (SURVEY §2.8 U6; reference src/main.py:106-109), reusing the
+similarity join rather than a per-row Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from team_02_spark.functions.vectors import cosine
+
+
+def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
+                   q_id: str = "q_id", c_id: str = "vec_id",
+                   q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """Exact cosine top-k. ``queries`` is broadcast (it is the small
+    side by contract — a batch of probe vectors); the corpus streams
+    through map-side, each partition scoring locally, then a window
+    keeps k per query. Returns (q_id, c_id, score, rank)."""
+    scored = corpus.join(F.broadcast(queries)).withColumn(
+        "score", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
+def _hyperplane_bucket(vec_col: str, dim: int, num_planes: int, seed: int) -> F.Column:
+    """Sign-bit bucket id from fixed pseudo-random hyperplanes (driver
+    literals, deterministic in ``seed``)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    sig = F.lit(0)
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sig
+
+
+def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
+            q_id: str = "q_id", c_id: str = "vec_id",
+            q_vec: str = "q_vec", c_vec: str = "embedding",
+            dim: int = 64, num_planes: int = 8, multi_probe: bool = True,
+            seed: int = 42) -> DataFrame:
+    """LSH-pruned top-k: bucket both sides on hyperplane sign bits,
+    equi-join on bucket (queries additionally probe each 1-bit-flipped
+    bucket when ``multi_probe``), exact-cosine re-rank inside buckets.
+
+    At scale this is the plan you want: the corpus is hashed once
+    (map-side), the join is a shuffle on the bucket id (or broadcast if
+    the probe set is small), and no pair outside a shared bucket is
+    ever scored."""
+    c_bucket = corpus.withColumn(
+        "__bucket", _hyperplane_bucket(c_vec, dim, num_planes, seed)
+    )
+    q_sig = queries.withColumn(
+        "__b0", _hyperplane_bucket(q_vec, dim, num_planes, seed)
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("__b0"),
+            *[F.col("__b0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+    else:
+        probes = F.array(F.col("__b0"))
+    q_bucket = q_sig.select(
+        *[F.col(c) for c in queries.columns], F.explode(probes).alias("__bucket")
+    )
+    scored = (
+        c_bucket.join(F.broadcast(q_bucket), "__bucket")
+        .withColumn("score", cosine(F.col(q_vec), F.col(c_vec)))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
+def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5, *,
+                 label_col: str = "label", q_id: str = "q_id",
+                 c_id: str = "vec_id", q_vec: str = "q_vec",
+                 c_vec: str = "embedding") -> DataFrame:
+    """U6: k-NN majority vote (ties broken by smaller label for
+    determinism). Returns (q_id, prediction)."""
+    nn = knn_bruteforce(queries, corpus, k, q_id=q_id, c_id=c_id,
+                        q_vec=q_vec, c_vec=c_vec)
+    labeled = nn.join(corpus.select(F.col(c_id), F.col(label_col)), c_id)
+    votes = labeled.groupBy(q_id, label_col).agg(F.count("*").alias("votes"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("votes"), F.col(label_col))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(F.col(q_id), F.col(label_col).alias("prediction"))
+    )

@@ -1,0 +1,23 @@
+"""Declared correctness queries (SURVEY.md §2 planned keys).
+
+Each module registers queries via the decorator in ``registry``; the
+driver-facing ``__spark_entry__.py`` re-exports the assembled dicts.
+Importing this package imports every query module (registration is an
+import side effect by design — one flat namespace, checked for
+collisions).
+"""
+
+from team_02_spark.queries.registry import QUERIES, oracle_sql_map, query, queries_map
+
+# Import order = SURVEY §7.2 build order. Each import registers keys.
+from team_02_spark.queries import relational  # noqa: E402,F401
+from team_02_spark.queries import joins  # noqa: E402,F401
+from team_02_spark.queries import aggregates  # noqa: E402,F401
+from team_02_spark.queries import windows  # noqa: E402,F401
+from team_02_spark.queries import scalars  # noqa: E402,F401
+from team_02_spark.queries import text_queries  # noqa: E402,F401
+from team_02_spark.queries import vector_queries  # noqa: E402,F401
+from team_02_spark.queries import ml_queries  # noqa: E402,F401
+from team_02_spark.queries import streaming_queries  # noqa: E402,F401
+
+__all__ = ["QUERIES", "query", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,61 @@
+"""ML-lane declared queries (SURVEY.md §2.8): tokenizer encode,
+embedding, multi-model scoring. All rows-only (pandas_udf / composite
+ML ops are not ANSI-SQL-expressible) — the driver records row-count +
+schema; semantics are pinned by golden/property tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.ml.embed import hash_embed
+from team_02_spark.ml.scoring import score_deterministic
+from team_02_spark.ml.tokenize import attention_mask, hash_subword_encode
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+
+@query("q_tokenize")  # rows-only: pandas_udf tokenizer
+def q_tokenize(spark, sf_dir):
+    """U1 + F9/F8: subword-encode to 30 ids (post-padded) + attention
+    mask, the reference's encode→pad→mask chain (src/main.py:79-81) as
+    one Arrow-batched stage. Arrays exit as scalars/joined strings."""
+    docs = t(spark, sf_dir, "documents")
+    ids = hash_subword_encode(F.col("text"))
+    out = docs.select("doc_id", ids.alias("ids"))
+    return out.select(
+        "doc_id",
+        F.size("ids").cast("int").alias("seq_len"),
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids_csv"),
+        F.aggregate(attention_mask(F.col("ids")), F.lit(0), lambda a, x: a + x)
+        .cast("int").alias("n_real_tokens"),
+    )
+
+
+@query("q_embed")  # rows-only: pandas_udf embedder
+def q_embed(spark, sf_dir):
+    """U2: deterministic hash-projection document embedding (64-d,
+    unit-norm) — the engine's DistilBERT stand-in with identical
+    plumbing (iterator pandas_udf, Arrow batches)."""
+    docs = t(spark, sf_dir, "documents")
+    emb = hash_embed(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+@query("q_score_multi")  # rows-only: multi-model scoring contract
+def q_score_multi(spark, sf_dir):
+    """U9: one prediction column per model in a single pass (the
+    reference's per-row/per-model loop, src/main.py:151-157, spec form
+    per SURVEY §2.10.2). Deterministic stand-in models."""
+    docs = t(spark, sf_dir, "documents")
+    return score_deterministic(
+        docs.select("doc_id"), "doc_id",
+        ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"],
+    )

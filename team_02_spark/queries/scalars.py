@@ -1,0 +1,237 @@
+"""Scalar-function breadth queries (SURVEY.md §2.7): string, date,
+math, array, map, json. Each query exercises a function family as
+Catalyst Column expressions (whole-stage codegen; no UDFs anywhere).
+
+Array/map results are projected to scalars (joined strings, sizes,
+extracted elements) so the cross-engine hash compare never depends on
+array-type representation differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           TRIM(p_name) AS name_trim,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           CAST(STRPOS(p_name, 'a') AS INT) AS first_a
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """F6: string family — lower/upper/length/substring/concat_ws/trim/
+    replace/like/instr."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+               AS days_to_cutoff,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """F7: date/time family on the ms-precision o_orderdate. Timestamps
+    leave the query as DATE / string / int — never raw sub-second
+    timestamps — per the precision rule in FIXTURES.md §C."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int").alias("days_to_cutoff"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+               AS net_price,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           SQRT(l_extendedprice) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 4) AS price_ln,
+           (l_tax + 1) * (l_tax + 1) AS tax_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """F8: math family. Cross-engine FP discipline: money values exit
+    through a DECIMAL(18,4) cast, never ROUND(double, n) — Spark rounds
+    the shortest decimal repr while DuckDB rounds the binary value, so
+    ROUND diverges on .xx5-looking doubles. sqrt is IEEE-correctly-
+    rounded (safe); LN is libm (last-ulp differences) so it exits
+    rounded to 4dp; POWER may be exp/log-based, so squares are written
+    as multiplication."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)").cast("double").alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        ((F.col("l_tax") + 1) * (F.col("l_tax") + 1)).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(tokens) AS INT) AS n_tokens,
+           CAST(LEN(list_distinct(tokens)) AS INT) AS n_distinct,
+           CASE WHEN list_contains(tokens, 'spark') THEN 1 ELSE 0 END AS has_spark,
+           ARRAY_TO_STRING(list_slice(tokens, 1, 5), ' ') AS first5,
+           ARRAY_TO_STRING(list_sort(list_distinct(tokens)), ',') AS vocab,
+           tokens[1] AS first_token,
+           ARRAY_TO_STRING(list_reverse(tokens), ' ') AS reversed_text
+    FROM toks
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """F9: array family — size/distinct/contains/slice/sort/join/
+    element_at/reverse (reference pad/truncate pattern,
+    src/main.py:79-81, generalizes to slice+concat). Arrays exit as
+    joined strings / scalars only."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias("vocab"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.reverse(toks), " ").alias("reversed_text"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT e.event_id,
+           e.event_type AS k_type,
+           e.value AS v_value,
+           2 AS n_keys
+    FROM events e
+    WHERE e.event_id % 10 = 0
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """F10: map family — build a map from columns, extract by key,
+    count keys. The oracle states the expected *values* directly (the
+    map is an internal representation; DuckDB's MAP type differences
+    are irrelevant to the semantics being checked)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("k_type"),
+        F.element_at(m, "value").cast("double").alias("v_value"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """F11: JSON extraction from events.props ('{"k": <int>}' —
+    FIXTURES.md §A) via get_json_object; no UDF, no full parse."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "q_case_when_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_alias,
+           CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END AS nation_missing
+    FROM customer
+    """,
+)
+def q_case_when_null(spark, sf_dir):
+    """Conditional / null-handling family: CASE, COALESCE, NULLIF,
+    IS NULL — the expression surface Catalyst constant-folds and
+    null-propagates through."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("segment_alias"),
+        F.when(F.col("c_nationkey").isNull(), 1).otherwise(0).alias("nation_missing"),
+    )

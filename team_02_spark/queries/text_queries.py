@@ -1,0 +1,340 @@
+"""Text-pipeline and document queries: the flagship token top-k, the
+reference cleaning pipeline, the text-analysis lane (lang-id, quality,
+token budgets), and the dedup lane over `documents`.
+
+SURVEY.md §2.7 (F1-F5), §2.3 (M3/M4), plus the north-star LLM-pipeline
+operators (BASELINE.json). Everything except the Porter stemmer and the
+LSH-probabilistic dedups is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import functions as F
+
+from team_02_spark.functions.text import (
+    NLTK_STOPWORDS,
+    bpe_ish_token_count,
+    clean_and_stem,
+    clean_tokens,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from team_02_spark.operators.dedup import (
+    jaccard_verify,
+    near_dedup_minhash,
+    near_dedup_simhash,
+    shingles,
+)
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+# SQL fragments shared by oracles -------------------------------------
+
+# string.punctuation as RE2 ranges (ASCII 33-47, 58-64, 91-96, 123-126)
+# — no quote/backslash characters, so it embeds safely in SQL strings.
+_PUNCT_CLASS = "[!-/:-@[-`{-~]"
+_STOPWORDS_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in NLTK_STOPWORDS)
+
+
+def _sql_str_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+_CLEAN_TOKENS_SQL = f"""
+    list_filter(
+        string_split_regex(
+            regexp_replace(
+                regexp_replace(text, 'https?://\\S+|www\\.\\S+', '', 'g'),
+                '{_PUNCT_CLASS}', '', 'g'),
+            '\\W+'),
+        tk -> tk <> '' AND tk NOT IN ({_STOPWORDS_SQL}))
+"""
+
+
+@query(
+    "q_token_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_CLEAN_TOKENS_SQL}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM toks
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def q_token_topk(spark, sf_dir):
+    """FLAGSHIP (SURVEY §7.1): clean (F1-F4, pure Column ops) → explode
+    → token frequency → top-20. Exercises scan, projection, array HOFs,
+    explode, hash agg, TakeOrdered — one shuffle for the agg, one
+    top-k. This is also ``entry()``'s query."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(clean_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_clean_text",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string({_CLEAN_TOKENS_SQL}, ' ') AS clean_text,
+           CAST(len({_CLEAN_TOKENS_SQL}) AS INT) AS n_clean_tokens
+    FROM documents
+    """,
+)
+def q_clean_text(spark, sf_dir):
+    """F1-F4: URL-strip → punct-strip → tokenize(\\W+) → NLTK-stopword
+    drop, duplicate-preserving (reference spec, SURVEY §2.10.1).
+    Emitted as a joined string so the hash compare is array-layout-
+    independent. Stemming (F5) is q_clean_stem (golden-tested)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = clean_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("clean_text"),
+        F.size(toks).cast("int").alias("n_clean_tokens"),
+    )
+
+
+@query("q_clean_stem")  # rows-only: no stemmer in DuckDB; golden tests cover it
+def q_clean_stem(spark, sf_dir):
+    """F1-F5 with Porter stemming (pandas_udf, Arrow-batched) — the
+    full reference cleaning pipeline (src/main.py:51-61, intent form)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(clean_and_stem(F.col("text")), " ").alias("stemmed_text"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x IN ('the','and','of','to','is','in','that','it','for','with')))) AS s_en,
+            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x IN ('le','la','les','et','de','un','une','est','pour','que')))) AS s_fr,
+            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x IN ('el','los','las','y','es','en','por','para','con','una')))) AS s_es,
+            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x IN ('der','die','das','und','ist','nicht','mit','ein','für','auf')))) AS s_de,
+            len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x IN ('的','是','在','了','和','有','我','不','这','中')))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+                WHEN s_zh = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+                WHEN s_fr = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+                WHEN s_es = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+                WHEN s_en = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Text-analysis: heuristic language ID (marker-token argmax; ties
+    broken toward the lexicographically larger code in both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND((
+             LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+             + CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1)
+             + LEAST(CAST(len(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   x -> x IN ({_sql_str_list(NLTK_STOPWORDS[:50])})))) AS DOUBLE)
+               / 5.0, 1.0)
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Text-analysis: composite quality heuristic (length, alpha ratio,
+    stopword presence) — all JVM expressions, identical arithmetic in
+    the oracle, rounded to 6dp."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+               AS n_ws_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[\\s[:punct:]]+'), x -> x <> ''))
+                + CAST(list_sum(list_transform(
+                      list_filter(string_split_regex(text, '[\\s[:punct:]]+'), x -> x <> ''),
+                      x -> CASE WHEN LENGTH(x) > 4
+                                THEN CAST(FLOOR((LENGTH(x) - 1) / 4.0) AS INT)
+                                ELSE 0 END)) AS INT) AS INT) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Text-analysis: whitespace token budget + BPE-ish word-piece
+    estimate (len/4 heuristic for long words)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+@query("q_doc_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_doc_fingerprint(spark, sf_dir):
+    """Text-analysis: per-document fingerprint (xxhash64 + md5 prefix).
+    Stability under repartition is property-tested."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------- dedup lane
+
+_NGRAM_SETS_SQL = """
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3
+                THEN [text]
+                ELSE list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+           END AS sh
+    FROM documents
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH sets AS ({_NGRAM_SETS_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+        SELECT DISTINCT c.idb AS doc_id
+        FROM cand c
+        JOIN sizes x ON c.ida = x.doc_id
+        JOIN sizes y ON c.idb = y.doc_id
+        WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """M4 exact form: n-gram (3-shingle) Jaccard near-dedup with
+    *complete* candidate generation (pairs sharing ≥1 shingle — any
+    pair with jaccard>0 shares one, so nothing is missed). Keep-first
+    rule: drop a doc iff a similar doc with smaller id exists.
+
+    This is the exact-verifiable variant; q_dedup_near is the
+    MinHash-LSH scale path (probabilistic recall → rows-only)."""
+    docs = t(spark, sf_dir, "documents")
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
+    losers = (
+        cand.join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("sz", "szb"), "idb")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= 0.6
+        )
+        .select(F.col("idb").alias("doc_id"))
+        .distinct()
+    )
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+@query("q_dedup_near")  # rows-only: LSH recall is probabilistic
+def q_dedup_near(spark, sf_dir):
+    """M4 scale path: MinHash(32 hashes) + LSH(8 bands) near-dedup,
+    threshold 0.6, keep-first. At 100 TB the band-bucket equi-join
+    replaces the shared-shingle join that q_dedup_ngram uses."""
+    docs = t(spark, sf_dir, "documents")
+    return near_dedup_minhash(
+        docs.select("doc_id", "text"), threshold=0.6
+    ).select("doc_id")
+
+
+@query("q_dedup_simhash")  # rows-only: fingerprint bit-signs are impl-specific
+def q_dedup_simhash(spark, sf_dir):
+    """M4: 64-bit SimHash near-dedup (hamming ≤ 3 via 4-block
+    pigeonhole equi-joins — no cross join)."""
+    docs = t(spark, sf_dir, "documents")
+    return near_dedup_simhash(docs.select("doc_id", "text")).select("doc_id")
+
+
+@query(
+    "q_similar_pairs",
+    oracle=f"""
+    WITH sets AS ({_NGRAM_SETS_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.a, c.b,
+           ROUND(CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter), 6) AS jaccard
+    FROM cand c
+    JOIN sizes x ON c.a = x.doc_id
+    JOIN sizes y ON c.b = y.doc_id
+    WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
+    """,
+)
+def q_similar_pairs(spark, sf_dir):
+    """Document similarity join (J5 text form): all pairs with 3-gram
+    Jaccard ≥ 0.6, exact."""
+    docs = t(spark, sf_dir, "documents")
+    sets_df = docs.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
+    jac = F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .filter(jac >= 0.6)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )

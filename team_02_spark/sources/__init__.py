@@ -1,0 +1,8 @@
+from team_02_spark.sources.registry import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_sentiment140_csv,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "read_sentiment140_csv"]

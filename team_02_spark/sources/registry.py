@@ -1,0 +1,86 @@
+"""Source registry: fixture tables + the reference's CSV source.
+
+The harness tables (TESTDATA.md / FIXTURES.md) are parquet and
+self-describing; ``load_table`` is a thin wrapper that keeps all path
+construction in one place so a future move to partitioned cloud storage
+(100 TB layout: date/source-partitioned directories) touches one
+function.
+
+The reference's native source is a headerless latin-1 Sentiment140 CSV
+(/root/reference/src/main.py:64-65: ``pd.read_csv(filepath,
+encoding='latin-1', header=None)`` then positional column assignment).
+``read_sentiment140_csv`` re-expresses that with an explicit schema
+declared at the source — schema-on-read, quoted-field aware.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Every fixture table name (TESTDATA.md). Parquet carries its own
+# schema; listed here for validation and for the DuckDB oracle harness.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Sentiment140 layout (FIXTURES.md §B; reference src/main.py:65).
+SENTIMENT140_SCHEMA = T.StructType(
+    [
+        T.StructField("sentiment", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("from", T.StringType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("tweet", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Filters/projections applied by callers
+    push down to the parquet scan (verify with .explain: PushedFilters,
+    ReadSchema).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which vanilla Spark 4
+    rejects ([PARQUET_TYPE_ILLEGAL]); we read it via the public
+    ``spark.sql.legacy.parquet.nanosAsLong`` session conf (long
+    nanoseconds) and truncate to a microsecond timestamp — the same
+    value DuckDB sees modulo sub-µs digits."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names or TABLES}
+
+
+def read_sentiment140_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan with the reference's exact read semantics (S1 in
+    SURVEY.md §2.1): headerless, latin-1, comma-delimited, quoted fields
+    may contain commas/quotes (reference data/tweets_1000.csv:8)."""
+    return (
+        spark.read.schema(SENTIMENT140_SCHEMA)
+        .options(header=False, encoding="latin-1", quote='"', escape='"', multiLine=False)
+        .csv(path)
+    )

@@ -1,0 +1,91 @@
+"""Streaming lane (SURVEY.md §2.9): windowed aggregations, watermarks,
+session windows, stateful dedup — each a pure DataFrame→DataFrame
+stage function that works identically on a batch DataFrame and a
+``readStream`` DataFrame (Structured Streaming's unified Dataset API).
+
+The reference's only "streaming" is a one-shot REST poll re-run by
+Airflow (reference src/main.py:133-138, README.md:12); true streams
+are an engine extension over the `events` fixture.
+
+Batch≡stream equivalence is tested in tests/test_streaming.py by
+running the same function over `readStream.parquet` + foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from team_02_spark.queries._util import DEC
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour",
+                 watermark: str | None = None) -> DataFrame:
+    """T1: tumbling window per event_type — count + decimal-exact value
+    sum. With ``watermark`` set (streaming), state for windows older
+    than the watermark is dropped (bounded state at any scale)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour",
+                slide: str = "15 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """T1: sliding window (each event lands in width/slide windows)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str | None = None) -> DataFrame:
+    """T3: session windows per user — events closer than ``gap`` merge;
+    a session closes ``gap`` after its last event."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 watermark: str = "10 minutes") -> DataFrame:
+    """T4: stateful stream dedup — duplicates arriving within the
+    watermark horizon are dropped; state is GC'd past it. In batch
+    mode this degrades to dropDuplicates(keys)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """`events` as a file stream: the landing-directory pattern — at
+    scale this is `readStream` on a date-partitioned bucket or Kafka;
+    the downstream stage functions are identical."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
