@@ -95,10 +95,12 @@ def clean_tokens(text: Column, *, lowercase: bool = False) -> Column:
 
 
 # ---------------------------------------------------------------- F5
-# Porter stemmer — pure-python implementation of the public Porter
-# (1980) algorithm, the same algorithm NLTK's PorterStemmer implements
-# (reference src/main.py:44,60). Vectorized over Arrow batches; no
-# per-row Python UDF.
+# Porter stemmer — pure-python implementation of the CLASSIC Porter
+# (1980) algorithm. The reference uses nltk.PorterStemmer()
+# (src/main.py:44,60) whose default mode adds NLTK-specific extensions
+# (e.g. keeps "day" where classic yields "dai"); we pin to the
+# published algorithm — documented deviation (SURVEY §7.3 discipline).
+# Vectorized over Arrow batches; no per-row Python UDF.
 
 _VOWELS = "aeiou"
 

@@ -1,0 +1,176 @@
+"""Multimodal columns lane (north star, BASELINE.json): image/audio/
+video as opaque ``binary`` columns + typed metadata structs, with
+decode / feature-extract / resize / frame-sample stages as Arrow-
+batched ``mapInPandas`` transforms.
+
+The container has no image/audio libraries, so the *codec* step is
+stubbed two ways (per the build brief):
+- ``decode_stub='fake'``  → a deterministic fake decoder (byte stats
+  standing in for pixels) so the full pipeline runs and is testable;
+- ``decode_stub='error'`` → raises NotImplementedError at the exact
+  seam where Pillow/librosa/pyav would plug in.
+
+Everything AROUND the codec — schema, partition sizing, UDF
+signatures, Arrow batch shapes, metadata propagation — is real and
+tested; swapping in a real decoder changes one function.
+
+Scale notes: binary payloads ride the columnar path (parquet BYTE_ARRAY
+→ Arrow binary); ``media_repartition`` sizes partitions by payload
+bytes, not row count, so a 100 TB video table doesn't produce 2 GB
+tasks next to empty ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+# Typed metadata for an opaque media payload — the engine's standard
+# multimodal column pair is (content: binary, media: MEDIA_META).
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("format", T.StringType()),     # png | wav | mp4 | ...
+        T.StructField("width", T.IntegerType()),     # image/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),  # video
+        T.StructField("sample_rate", T.IntegerType()),  # audio
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_std", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", kind: str = "image") -> DataFrame:
+    """Deterministic media fixture: payload = UTF-8 bytes of the text
+    (an opaque blob as far as the pipeline is concerned) + metadata
+    derived from its length. Lets every multimodal stage run on the
+    driver tables without external files."""
+    n = F.length(F.col(text_col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit("raw").alias("format"),
+            (F.pmod(n, F.lit(64)) + 16).cast("int").alias("width"),
+            (F.pmod(n, F.lit(48)) + 16).cast("int").alias("height"),
+            (F.pmod(n, F.lit(8)) + 1).cast("int").alias("n_frames"),
+            F.lit(16000).alias("sample_rate"),
+            n.alias("n_bytes"),
+        ).alias("media"),
+    )
+
+
+def _decode(payload: bytes, meta: dict, stub: str) -> np.ndarray:
+    """THE codec seam. Real implementation would be e.g.
+    PIL.Image.open(io.BytesIO(payload)) / librosa.load / av.open."""
+    if stub == "error":
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library "
+            "(Pillow / librosa / pyav) — not present in this container. "
+            "Pass decode_stub='fake' for the deterministic stand-in."
+        )
+    # fake: interpret bytes as a uint8 "pixel" array — deterministic,
+    # shape-compatible with downstream feature code.
+    return np.frombuffer(payload or b"\x00", dtype=np.uint8)
+
+
+def extract_features(df: DataFrame, *, decode_stub: str = "fake",
+                     feature_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract as mapInPandas: one Arrow batch in, one
+    out; the decode loop never touches the driver. Output schema is
+    FEATURE_SCHEMA (stable regardless of decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["content"]
+                arr = _decode(payload, r.get("media"), decode_stub)
+                mean = float(arr.mean()) if arr.size else 0.0
+                std = float(arr.std()) if arr.size else 0.0
+                # fixed-dim "feature": histogram of byte values — the
+                # stand-in for an image/audio embedding.
+                hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
+                total = max(int(hist.sum()), 1)
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "content_sha": hashlib.sha256(bytes(payload or b"")).hexdigest(),
+                        "n_bytes": int(len(payload or b"")),
+                        "byte_mean": mean,
+                        "byte_std": std,
+                        "feature": [float(h) / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, *,
+                decode_stub: str = "fake") -> DataFrame:
+    """Resize stage: metadata transforms JVM-side; the pixel resample
+    itself sits behind the codec seam (fake: payload truncated/padded
+    to width*height bytes — preserves the real contract that output
+    payload size is a function of the target shape)."""
+    if decode_stub == "error":
+        raise NotImplementedError("resize requires an image codec (Pillow).")
+    target = width * height
+
+    @F.pandas_udf(T.BinaryType())
+    def _resize(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: bytes((b or b"\x00") * (target // max(len(b or b"\x00"), 1) + 1))[:target]
+        )
+
+    return df.withColumn("content", _resize(F.col("content"))).withColumn(
+        "media",
+        F.col("media").withField("width", F.lit(width).cast("int"))
+        .withField("height", F.lit(height).cast("int"))
+        .withField("n_bytes", F.lit(target).cast("long")),
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling *plumbing*: explode n_frames into frame
+    indices JVM-side, keep every n-th; the per-frame payload slice is
+    the codec seam (here: offset bookkeeping only)."""
+    frames = df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.col("media.n_frames") - 1)),
+    )
+    return frames.filter(F.col("frame_idx") % every_n == 0).select(
+        "doc_id", "frame_idx", "media",
+        (F.col("media.n_bytes") * F.col("frame_idx") / F.col("media.n_frames"))
+        .cast("long").alias("frame_offset"),
+    )
+
+
+def media_repartition(df: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024,
+                      size_col: str = "media.n_bytes") -> DataFrame:
+    """Partition by payload VOLUME: compute total bytes, derive the
+    partition count, range-repartition on a hash so heavy blobs spread
+    evenly. The row-count-based default would starve/overload tasks
+    when payload sizes are skewed (a 2-hour video next to a thumbnail).
+    """
+    total = df.agg(F.sum(F.col(size_col)).alias("b")).first()["b"] or 1
+    n_parts = max(1, int(total / target_bytes_per_partition))
+    return df.repartition(n_parts, F.col("doc_id"))

@@ -19,5 +19,6 @@ from team_02_spark.queries import text_queries  # noqa: E402,F401
 from team_02_spark.queries import vector_queries  # noqa: E402,F401
 from team_02_spark.queries import ml_queries  # noqa: E402,F401
 from team_02_spark.queries import streaming_queries  # noqa: E402,F401
+from team_02_spark.queries import advanced  # noqa: E402,F401
 
 __all__ = ["QUERIES", "query", "queries_map", "oracle_sql_map"]

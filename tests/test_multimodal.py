@@ -1,0 +1,90 @@
+"""Multimodal-lane tests: binary column plumbing, mapInPandas feature
+extraction (fake codec), the NotImplementedError seam, resize metadata
+propagation, frame sampling, volume-based repartition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from team_02_spark.operators.multimodal import (
+    extract_features,
+    media_repartition,
+    resize_stub,
+    sample_frames,
+    synthesize_media,
+)
+from team_02_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _media(spark, n=50):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(n)
+    return synthesize_media(docs)
+
+
+def test_media_schema(spark):
+    media = _media(spark)
+    fields = dict(media.dtypes)
+    assert fields["content"] == "binary"
+    assert fields["media"].startswith("struct<kind:string")
+    row = media.first()
+    assert row["media"]["n_bytes"] == len(row["content"])
+
+
+def test_extract_features_fake_codec(spark):
+    feats = extract_features(_media(spark), decode_stub="fake").collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["content_sha"]) == 64
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+        assert 0.0 <= r["byte_mean"] <= 255.0
+
+
+def test_extract_features_deterministic(spark):
+    a = extract_features(_media(spark), decode_stub="fake")
+    b = extract_features(_media(spark).repartition(7), decode_stub="fake")
+    j = a.alias("a").join(b.alias("b"), "doc_id")
+    assert j.filter(F.col("a.content_sha") != F.col("b.content_sha")).count() == 0
+
+
+def test_decode_error_seam(spark):
+    """The real-codec seam raises NotImplementedError, clearly named."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        extract_features(_media(spark, 5), decode_stub="error").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_resize_metadata(spark):
+    resized = resize_stub(_media(spark, 10), 32, 24)
+    rows = resized.collect()
+    for r in rows:
+        assert r["media"]["width"] == 32
+        assert r["media"]["height"] == 24
+        assert len(r["content"]) == 32 * 24
+
+
+def test_frame_sampling(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = synthesize_media(docs, kind="video")
+    frames = sample_frames(media, every_n=2)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
+    # per doc: ceil(n_frames / 2) sampled frames
+    n_frames = {r["doc_id"]: r["media"]["n_frames"] for r in media.collect()}
+    got = pdf.groupby("doc_id").size().to_dict()
+    for doc_id, nf in n_frames.items():
+        assert got.get(doc_id, 0) == (nf + 1) // 2
+
+
+def test_media_repartition_by_volume(spark):
+    media = _media(spark)
+    out = media_repartition(media, target_bytes_per_partition=1024)
+    assert out.rdd.getNumPartitions() >= 2  # sized by bytes, not rows
+    assert out.count() == media.count()

@@ -1,0 +1,89 @@
+"""Property tests on algebraic identities (SURVEY.md §5.2.3):
+union additivity, split disjoint+exhaustive, dedup idempotence,
+fingerprint stability under repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.operators.relational import (
+    dedup_exact,
+    deterministic_split,
+    stratified_sample_exact,
+    union_all,
+)
+from team_02_spark.operators.dedup import near_dedup_minhash
+from team_02_spark.sinks import dataset_fingerprint
+from team_02_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_union_count_additivity(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    fr = docs.filter(F.col("lang") == "fr")
+    assert union_all(en, fr).count() == en.count() + fr.count()
+
+
+def test_split_disjoint_exhaustive(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    train, test = deterministic_split(docs, 0.8, key="doc_id")
+    n, ntr, nte = docs.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.select("doc_id").intersect(test.select("doc_id")).count() == 0
+    assert 0.7 * n < ntr < 0.9 * n  # threshold ≈ 0.8
+
+
+def test_randomsplit_seed_stable(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a1, _ = docs.randomSplit([0.8, 0.2], seed=15)
+    a2, _ = docs.randomSplit([0.8, 0.2], seed=15)
+    assert a1.select("doc_id").subtract(a2.select("doc_id")).count() == 0
+
+
+def test_dedup_idempotent(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    once = near_dedup_minhash(docs, threshold=0.6)
+    twice = near_dedup_minhash(once, threshold=0.6)
+    assert once.count() == twice.count()
+    assert dedup_exact(docs, "text").count() == dedup_exact(dedup_exact(docs, "text"), "text").count()
+
+
+def test_dedup_only_removes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    kept = near_dedup_minhash(docs, threshold=0.6)
+    assert kept.count() <= docs.count()
+    # every kept id was in the input
+    assert kept.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+
+
+def test_fingerprint_repartition_stable(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fp1 = dataset_fingerprint(docs.repartition(3), "doc_id", "text")
+    fp2 = dataset_fingerprint(docs.repartition(17), "doc_id", "text")
+    fp3 = dataset_fingerprint(docs.orderBy(F.desc("doc_id")), "doc_id", "text")
+    assert fp1 == fp2 == fp3
+
+
+def test_fingerprint_detects_change(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fp = dataset_fingerprint(docs, "doc_id", "text")
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    assert fp != dataset_fingerprint(mutated, "doc_id", "text")
+
+
+def test_stratified_sample_exact_n(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = stratified_sample_exact(docs, "lang", 7, key="doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, avail[lang])
+    # deterministic: same call twice → same ids
+    again = stratified_sample_exact(docs, "lang", 7, key="doc_id")
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0

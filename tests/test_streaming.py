@@ -1,0 +1,102 @@
+"""Batch≡stream equivalence (SURVEY.md §5.2.4): each windowed stage
+function run over readStream on the same parquet must agree with the
+batch run. Also covers watermark wiring and stateful stream dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.sources import load_table
+from team_02_spark.streaming.windows import (
+    read_events_stream,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_stream_to_batch(spark, stream_df):
+    """Drain a bounded file stream into an in-memory table and return
+    the final batch result as a DataFrame."""
+    collected = []
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert collected, "stream produced no batches"
+    return collected[-1]
+
+
+def _assert_frames_equal(batch_pdf, stream_pdf, sort_cols):
+    b = batch_pdf.sort_values(sort_cols).reset_index(drop=True)
+    s = stream_pdf.sort_values(sort_cols).reset_index(drop=True)
+    assert len(b) == len(s), f"row counts differ: batch={len(b)} stream={len(s)}"
+    for c in b.columns:
+        assert (b[c] == s[c]).all() or (b[c].isna() == s[c].isna()).all(), c
+
+
+def test_tumbling_batch_equals_stream(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = tumbling_agg(ev, "1 hour").toPandas()
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    stream = _run_stream_to_batch(spark, tumbling_agg(stream_src, "1 hour"))
+    _assert_frames_equal(batch, stream, ["window_start", "event_type"])
+
+
+def test_session_batch_equals_stream(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = session_agg(ev, "30 minutes").toPandas()
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    stream = _run_stream_to_batch(spark, session_agg(stream_src, "30 minutes"))
+    _assert_frames_equal(batch, stream, ["session_start", "user_id"])
+
+
+def test_sliding_batch_equals_stream(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = sliding_agg(ev).toPandas()
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    stream = _run_stream_to_batch(spark, sliding_agg(stream_src))
+    _assert_frames_equal(batch, stream, ["window_start"])
+
+
+def test_watermark_wiring_streams(spark):
+    """Windowed agg WITH watermark runs in append mode (the production
+    shape: bounded state, late data dropped past the horizon)."""
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    agg = tumbling_agg(stream_src, "1 hour", watermark="10 minutes")
+    collected = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.append(df.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert collected  # ran to completion in append mode
+
+
+def test_stream_dedup(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    doubled = ev.unionByName(ev)
+    # batch degradation
+    assert stream_dedup(doubled, ["event_id"]).count() == ev.count()
+    # streaming: duplicates within the watermark horizon are dropped
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    deduped = stream_dedup(
+        stream_src.unionByName(stream_src), ["event_id"], watermark="1 hour"
+    )
+    collected = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.append(df.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(collected) == ev.count()
