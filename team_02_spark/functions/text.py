@@ -17,6 +17,7 @@ Python UDF).
 from __future__ import annotations
 
 import string
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column
@@ -236,12 +237,24 @@ def porter_stem(word: str) -> str:
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
-def stem_tokens(tokens: pd.Series) -> pd.Series:
+def stem_tokens(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
     """F5: Porter-stem each token of an array<string> column.
-    Arrow-batched; tokens arrive as numpy arrays per row."""
-    return tokens.map(
-        lambda arr: [porter_stem(t) for t in arr] if arr is not None else None
-    )
+    Iterator form with a per-worker memo cache: natural-language token
+    distributions are Zipfian, so the cache turns the per-token cost
+    into a dict lookup for all but the first occurrence."""
+    cache: dict[str, str] = {}
+
+    def stem(tok: str) -> str:
+        s = cache.get(tok)
+        if s is None:
+            s = porter_stem(tok)
+            cache[tok] = s
+        return s
+
+    for tokens in batches:
+        yield tokens.map(
+            lambda arr: [stem(t) for t in arr] if arr is not None else None
+        )
 
 
 def clean_and_stem(text: Column) -> Column:

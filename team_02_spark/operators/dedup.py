@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from team_02_spark.functions.vectors import cosine
+from team_02_spark.util import ensure_parallelism
 
 
 # ------------------------------------------------------------- exact
@@ -55,17 +56,28 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: k = num_hashes salted xxhash64 mins
-    over the shingle set. One explode + one groupBy(id) — a single
-    shuffle, map-side partial mins, no Python.
+    over the shingle set. Each shingle STRING is hashed to int64 once
+    (projection right after the explode — a generator barrier, so
+    Catalyst cannot collapse-and-reevaluate it k times; an all-HOF
+    formulation was measured 2× slower for exactly that reason), then
+    the k salted re-hashes and partial mins run on 8-byte longs —
+    map-side combine means the shuffle carries one k-long row per
+    (partition, doc).
 
     Returns (id_col, mh_0..mh_{k-1}).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+    ex = (
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__sh"),
+        )
+        .select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidate_pairs(sig: DataFrame, id_col: str,
@@ -105,7 +117,7 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     """Exact n-gram Jaccard on candidate pairs. Joins the shingle sets
     back and computes |∩|/|∪| with JVM array ops. Returns pairs with
     jaccard >= threshold, columns (a, b, jaccard)."""
-    sets_df = df.select(
+    sets_df = ensure_parallelism(df).select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__set")
     )
     a_sets = sets_df.withColumnRenamed(id_col, "a").withColumnRenamed("__set", "sa")
@@ -145,7 +157,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     contributes +1 if set else -1; fingerprint bit b = sign of the sum.
     One explode + one groupBy; the 64 conditional sums are JVM
     expressions inside one hash-agg pass. Returns (id_col, simhash)."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.array_remove(F.split(F.lower(F.col(text_col)), r"\W+"), "")

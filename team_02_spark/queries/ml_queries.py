@@ -13,6 +13,7 @@ from team_02_spark.ml.scoring import score_deterministic
 from team_02_spark.ml.tokenize import attention_mask, hash_subword_encode
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import ensure_parallelism
 
 
 @query("q_tokenize")  # rows-only: pandas_udf tokenizer
@@ -20,7 +21,7 @@ def q_tokenize(spark, sf_dir):
     """U1 + F9/F8: subword-encode to 30 ids (post-padded) + attention
     mask, the reference's encode→pad→mask chain (src/main.py:79-81) as
     one Arrow-batched stage. Arrays exit as scalars/joined strings."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     ids = hash_subword_encode(F.col("text"))
     out = docs.select("doc_id", ids.alias("ids"))
     return out.select(
@@ -37,7 +38,7 @@ def q_embed(spark, sf_dir):
     """U2: deterministic hash-projection document embedding (64-d,
     unit-norm) — the engine's DistilBERT stand-in with identical
     plumbing (iterator pandas_udf, Arrow batches)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     emb = hash_embed(F.col("text"))
     return docs.select(
         "doc_id",
@@ -54,7 +55,7 @@ def q_score_multi(spark, sf_dir):
     """U9: one prediction column per model in a single pass (the
     reference's per-row/per-model loop, src/main.py:151-157, spec form
     per SURVEY §2.10.2). Deterministic stand-in models."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return score_deterministic(
         docs.select("doc_id"), "doc_id",
         ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"],

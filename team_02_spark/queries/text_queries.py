@@ -31,6 +31,7 @@ from team_02_spark.operators.dedup import (
 )
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import ensure_parallelism
 
 # SQL fragments shared by oracles -------------------------------------
 
@@ -72,7 +73,7 @@ def q_token_topk(spark, sf_dir):
     → token frequency → top-20. Exercises scan, projection, array HOFs,
     explode, hash agg, TakeOrdered — one shuffle for the agg, one
     top-k. This is also ``entry()``'s query."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(F.explode(clean_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -109,7 +110,7 @@ def q_clean_text(spark, sf_dir):
 def q_clean_stem(spark, sf_dir):
     """F1-F5 with Porter stemming (pandas_udf, Arrow-batched) — the
     full reference cleaning pipeline (src/main.py:51-61, intent form)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.array_join(clean_and_stem(F.col("text")), " ").alias("stemmed_text"),
@@ -255,7 +256,7 @@ def q_dedup_ngram(spark, sf_dir):
     This is the exact-verifiable variant; q_dedup_near is the
     MinHash-LSH scale path (probabilistic recall → rows-only)."""
     docs = t(spark, sf_dir, "documents")
-    sets_df = docs.select(
+    sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
@@ -322,7 +323,7 @@ def q_similar_pairs(spark, sf_dir):
     """Document similarity join (J5 text form): all pairs with 3-gram
     Jaccard ≥ 0.6, exact."""
     docs = t(spark, sf_dir, "documents")
-    sets_df = docs.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    sets_df = ensure_parallelism(docs).select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (

@@ -18,6 +18,7 @@ from team_02_spark.operators.dedup import near_dedup_embedding
 from team_02_spark.operators.similarity import knn_bruteforce, knn_classify, knn_lsh
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import ensure_parallelism
 
 # Cosine in portable SQL: unnest both fixed-length lists positionally,
 # accumulate in double. DuckDB's generate_subscripts/list arithmetic:
@@ -60,7 +61,7 @@ def q_knn_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     scored = (
-        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        ensure_parallelism(emb).join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("embedding")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
