@@ -81,6 +81,8 @@ def read_sentiment140_csv(spark: SparkSession, path: str) -> DataFrame:
     may contain commas/quotes (reference data/tweets_1000.csv:8)."""
     return (
         spark.read.schema(SENTIMENT140_SCHEMA)
-        .options(header=False, encoding="latin-1", quote='"', escape='"', multiLine=False)
+        # "latin-1" is spelled iso-8859-1 in Spark 4's charset list
+        .options(header=False, encoding="iso-8859-1", quote='"', escape='"',
+                 multiLine=False)
         .csv(path)
     )
