@@ -1,0 +1,57 @@
+"""Scale-out join strategies the 100 TB posture needs beyond plain
+equi-joins: key-salting for skew, and bucketed tables for co-located
+(shuffle-free) joins.
+
+AQE's skew-join splitting (on by default, session.py) handles most
+skew at runtime; ``salted_join`` is the explicit form for the cases
+AQE can't see — e.g. a skewed BROADCAST-ineligible dimension or a
+pre-aggregation — and for engines/plans where deterministic layout
+matters more than adaptivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, *,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a random-ish but
+    DETERMINISTIC salt (hash of the whole row's key + a row id would
+    need state; xxhash64 of monotonically varying columns suffices —
+    we use the key plus spark_partition_id, which spreads a hot key
+    across ``salt_buckets`` reducers), the dim side is exploded
+    ``salt_buckets``× so every salted fact row still finds its match.
+
+    Cost model: dim side inflates by salt_buckets (fine for dims; never
+    salt two big sides — pre-aggregate instead), fact side shuffles
+    once on (key, salt) instead of once on key, and no single reducer
+    receives a hot key's full volume.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt_buckets))
+    fact_salted = fact.withColumn("__salt", salt.cast("int"))
+    dim_exploded = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = fact_salted.join(dim_exploded, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, *,
+                   num_buckets: int = 32, sort_by: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join
+    key. Two tables bucketed the same way equi-join WITHOUT a shuffle
+    (and without even a sort, when sorted) — the bucketing IS the
+    exchange, paid once at write time instead of per query."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def co_located_join(spark, left_table: str, right_table: str, key: str,
+                    how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables — Catalyst sees the
+    matching hash-bucket layout and plans a SortMergeJoin with ZERO
+    Exchange operators (verify: plans.shuffle_count == 0)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

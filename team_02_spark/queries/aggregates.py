@@ -176,3 +176,42 @@ def q_confusion_matrix(spark, sf_dir):
         (tp.cast("double") / F.nullif(pred_pos, F.lit(0))).alias("precision_"),
         (tp.cast("double") / F.nullif(actual_pos, F.lit(0))).alias("recall_"),
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """A2 breadth: exact continuous percentiles (both engines linearly
+    interpolate; rounded to 4dp since the interpolation arithmetic
+    differs in operation order). The approx_percentile sketch variant
+    is the 100 TB path (rows-only check, engine-specific estimates)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@query("q_approx_percentiles")  # rows-only: sketch estimates are engine-specific
+def q_approx_percentiles(spark, sf_dir):
+    """A3 analogue for quantiles: approx_percentile — fixed-size sketch,
+    no full sort, the scale path for distribution profiling."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+    )

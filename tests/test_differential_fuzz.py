@@ -1,0 +1,100 @@
+"""Hypothesis-driven differential fuzzing: randomized predicates and
+aggregations run through BOTH engines (Spark and DuckDB) on the same
+fixture table must agree exactly. Complements the fixed oracle suite
+with generated query shapes (SURVEY §5.2 strategy, extended).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from team_02_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare
+
+FLAGS = ["A", "N", "R"]
+STATUSES = ["F", "O"]
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    qty_lo=st.integers(min_value=0, max_value=50),
+    disc_hi=st.floats(min_value=0.0, max_value=0.1).map(lambda x: round(x, 3)),
+    flags=st.lists(st.sampled_from(FLAGS), min_size=1, max_size=3, unique=True),
+)
+def test_fuzzed_filter_count(spark, duck_smoke, qty_lo, disc_hi, flags):
+    """Random conjunctive predicates: Spark filter ≡ SQL WHERE."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = li.filter(
+        (F.col("l_quantity") >= qty_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & F.col("l_returnflag").isin(*flags)
+    ).count()
+    flag_list = ", ".join(f"'{f}'" for f in flags)
+    want = duck_smoke.execute(
+        f"SELECT COUNT(*) FROM lineitem WHERE l_quantity >= {qty_lo} "
+        f"AND l_discount <= {disc_hi} AND l_returnflag IN ({flag_list})"
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    group_cols=st.sampled_from(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]]
+    ),
+    status=st.sampled_from(STATUSES),
+)
+def test_fuzzed_groupby(spark, duck_smoke, group_cols, status):
+    """Random group-by shapes with the decimal-sum discipline."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sdf = (
+        li.filter(F.col("l_linestatus") == status)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sq"),
+        )
+    )
+    cols = ", ".join(group_cols)
+    ddf = duck_smoke.execute(
+        f"SELECT {cols}, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq "
+        f"FROM lineitem WHERE l_linestatus = '{status}' GROUP BY {cols}"
+    ).fetchdf()
+    assert not compare(sdf, ddf)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(k=st.integers(min_value=1, max_value=50))
+def test_fuzzed_topk(spark, duck_smoke, k):
+    """Top-k with deterministic tiebreak at any k."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sdf = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(k)
+    )
+    ddf = duck_smoke.execute(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        f"ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT {k}"
+    ).fetchdf()
+    assert not compare(sdf, ddf)
