@@ -44,7 +44,12 @@ def main() -> None:
     spark = get_spark("team_02_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + whole-stage codegen + parquet footer caches.
+    # Warmup: JVM + whole-stage codegen + OS page cache for every
+    # fixture file, so timings measure compute, not first-touch disk.
+    from team_02_spark.sources import TABLES, load_table
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
     QUERIES["q_topk"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

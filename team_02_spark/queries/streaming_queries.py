@@ -124,3 +124,38 @@ def q_event_rates(spark, sf_dir):
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias("avg_value"),
     )
+
+
+@query(
+    "q_user_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, value,
+               epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value,
+           ROUND(COALESCE(MAX(gap), 0.0), 2) AS max_gap_s
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState in streaming;
+    same fold via applyInPandas here in batch): per-user lifetime
+    event count / value total / max inter-event gap. Rounding: value
+    is a 2dp quantity so 4dp rounding is tie-free; gaps rounded to
+    10ms to absorb the ns-vs-us timestamp precision difference."""
+    from team_02_spark.streaming.stateful import running_user_stats
+
+    ev = t(spark, sf_dir, "events")
+    stats = running_user_stats(ev)
+    return stats.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("max_gap_s", 2).alias("max_gap_s"),
+    )
