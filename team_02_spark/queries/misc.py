@@ -1,0 +1,170 @@
+"""Completion queries: the remaining relational surface a reference
+user would expect — full/right outer joins, union-distinct, global
+sort, posexplode (ordinality), regex extraction, sort_within /
+distribution ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_en, b.n_fr
+    FROM (SELECT source AS k, COUNT(*) AS n_en FROM documents
+          WHERE lang = 'en' GROUP BY source) a
+    FULL OUTER JOIN
+         (SELECT source AS k, COUNT(*) AS n_fr FROM documents
+          WHERE lang = 'fr' GROUP BY source) b
+      ON a.k = b.k
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """J2: full outer join — rows surviving from either side with
+    nulls opposite."""
+    docs = t(spark, sf_dir, "documents")
+    a = (
+        docs.filter(F.col("lang") == "en")
+        .groupBy(F.col("source").alias("k"))
+        .agg(F.count("*").alias("n_en"))
+    )
+    b = (
+        docs.filter(F.col("lang") == "fr")
+        .groupBy(F.col("source").alias("k"))
+        .agg(F.count("*").alias("n_fr"))
+    )
+    return (
+        a.join(b, a.k == b.k, "full_outer")
+        .select(F.coalesce(a.k, b.k).alias("k"), "n_en", "n_fr")
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    """J2: right outer join — every customer, order keys nullable."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT source FROM documents WHERE lang = 'en'
+    UNION
+    SELECT source FROM documents WHERE lang = 'fr'
+    """,
+)
+def q_union_distinct(spark, sf_dir):
+    """M2 variant: UNION (distinct) vs UNION ALL — union + distinct."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en").select("source")
+        .union(docs.filter(F.col("lang") == "fr").select("source"))
+        .distinct()
+    )
+
+
+@query(
+    "q_sort_global",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    """,
+)
+def q_sort_global(spark, sf_dir):
+    """W3 companion: full global sort (range-partitioned exchange +
+    per-partition sort — Spark's distributed ORDER BY). The driver
+    hash is order-insensitive, but the sort must still be computed."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(u.s['pos'] AS INT) AS pos,
+           CAST(u.s['token'] AS VARCHAR) AS token
+    FROM toks,
+         UNNEST(list_transform(range(1, len(tk) + 1),
+                i -> struct_pack(pos := i - 1, token := tk[i]))) AS u(s)
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """F9: positional explode (token with its offset); the oracle
+    builds (pos, token) structs and unnests them (DuckDB 1.0 has no
+    UNNEST WITH ORDINALITY)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@query(
+    "q_regex_extract",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END
+               AS has_double_vowel,
+           CAST(LENGTH(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INT)
+               AS n_consonants
+    FROM part
+    """,
+)
+def q_regex_extract(spark, sf_dir):
+    """F6 regex family: extract group, boolean match, global replace."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0)
+        .alias("has_double_vowel"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("int")
+        .alias("n_consonants"),
+    )
+
+
+@query(
+    "q_conditional_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_agg_pivot(spark, sf_dir):
+    """A2: conditional aggregation (manual pivot) — the shape the
+    reference's confusion matrix generalizes to."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )

@@ -1,0 +1,43 @@
+"""Streaming sinks: checkpointed parquet landing (the durable pattern
+every production stream ends in) and foreachBatch adapters that reuse
+the engine's BATCH sinks inside a stream — the unified-API story in
+the write direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_to_parquet(df: DataFrame, path: str, checkpoint: str, *,
+                      trigger_available_now: bool = True) -> StreamingQuery:
+    """Append-mode parquet sink with a checkpoint — exactly-once file
+    output; restart-safe (offsets + file-commit log live in the
+    checkpoint)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_foreach_batch(df: DataFrame, batch_fn, checkpoint: str, *,
+                         output_mode: str = "update",
+                         trigger_available_now: bool = True) -> StreamingQuery:
+    """Route a stream through an arbitrary batch-sink function
+    ``batch_fn(batch_df, batch_id)`` — the bridge that lets every
+    batch sink in sinks/ (content-addressed CSV, predictions table,
+    Mongo) terminate a stream without a streaming-native connector."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -100,3 +100,43 @@ def test_stream_dedup(spark):
     )
     q.awaitTermination(120)
     assert sum(collected) == ev.count()
+
+
+def test_relational_stages_run_on_stream(spark):
+    """Unified-API claim (SURVEY §2.9): the same declarative stages
+    (filter, project, scalar funcs, event-time agg) run unchanged on a
+    readStream DataFrame."""
+    from pyspark.sql import functions as F
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    def stages(df):
+        return (
+            df.filter(F.col("event_type").isin("click", "purchase"))
+            .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .filter(F.col("k") > 10)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        )
+
+    batch = {r["event_type"]: (r["n"], r["sum_k"]) for r in stages(ev_batch).collect()}
+    stream = _run_stream_to_batch(spark, stages(read_events_stream(spark, SF_SMOKE)))
+    got = {r.event_type: (r.n, r.sum_k) for r in stream.itertuples()}
+    assert batch == got
+
+
+def test_stream_parquet_sink_checkpointed(spark, tmp_path):
+    """Checkpointed parquet landing: append sink writes every row
+    exactly once; a restart with the same checkpoint adds nothing."""
+    from team_02_spark.streaming.sinks import stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, SF_SMOKE)
+    q = stream_to_parquet(src.select("event_id", "event_type"), out, ckpt)
+    q.awaitTermination(120)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.read.parquet(out).count() == n_events
+    # restart: availableNow with same checkpoint → no new data, no dupes
+    q2 = stream_to_parquet(src.select("event_id", "event_type"), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_events
