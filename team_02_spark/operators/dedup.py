@@ -137,11 +137,40 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                        bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """MinHash-LSH near-duplicate removal. A row is dropped iff a
     verified-similar row with a smaller id exists (keep-first rule —
-    one anti-join, no iterative closure)."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    one anti-join, no iterative closure).
+
+    The corpus is tokenized ONCE into hashed shingle sets
+    (array<long> — xxhash64 per shingle) and persisted; both the
+    signature pass and the Jaccard verification work on the hashed
+    sets (set relations are preserved under hashing modulo 2^-64
+    collisions). Longs cache ~10× smaller than shingle strings and
+    intersect with integer compares — this is the standard trick that
+    makes verified MinHash dedup tractable at corpus scale."""
+    sets_df = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+            ).alias("__set"),
+        )
+        .persist()
+    )
+    ex = sets_df.select(F.col(id_col), F.explode("__set").alias("__h"))
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
     cand = minhash_candidate_pairs(sig, id_col, num_hashes, bands)
-    dup_pairs = jaccard_verify(df, cand, id_col, text_col, threshold, shingle_n)
-    losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    a_sets = sets_df.withColumnRenamed(id_col, "a").withColumnRenamed("__set", "sa")
+    b_sets = sets_df.withColumnRenamed(id_col, "b").withColumnRenamed("__set", "sb")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    losers = (
+        cand.join(a_sets, "a").join(b_sets, "b")
+        .filter((inter / F.greatest(union, F.lit(1))) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -210,3 +210,55 @@ def q_json_roundtrip(spark, sf_dir):
         spark.read.schema("event_id long, event_type string, value double")
         .json(out)
     )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    """J breadth: explicit cross join (tiny × small only — the engine
+    never cross-joins two large relations; LSH buckets replace that)."""
+    region = t(spark, sf_dir, "region").select("r_name")
+    nation = t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@query(
+    "q_summary_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS mean,
+           ROUND(SQRT(GREATEST(
+               (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity))
+               / (COUNT(l_quantity) - 1), 0.0)), 6) AS std,
+           MIN(l_quantity) AS min_v,
+           MAX(l_quantity) AS max_v
+    FROM lineitem
+    """,
+)
+def q_summary_stats(spark, sf_dir):
+    """describe()-style summary profile, made cross-engine-exact: the
+    sample stddev is computed from decimal-exact sum and sum-of-squares
+    (the builtin STDDEV streams doubles in partition order — not
+    reproducible across engines), rounded to 6dp."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(q)
+    s1 = F.sum(q.cast("decimal(18,4)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(28,8)")).cast("double")
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    return li.agg(
+        F.lit("l_quantity").alias("col"),
+        n.alias("n"),
+        (s1 / n).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.min(q).alias("min_v"),
+        F.max(q).alias("max_v"),
+    )
