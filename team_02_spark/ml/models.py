@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from team_02_spark.queries._util import t as _t  # noqa: F401 (re-export convenience)
-
 
 def _to_features(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """array<float> → MLlib Vector feature column + double label."""

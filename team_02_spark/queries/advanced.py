@@ -21,7 +21,7 @@ from team_02_spark.operators.multimodal import (
     synthesize_media,
 )
 from team_02_spark.queries.registry import query
-from team_02_spark.queries._util import dsum_sql, dsum, t
+from team_02_spark.queries._util import t
 
 
 @query(

@@ -9,7 +9,6 @@ the precision-proof exit format (FIXTURES.md §C).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query

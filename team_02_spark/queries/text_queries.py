@@ -9,8 +9,6 @@ LSH-probabilistic dedups is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-import string
-
 from pyspark.sql import functions as F
 
 from team_02_spark.functions.text import (
@@ -24,7 +22,6 @@ from team_02_spark.functions.text import (
     token_count,
 )
 from team_02_spark.operators.dedup import (
-    jaccard_verify,
     near_dedup_minhash,
     near_dedup_simhash,
     shingles,

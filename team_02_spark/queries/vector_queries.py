@@ -13,9 +13,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from team_02_spark.functions.vectors import cosine, l2_norm, normalize
+from team_02_spark.functions.vectors import cosine, l2_norm
 from team_02_spark.operators.dedup import near_dedup_embedding
-from team_02_spark.operators.similarity import knn_bruteforce, knn_classify, knn_lsh
+from team_02_spark.operators.similarity import knn_classify, knn_lsh
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
 from team_02_spark.util import ensure_parallelism

@@ -23,7 +23,7 @@ with executors (the 100 TB posture: no state on the driver).
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
