@@ -86,3 +86,15 @@ def read_sentiment140_csv(spark: SparkSession, path: str) -> DataFrame:
                  multiLine=False)
         .csv(path)
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   suffix: str = "") -> None:
+    """Register every fixture table as a temp view so the spark.sql
+    front-end works standalone:
+
+        register_views(spark, sf_dir)
+        spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

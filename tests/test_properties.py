@@ -87,3 +87,13 @@ def test_stratified_sample_exact_n(spark):
     # deterministic: same call twice → same ids
     again = stratified_sample_exact(docs, "lang", 7, key="doc_id")
     assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+
+
+def test_register_views_sql_front_end(spark):
+    from team_02_spark.sources import register_views
+
+    register_views(spark, SF_SMOKE)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).first()
+    assert out["n"] > 0
