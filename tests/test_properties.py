@@ -97,3 +97,42 @@ def test_register_views_sql_front_end(spark):
         "SELECT COUNT(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ).first()
     assert out["n"] > 0
+
+
+def test_minhash_recall_vs_exact_ngram(spark):
+    """LSH quality evidence: MinHash near-dedup must agree with the
+    exact shared-shingle n-gram dedup on the overwhelming majority of
+    removal decisions (32 hashes / 8 bands at threshold 0.6)."""
+    from team_02_spark.queries.registry import QUERIES
+
+    exact_kept = {r["doc_id"] for r in QUERIES["q_dedup_ngram"].fn(spark, SF_SMOKE).collect()}
+    lsh_kept = {r["doc_id"] for r in QUERIES["q_dedup_near"].fn(spark, SF_SMOKE).collect()}
+    all_ids = {r["doc_id"] for r in
+               load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()}
+    exact_removed = all_ids - exact_kept
+    lsh_removed = all_ids - lsh_kept
+    if exact_removed:
+        recall = len(exact_removed & lsh_removed) / len(exact_removed)
+        assert recall >= 0.8, f"LSH missed too many true dups: {recall}"
+    # LSH must never remove a doc the exact method considers unique's
+    # keeper... (keep-first rule can differ on chains; allow slack)
+    false_removals = len(lsh_removed - exact_removed)
+    assert false_removals <= max(3, len(exact_removed) // 10)
+
+
+def test_operators_on_empty_input(spark):
+    """Empty-input robustness: every composite operator degrades to an
+    empty (not crashing) result."""
+    from team_02_spark.operators.dedup import near_dedup_minhash, simhash
+    from team_02_spark.operators.similarity import knn_bruteforce
+    from team_02_spark.operators.relational import stratified_sample_exact
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 0")
+    assert near_dedup_minhash(docs.select("doc_id", "text")).count() == 0
+    assert simhash(docs, "doc_id", "text").count() == 0
+    assert stratified_sample_exact(docs, "lang", 5, key="doc_id").count() == 0
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty_probes = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assert knn_bruteforce(empty_probes, emb, 5).count() == 0
