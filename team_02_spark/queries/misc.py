@@ -6,6 +6,7 @@ distribution ops.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
@@ -261,4 +262,122 @@ def q_summary_stats(spark, sf_dir):
         F.round(F.sqrt(var), 6).alias("std"),
         F.min(q).alias("min_v"),
         F.max(q).alias("max_v"),
+    )
+
+
+@query(
+    "q_correlation",
+    oracle="""
+    SELECT ROUND(
+        (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))
+        / SQRT(
+            (COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+            * (COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+               - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))
+        ), 6) AS corr_qty_price,
+        COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def q_correlation(spark, sf_dir):
+    """Pearson correlation from decimal-exact moment sums (builtin
+    corr() streams doubles in partition order — not cross-engine-
+    reproducible; the closed form from exact sums is)."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq = F.sum(q.cast("decimal(18,4)")).cast("double")
+    sp = F.sum(p.cast("decimal(18,4)")).cast("double")
+    sqq = F.sum((q * q).cast("decimal(28,8)")).cast("double")
+    spp = F.sum((p * p).cast("decimal(28,8)")).cast("double")
+    sqp = F.sum((q * p).cast("decimal(28,8)")).cast("double")
+    corr = (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+    return li.agg(F.round(corr, 6).alias("corr_qty_price"), n.alias("n"))
+
+
+@query(
+    "q_zip_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS row_idx
+    FROM documents
+    """,
+)
+def q_zip_index(spark, sf_dir):
+    """J1 replacement: deterministic 0-based row-id assignment (the
+    engine's answer to the reference's positional indexing,
+    src/main.py:151-157 — ids derived from content order, never from
+    partition layout like monotonically_increasing_id)."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("row_idx")
+    )
+
+
+@query("q_sample_bernoulli")  # rows-only: seeded RNG differs per engine
+def q_sample_bernoulli(spark, sf_dir):
+    """M1 approximate path: per-stratum Bernoulli sampleBy (map-side
+    filter, no shuffle) — the sampler used when exact-N is not
+    required. Engine RNGs differ → rows-only."""
+    from team_02_spark.operators.relational import stratified_sample_fractions
+
+    docs = t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    return stratified_sample_fractions(docs, "lang", {l: 0.2 for l in langs})
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Collect-style aggregation exported deterministically: distinct
+    values sorted then joined (collect_set order is undefined — the
+    sort is what makes it declarable)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 500000.0 THEN 11
+                     ELSE CAST(FLOOR(o_totalprice / 50000.0) AS INT) + 1
+                END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Distribution profiling: fixed-width histogram via width_bucket —
+    a single map-side bucketing + small agg (how you profile a 100 TB
+    column without sorting it). DuckDB 1.0 has no width_bucket; the
+    oracle states its arithmetic definition."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
