@@ -263,6 +263,8 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
     # Planes built on the driver (num_planes × dim floats — tiny) and
     # inlined as literals; broadcast implicitly with the plan.
     first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty input: nothing to dedup
+        return df
     dim = first["d"]
     planes = rng.standard_normal((num_planes, dim))
     sig = None

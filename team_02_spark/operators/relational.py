@@ -64,7 +64,12 @@ def random_split(df: DataFrame, weights: list[float], seed: int = 15) -> list[Da
 def deterministic_split(df: DataFrame, frac: float, key: str) -> tuple[DataFrame, DataFrame]:
     """Deterministic, repartition-stable split: md5(key) < threshold.
     Disjoint + exhaustive by construction; oracle-checkable."""
-    bound = format(int(frac * 16**8), "08x")
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    # frac=1.0 would format as 9 hex chars and break the string
+    # comparison — clamp to the max 8-char bound (matches everything
+    # except the 16^-8 sliver whose md5 prefix is exactly ffffffff).
+    bound = format(min(int(frac * 16**8), 16**8 - 1), "08x")
     pred = F.substring(det_order_key(F.col(key)), 1, 8) < bound
     return df.filter(pred), df.filter(~pred)
 

@@ -136,3 +136,24 @@ def test_operators_on_empty_input(spark):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     assert knn_bruteforce(empty_probes, emb, 5).count() == 0
+
+
+def test_split_edge_fractions(spark):
+    from team_02_spark.operators.relational import deterministic_split
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    all_train, none_test = deterministic_split(docs, 1.0, key="doc_id")
+    assert all_train.count() == n and none_test.count() == 0
+    none_train, all_test = deterministic_split(docs, 0.0, key="doc_id")
+    assert none_train.count() == 0 and all_test.count() == n
+    with _pytest.raises(ValueError):
+        deterministic_split(docs, 1.5, key="doc_id")
+
+
+def test_embedding_dedup_empty_input(spark):
+    from team_02_spark.operators.dedup import near_dedup_embedding
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 0")
+    assert near_dedup_embedding(emb.select("vec_id", "embedding")).count() == 0
