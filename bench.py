@@ -55,12 +55,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: computes every column of every row (unlike count(),
-        # which lets Spark skip unevaluated projections), writes nothing.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        # best-of-2: the first run pays one-time planning/codegen; the
+        # minimum is the stable measure of the query's compute cost.
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: computes every column of every row (unlike
+            # count(), which lets Spark skip unevaluated projections).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
