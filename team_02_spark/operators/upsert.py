@@ -1,0 +1,49 @@
+"""Upsert / merge (the classic full-outer-join pattern for parquet
+lakes without a transactional table format): given a base table and an
+updates batch keyed the same way, produce the merged state —
+
+    updated rows  -> replaced by the update,
+    new rows      -> inserted,
+    other rows    -> carried through unchanged,
+    deletes       -> optional tombstone column on the update side.
+
+This is the engine's distributed replacement for the reference's
+per-row Mongo ``insert_one`` sink (reference src/main.py:158): at
+scale you merge a batch against the table and atomically swap the
+output, not round-trip rows through a store.
+
+Plan shape: ONE full-outer join on the key (broadcast when the update
+batch is small — the common case), no driver involvement. With both
+sides bucketed by the key (operators/scale.write_bucketed) the join is
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str, *,
+           tombstone_col: str | None = None,
+           broadcast_updates: bool = True) -> DataFrame:
+    """Merge ``updates`` into ``base`` by ``key``. Column set is taken
+    from ``base``; the update side must carry the same columns (plus
+    optionally ``tombstone_col`` marking deletions)."""
+    cols = base.columns
+    upd = F.broadcast(updates) if broadcast_updates else updates
+    # explicit equi-condition (not USING) so both key sides stay
+    # addressable for the coalesce
+    joined = base.alias("b").join(
+        upd.alias("u"), F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer"
+    )
+    if tombstone_col:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
+        )
+    picked = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        if c != key
+        else F.coalesce(F.col(f"b.{key}"), F.col(f"u.{key}")).alias(key)
+        for c in cols
+    ]
+    return joined.select(*picked)

@@ -381,3 +381,45 @@ def q_histogram(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, 'UPDATED' AS c_name, c_nationkey,
+               c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 900000 + r_regionkey AS c_custkey, 'NEW' AS c_name,
+               CAST(0 AS INT) AS c_nationkey, 0.0 AS c_acctbal,
+               'NONE' AS c_mktsegment
+        FROM region
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def q_upsert(spark, sf_dir):
+    """Merge/upsert (full-outer-join pattern): a deterministic update
+    batch (every 10th customer modified + 5 inserts) merged into the
+    customer table — update wins, inserts appear, others carry."""
+    from team_02_spark.operators.upsert import upsert
+
+    cust = t(spark, sf_dir, "customer")
+    mods = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_name"), "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"), "c_mktsegment",
+    )
+    inserts = t(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 900000).cast("long").alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NONE").alias("c_mktsegment"),
+    )
+    merged = upsert(cust, mods.unionByName(inserts), "c_custkey")
+    return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")

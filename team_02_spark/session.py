@@ -32,6 +32,9 @@ _DEFAULTS = {
     # Session timezone pinned to UTC so timestamp semantics match the
     # DuckDB oracle regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
+    # Split large files at 128 MB so scan parallelism tracks data
+    # volume; pairs with ensure_parallelism for tiny test files.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Read timestamps at the precision parquet declares.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.ui.enabled": "false",

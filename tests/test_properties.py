@@ -157,3 +157,21 @@ def test_embedding_dedup_empty_input(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 0")
     assert near_dedup_embedding(emb.select("vec_id", "embedding")).count() == 0
+
+
+def test_upsert_semantics(spark):
+    from team_02_spark.operators.upsert import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, False), (4, "d", 40.0, False), (3, None, None, True)],
+        "k long, v string, x double, deleted boolean",
+    )
+    out = upsert(base, updates.drop("deleted"), "k")
+    got = {r["k"]: (r["v"], r["x"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # with tombstones: k=3 removed
+    out2 = upsert(base, updates, "k", tombstone_col="deleted")
+    assert {r["k"] for r in out2.collect()} == {1, 2, 4}
