@@ -349,3 +349,50 @@ def doc_fingerprint(text: Column) -> Column:
         F.format_string("%016x", F.xxhash64(text)),
         F.substring(F.md5(text), 1, 8),
     )
+
+
+# ----------------------------------------------- data-hygiene lane
+# PII scrubbing and repetition filtering — standard LLM training-data
+# hygiene, all Catalyst expressions (scan-speed, no UDF).
+
+PII_PATTERNS = {
+    # order matters: emails before bare domains, phones after.
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails / IPs / phone-shaped spans with typed tokens
+    (<EMAIL>, <IP>, <PHONE>). Deterministic regex pass per class."""
+    out = text
+    for tag, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"<{tag}>")
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """How many spans ``pii_scrub`` replaces. Counted SEQUENTIALLY on
+    the progressively-scrubbed text (an IP also matches the looser
+    phone pattern — independent counting would double-count it)."""
+    total = F.lit(0)
+    current = text
+    for tag, pattern in PII_PATTERNS.items():
+        total = total + F.size(F.regexp_extract_all(current, F.lit(pattern), F.lit(0)))
+        current = F.regexp_replace(current, pattern, f"<{tag}>")
+    return total.cast("int")
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: 1 - distinct/total word
+    n-grams. 0 = no repeated n-gram, →1 = the document is one loop.
+    Used as a quality filter (drop docs above ~0.3)."""
+    toks = F.array_remove(F.split(F.lower(text), r"\W+"), "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return (
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(F.size(grams), F.lit(1))
+    )

@@ -385,3 +385,120 @@ def q_curation_full(spark, sf_dir):
                   min_tokens=5, dedup_threshold=0.6).select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+              + len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                    '\\+?\\d[\\d\\s().-]{7,}\\d'))
+             AS INT) AS n_pii
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """Data-hygiene lane: typed PII scrubbing (emails/IPs/phones →
+    <EMAIL>/<IP>/<PHONE> tokens) + span count — pure regex Column
+    expressions at scan speed."""
+    from team_02_spark.functions.text import pii_count, pii_scrub
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("scrubbed"),
+        pii_count(F.col("text")).alias("n_pii"),
+    )
+
+
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) < 3
+                    THEN [text]
+                    ELSE list_transform(
+                        range(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+               END AS g
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / GREATEST(len(g), 1), 6)
+               AS rep_ratio,
+           CASE WHEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / GREATEST(len(g), 1) > 0.3
+                THEN 1 ELSE 0 END AS too_repetitive
+    FROM grams
+    """,
+)
+def q_repetition_filter(spark, sf_dir):
+    """Data-hygiene lane: Gopher-style within-document repetition
+    signal (1 - distinct/total 3-grams) and the drop flag at 0.3."""
+    from team_02_spark.functions.text import repetition_ratio
+
+    docs = t(spark, sf_dir, "documents")
+    r = repetition_ratio(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.round(r, 6).alias("rep_ratio"),
+        F.when(r > 0.3, 1).otherwise(0).alias("too_repetitive"),
+    )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0
+    ),
+    doc_grams AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                 ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+            END)) AS g
+        FROM documents
+    ),
+    bench_grams AS (
+        SELECT bench_id, unnest(list_distinct(
+            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                 ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+            END)) AS g
+        FROM bench
+    )
+    SELECT d.doc_id, b.bench_id, COUNT(*) AS n_shared
+    FROM doc_grams d JOIN bench_grams b ON d.g = b.g
+    GROUP BY d.doc_id, b.bench_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Data-hygiene lane: benchmark contamination — every (training
+    doc, benchmark item) pair sharing >= 5 distinct 3-grams. The
+    benchmark side (every 100th doc here) is broadcast; the corpus
+    never shuffles."""
+    from team_02_spark.operators.contamination import find_contaminated
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return find_contaminated(docs, bench, min_shared=5)

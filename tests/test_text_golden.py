@@ -91,3 +91,54 @@ PORTER_VECTORS = [
 @pytest.mark.parametrize("word,stem", PORTER_VECTORS)
 def test_porter_stem_vectors(word, stem):
     assert porter_stem(word) == stem
+
+
+def test_pii_scrub_synthetic(spark):
+    from team_02_spark.functions.text import pii_count, pii_scrub
+
+    rows = [
+        ("reach me at bob@example.com or 192.168.0.1", "<EMAIL>", 2),
+        ("call +1 (555) 123-4567 now", "<PHONE>", 1),
+        ("no pii here at all", None, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text string")
+    out = df.select(
+        pii_scrub(F.col("text")).alias("s"), pii_count(F.col("text")).alias("n")
+    ).collect()
+    for (_, expect_tag, expect_n), r in zip(rows, out):
+        if expect_tag:
+            assert expect_tag in r["s"], r["s"]
+        assert r["n"] == expect_n, (r["s"], r["n"])
+        assert "@" not in r["s"]
+
+
+def test_repetition_ratio_synthetic(spark):
+    from team_02_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [("spam spam spam spam spam spam spam spam",),
+         ("each word here appears exactly once in text",)],
+        "text string",
+    )
+    out = df.select(repetition_ratio(F.col("text")).alias("r")).collect()
+    assert out[0]["r"] > 0.8   # pure loop
+    assert out[1]["r"] == 0.0  # all distinct
+
+
+def test_decontaminate(spark):
+    from team_02_spark.operators.contamination import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated content with different words entirely"),
+         (3, "quick brown fox jumps over everything else near here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    kept = decontaminate(docs, bench, min_shared=2)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 not in ids      # verbatim overlap → removed
+    assert 2 in ids          # clean → kept
