@@ -32,11 +32,19 @@ def score_with_models(df: DataFrame, vec_col: str, models: dict) -> DataFrame:
 
 def score_deterministic(df: DataFrame, id_col: str, model_names: list[str]) -> DataFrame:
     """Deterministic stand-in scorer for environments without fitted
-    models: prediction(model_i) = (xxhash64(id, i) mod 2) — preserves
-    the one-column-per-model output contract for pipeline tests."""
+    models: prediction(model) = parity of the first hex digit of
+    md5(id|model). md5 (not xxhash64) so the exact predictions are
+    reproducible in ANY engine — the declared query is oracle-checked.
+    Preserves the one-column-per-model output contract."""
     out = df
-    for i, name in enumerate(model_names):
+    for name in model_names:
+        digit = F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + name))), 1, 1
+        )
         out = out.withColumn(
-            name, (F.abs(F.xxhash64(F.col(id_col), F.lit(i))) % 2).cast("int")
+            name,
+            F.when(digit.isin("0", "2", "4", "6", "8", "a", "c", "e"), 0)
+            .otherwise(1)
+            .cast("int"),
         )
     return out

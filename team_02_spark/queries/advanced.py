@@ -171,12 +171,15 @@ def q_correlated_agg(spark, sf_dir):
     )
 
 
-@query("q_csv_scan")  # rows-only: round-trip through a local tmp dir
+@query(
+    "q_csv_scan",
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
 def q_csv_scan(spark, sf_dir):
     """S1/S3: CSV sink → CSV scan round-trip with explicit schema
     (the reference's read path, src/main.py:64-65, with quoted-field
-    and header handling). Deterministic content; rows-only because the
-    artifact is a tmp file, not a fixture table."""
+    and header handling). Oracle = the source table itself: the
+    round-trip must be lossless, which IS the property being checked."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     out = os.path.join(tempfile.gettempdir(), "team02_csv_roundtrip")
     docs.write.mode("overwrite").option("header", True).csv(out)

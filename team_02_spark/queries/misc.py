@@ -197,10 +197,15 @@ def q_grouping_sets(spark, sf_dir):
     """)
 
 
-@query("q_json_roundtrip")  # rows-only: artifact is a tmp file
+@query(
+    "q_json_roundtrip",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
 def q_json_roundtrip(spark, sf_dir):
     """S-format breadth: JSON-lines sink -> schema'd JSON scan
-    round-trip (the landing-file format for the REST/stream sources)."""
+    round-trip (the landing-file format for the REST/stream sources).
+    Oracle = the source projection: doubles survive the text round
+    trip exactly (shortest-repr printing is lossless)."""
     import os
     import tempfile
 

@@ -50,16 +50,29 @@ def q_embed(spark, sf_dir):
     )
 
 
-@query("q_score_multi")  # rows-only: multi-model scoring contract
+_SCORE_MODELS = ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"]
+
+
+def _score_sql(name: str) -> str:
+    return (
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|" + name + "'), 1, 1)"
+        " IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END AS " + name
+    )
+
+
+@query(
+    "q_score_multi",
+    oracle="SELECT doc_id, "
+    + ", ".join(_score_sql(m) for m in _SCORE_MODELS)
+    + " FROM documents",
+)
 def q_score_multi(spark, sf_dir):
     """U9: one prediction column per model in a single pass (the
     reference's per-row/per-model loop, src/main.py:151-157, spec form
-    per SURVEY §2.10.2). Deterministic stand-in models."""
+    per SURVEY §2.10.2). Deterministic md5-parity stand-in models —
+    exact predictions oracle-checked."""
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    return score_deterministic(
-        docs.select("doc_id"), "doc_id",
-        ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"],
-    )
+    return score_deterministic(docs.select("doc_id"), "doc_id", _SCORE_MODELS)
 
 
 @query("q_bpe_encode")  # rows-only: learned merges are corpus-statistical

@@ -98,3 +98,69 @@ def test_fuzzed_topk(spark, duck_smoke, k):
         f"ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT {k}"
     ).fetchdf()
     assert not compare(sdf, ddf)
+
+
+@pytest.fixture(scope="module")
+def duck_joins():
+    con = duckdb.connect()
+    for t_ in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t_} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t_}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    how=st.sampled_from(["inner", "left", "right", "full"]),
+    price_lo=st.integers(min_value=0, max_value=200000),
+)
+def test_fuzzed_join_shapes(spark, duck_joins, how, price_lo):
+    """Random join type × random filter: counts and null-side behavior
+    must match the reference SQL engine exactly."""
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_totalprice") >= price_lo
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    got = orders.join(cust, orders.o_custkey == cust.c_custkey, how).select(
+        "o_orderkey", "c_custkey"
+    )
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+               "full": "FULL OUTER JOIN"}[how]
+    want = duck_joins.execute(
+        f"SELECT o.o_orderkey, c.c_custkey FROM "
+        f"(SELECT * FROM orders WHERE o_totalprice >= {price_lo}) o "
+        f"{sql_how} customer c ON o.o_custkey = c.c_custkey"
+    ).fetchdf()
+    assert not compare(got, want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    frame_rows=st.integers(min_value=0, max_value=5),
+)
+def test_fuzzed_window_frames(spark, duck_joins, frame_rows):
+    """Random ROWS-frame width: running decimal sums must match."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-frame_rows, 0)
+    )
+    got = orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("s"),
+    )
+    want = duck_joins.execute(
+        "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        f"ROWS BETWEEN {frame_rows} PRECEDING AND CURRENT ROW) AS DOUBLE) AS s "
+        "FROM orders"
+    ).fetchdf()
+    assert not compare(got, want)

@@ -79,6 +79,9 @@ def workload(spark, path: str) -> dict[str, float]:
 
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
+    if mode == "relational":
+        relational_probe(arg)
+        return
     from team_02_spark import get_spark
 
     if mode == "data":
@@ -94,6 +97,70 @@ def main() -> None:
         n = spark.read.parquet(path).count()
         res = {"mode": "cores", "cores": arg, "n_docs": n}
     res.update(workload(spark, path))
+    print(json.dumps(res))
+    spark.stop()
+
+
+
+
+def relational_probe(replication: int) -> None:
+    """Replicate lineitem (600k rows at sf0.1) and run the relational
+    headline shapes: q1-style agg, 3-way broadcast join, running
+    window. Prints one JSON line."""
+    from pyspark.sql import Window, functions as F
+
+    from team_02_spark import get_spark
+
+    spark = get_spark(f"scaling-rel-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(tempfile.gettempdir(), f"scaling_li_{replication}x")
+    if not os.path.exists(out):
+        base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        n = base.count()
+        df = base
+        for i in range(1, replication):
+            df = df.unionByName(
+                base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+            )
+        df.repartition(32).write.mode("overwrite").parquet(out)
+    li = spark.read.parquet(out)
+    n_rows = li.count()
+    res = {"mode": "relational", "replication": replication, "n_rows": n_rows}
+
+    t0 = time.perf_counter()
+    (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    res["agg_sec"] = round(time.perf_counter() - t0, 2)
+
+    orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    t0 = time.perf_counter()
+    (
+        li.withColumn("l_orderkey", F.pmod(F.col("l_orderkey"), F.lit(10_000_000)))
+        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("rev"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    res["join_sec"] = round(time.perf_counter() - t0, 2)
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t0 = time.perf_counter()
+    li.select(
+        "l_orderkey",
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).alias("run"),
+    ).write.format("noop").mode("overwrite").save()
+    res["window_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(res))
     spark.stop()
 
