@@ -207,12 +207,54 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-@query("q_frame_sample")  # rows-only: frame bookkeeping plumbing
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, LENGTH(text) AS nb, (LENGTH(text) % 8) + 1 AS nf
+        FROM documents
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+           CAST(FLOOR(CAST(nb AS DOUBLE) * u.i / nf) AS BIGINT) AS frame_offset
+    FROM m, UNNEST(range(0, CAST(nf AS BIGINT))) AS u(i)
+    WHERE u.i % 2 = 0
+    """,
+)
 def q_frame_sample(spark, sf_dir):
     """Multimodal: video frame-sampling plumbing (explode n_frames,
-    keep every 2nd, compute byte offsets) — pure JVM."""
+    keep every 2nd, compute byte offsets) — pure JVM; the synthetic
+    metadata is arithmetic on text length, so the oracle restates it
+    exactly."""
     docs = t(spark, sf_dir, "documents")
     media = synthesize_media(docs, kind="video")
     return sample_frames(media, every_n=2).select(
-        "doc_id", "frame_idx", "frame_offset"
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx"), "frame_offset"
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS content_sha,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           ROUND(CAST(list_sum(list_transform(range(1, LENGTH(text) + 1),
+                 i -> ascii(text[i]))) AS DOUBLE) / LENGTH(text), 4) AS byte_mean
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal lane, ORACLE-CHECKED: the mapInPandas feature
+    extractor's deterministic outputs (sha256 of the payload, byte
+    count, byte mean) verified by SQL that recomputes them from the
+    source text — an exact cross-engine check THROUGH the Python
+    lane (integer byte sums are exact in float64, so numpy and SQL
+    agree bitwise; the histogram feature stays in
+    q_multimodal_features)."""
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media, decode_stub="fake")
+    return feats.select(
+        "doc_id", "content_sha", "n_bytes",
+        F.round("byte_mean", 4).alias("byte_mean"),
     )
