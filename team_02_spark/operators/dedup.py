@@ -145,7 +145,13 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     sets (set relations are preserved under hashing modulo 2^-64
     collisions). Longs cache ~10× smaller than shingle strings and
     intersect with integer compares — this is the standard trick that
-    makes verified MinHash dedup tractable at corpus scale."""
+    makes verified MinHash dedup tractable at corpus scale.
+
+    Cache lifecycle: the persisted sets frame backs the (lazy) result
+    DataFrame, so it is not unpersisted here; storage is
+    MEMORY_AND_DISK and Spark's LRU evicts it under pressure. Callers
+    doing many dedup passes in one session can clearCache() between
+    passes."""
     sets_df = (
         ensure_parallelism(df)
         .select(
