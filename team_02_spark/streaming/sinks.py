@@ -41,3 +41,41 @@ def stream_foreach_batch(df: DataFrame, batch_fn, checkpoint: str, *,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def materialized_aggregate(stream_df, agg_fn, snapshot_path: str,
+                           checkpoint: str, key: str):
+    """Streaming materialized view: per micro-batch, aggregate the
+    batch and MERGE it into a parquet snapshot (operators/upsert) —
+    the incremental-refresh pattern for dashboards over streams.
+
+    ``agg_fn(batch_df) -> DataFrame`` must emit one row per ``key``.
+    Complete-mode output feeds the merge, so the snapshot converges to
+    the same result as a batch aggregation over all data seen.
+    """
+    import os
+
+    from team_02_spark.operators.upsert import upsert
+
+    def refresh(_batch_df, _batch_id):
+        spark = _batch_df.sparkSession
+        aggregated = agg_fn(_batch_df)
+        if os.path.exists(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+            merged = upsert(base, aggregated, key)
+        else:
+            merged = aggregated
+        # write via temp + atomic-ish swap (overwrite) — local-mode
+        # stand-in for a transactional table format commit
+        merged.write.mode("overwrite").parquet(snapshot_path + ".tmp")
+        final = spark.read.parquet(snapshot_path + ".tmp")
+        final.write.mode("overwrite").parquet(snapshot_path)
+        return None
+
+    return (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

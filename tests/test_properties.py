@@ -175,3 +175,16 @@ def test_upsert_semantics(spark):
     # with tombstones: k=3 removed
     out2 = upsert(base, updates, "k", tombstone_col="deleted")
     assert {r["k"] for r in out2.collect()} == {1, 2, 4}
+
+
+def test_connected_components(spark):
+    """Full-closure dedup helper: chains collapse to one component."""
+    from team_02_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == 20

@@ -140,3 +140,33 @@ def test_stream_parquet_sink_checkpointed(spark, tmp_path):
     q2 = stream_to_parquet(src.select("event_id", "event_type"), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_materialized_aggregate_converges(spark, tmp_path):
+    """Streaming materialized view: the per-batch upsert snapshot must
+    converge to the batch aggregation over the full table."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.streaming.sinks import materialized_aggregate
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"),
+        )
+
+    snap = str(tmp_path / "snapshot")
+    q = materialized_aggregate(
+        read_events_stream(spark, SF_SMOKE).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"),
+        ).select("event_type", "n", "v"),
+        lambda b: b,  # stream side already aggregated (complete mode)
+        snap, str(tmp_path / "ckpt"), "event_type",
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: (r["n"], round(r["v"], 4)) for r in
+           spark.read.parquet(snap).collect()}
+    want = {r["event_type"]: (r["n"], round(r["v"], 4)) for r in
+            agg(load_table(spark, SF_SMOKE, "events")).collect()}
+    assert got == want
