@@ -235,3 +235,90 @@ def q_case_when_null(spark, sf_dir):
         .alias("segment_alias"),
         F.when(F.col("c_nationkey").isNull(), 1).otherwise(0).alias("nation_missing"),
     )
+
+
+@query(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy
+    FROM orders
+    """,
+)
+def q_date_arith(spark, sf_dir):
+    """F7 breadth: calendar arithmetic — add_months, last_day, quarter,
+    Monday-start week truncation, Monday=0 weekday, day-of-year.
+    Weekday numbering normalized (Spark weekday() is Mon=0; DuckDB
+    isodow is Mon=1)."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.weekday(d).cast("int").alias("weekday_mon0"),
+        F.dayofyear(d).cast("int").alias("doy"),
+    )
+
+
+@query(
+    "q_string_pad",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.') AS brand_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           repeat('-', CAST(p_size % 5 AS INT)) AS dashes,
+           reverse(p_brand) AS brand_rev,
+           left(p_name, 8) AS name_left,
+           right(p_name, 8) AS name_right,
+           split_part(p_type, ' ', 1) AS type_first_word
+    FROM part
+    """,
+)
+def q_string_pad(spark, sf_dir):
+    """F6 breadth: padding / repetition / reversal / slicing /
+    split_part."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 8).alias("name_left"),
+        F.substring(F.col("p_name"), -8, 8).alias("name_right"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(l_orderkey | 7 AS BIGINT) AS or7,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+           CAST(l_linenumber << 4 AS BIGINT) AS shl4,
+           CAST(l_orderkey >> 2 AS BIGINT) AS shr2
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def q_bitwise(spark, sf_dir):
+    """F8 breadth: bitwise and/or/xor/shifts on keys."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(7)).cast("bigint").alias("or7"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("bigint").alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber"), 4).cast("bigint").alias("shl4"),
+        F.shiftright(F.col("l_orderkey"), 2).cast("bigint").alias("shr2"),
+    )
