@@ -196,7 +196,7 @@ def q_split(spark, sf_dir):
 @query(
     "q_fingerprint",
     oracle="""
-    SELECT md5(string_agg(h, '' ORDER BY h)) AS dataset_fingerprint,
+    SELECT md5(COALESCE(string_agg(h, '' ORDER BY h), '')) AS dataset_fingerprint,
            COUNT(*) AS n_rows
     FROM (SELECT md5(text) AS h FROM documents) t
     """,
