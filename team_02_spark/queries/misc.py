@@ -428,3 +428,99 @@ def q_upsert(spark, sf_dir):
     )
     merged = upsert(cust, mods.unionByName(inserts), "c_custkey")
     return merged.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_date_spine(spark, sf_dir):
+    """Date-spine pattern: a generated contiguous calendar left-joined
+    to event counts so zero-activity days appear — the gap-free
+    time-series every dashboard needs. The spine is sequence()+explode
+    (one tiny generated relation, no driver loop)."""
+    orders = t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
+    "q_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_min(c_name, c_acctbal) AS poorest,
+           arg_max(c_name, c_acctbal) AS richest,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_min_max_by(spark, sf_dir):
+    """A2 breadth: argmin/argmax aggregates (min_by/max_by) — fetch
+    the row attribute AT the extremum in one pass, no self-join.
+    (Balances are distinct in the fixture, so ties don't arise.)"""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT e.event_id,
+           struct_pack(t := e.event_type, v := e.value)['t'] AS s_type,
+           struct_pack(t := e.event_type, v := e.value)['v'] AS s_value,
+           CAST(struct_pack(a := 1, b := 2)['b'] AS INT) AS s_lit
+    FROM events e
+    WHERE e.event_id % 25 = 0
+    """,
+)
+def q_struct_funcs(spark, sf_dir):
+    """F-breadth: struct build + field access (+ withField update path
+    exercised in multimodal resize); structs exit as scalars."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    s = F.struct(F.col("event_type").alias("t"), F.col("value").alias("v"))
+    lit_s = F.struct(F.lit(1).alias("a"), F.lit(2).alias("b"))
+    return ev.select(
+        "event_id",
+        s.getField("t").alias("s_type"),
+        s.getField("v").alias("s_value"),
+        lit_s.getField("b").cast("int").alias("s_lit"),
+    )
