@@ -87,3 +87,28 @@ def dedup_exact(df: DataFrame, *cols: str) -> DataFrame:
     """M3: exact dedup on a column subset (hash groupBy under the hood —
     map-side partial dedup then one shuffle on the dedup key)."""
     return df.dropDuplicates(list(cols) if cols else None)
+
+
+def weighted_sample_exact(df: DataFrame, weight: Column | str, n: int, *,
+                          key: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each row draws u ~ Uniform(0,1) and scores -ln(u)/w; the n
+    SMALLEST scores win — inclusion probability proportional to w.
+
+    Deterministic twist: u comes from a Knuth multiplicative hash of
+    the key (pure integer/float arithmetic — reproducible in any
+    engine, so the declared query is oracle-checkable), not an RNG.
+    One TakeOrdered pass; no shuffle beyond the top-n."""
+    w_col = F.col(weight) if isinstance(weight, str) else weight
+    # Knuth multiplicative hash → (0,1): ((k*2654435761) mod 2^32 + 1) / (2^32 + 1)
+    u = (
+        (F.pmod(F.col(key).cast("bigint") * F.lit(2654435761), F.lit(4294967296)) + 1)
+        / F.lit(4294967297.0)
+    )
+    score = -F.log(u) / w_col
+    return (
+        df.withColumn("__score", score)
+        .orderBy("__score", F.col(key))
+        .limit(n)
+        .drop("__score")
+    )

@@ -217,3 +217,25 @@ def q_fingerprint(spark, sf_dir):
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               -LN((( (doc_id * 2654435761) % 4294967296 ) + 1) / 4294967297.0)
+                 / n_chars AS score
+        FROM documents
+    ) s ORDER BY score, doc_id LIMIT 25
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """M1 extension: weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res, inclusion ∝ n_chars) — deterministic
+    via a Knuth multiplicative hash in place of the RNG, so the oracle
+    reproduces the exact sample."""
+    from team_02_spark.operators.relational import weighted_sample_exact
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact(docs, "n_chars", 25, key="doc_id")

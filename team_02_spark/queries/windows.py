@@ -111,3 +111,36 @@ def q_window_ntile_dist(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS nearby_total,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
+               AS nearby_n
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """W2: VALUE-range frame (rangeBetween) — the frame is defined by
+    the ordering value (±5000 of the current price), not row offsets;
+    deterministic regardless of ties because membership depends only
+    on values."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("nearby_total"),
+        F.count("*").over(w).alias("nearby_n"),
+    )
