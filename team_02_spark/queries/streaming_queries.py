@@ -158,3 +158,87 @@ def q_user_stats(spark, sf_dir):
         F.round("total_value", 4).alias("total_value"),
         F.round("max_gap_s", 2).alias("max_gap_s"),
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Funnel analysis: signup → click → purchase conversion, ordered
+    by each user's FIRST occurrence of each stage — one conditional-
+    min aggregation per user then one global roll-up (two small
+    shuffles; never a self-join per stage)."""
+    ev = t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signed.cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("n_signup_then_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+        FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.act_week) AS INT) AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, weeks_since
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted in
+    each subsequent activity week — the (cohort × age) retention
+    triangle. Week truncation is Monday-start in both engines."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
