@@ -100,9 +100,18 @@ def weighted_sample_exact(df: DataFrame, weight: Column | str, n: int, *,
     engine, so the declared query is oracle-checkable), not an RNG.
     One TakeOrdered pass; no shuffle beyond the top-n."""
     w_col = F.col(weight) if isinstance(weight, str) else weight
-    # Knuth multiplicative hash → (0,1): ((k*2654435761) mod 2^32 + 1) / (2^32 + 1)
+    # Knuth multiplicative hash → (0,1): ((k*2654435761) mod 2^32 + 1) / (2^32 + 1).
+    # decimal(38,0), not bigint: k * 2654435761 overflows int64 for
+    # k >= ~3.47e9 (ANSI mode throws) — real territory for 100-TB ids.
+    # The DuckDB oracle mirrors this with an explicit HUGEINT cast.
     u = (
-        (F.pmod(F.col(key).cast("bigint") * F.lit(2654435761), F.lit(4294967296)) + 1)
+        (
+            F.pmod(
+                F.col(key).cast("decimal(38,0)") * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            + 1
+        ).cast("double")
         / F.lit(4294967297.0)
     )
     score = -F.log(u) / w_col

@@ -27,7 +27,16 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, *,
     salt two big sides — pre-aggregate instead), fact side shuffles
     once on (key, salt) instead of once on key, and no single reducer
     receives a hot key's full volume.
+
+    Only inner/left are supported: with right/full_outer, unmatched
+    dim rows would surface once per salt replica (salt_buckets copies).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the dim side is exploded per salt bucket, so right/full "
+            "outer joins would emit unmatched dim rows salt_buckets times"
+        )
     salt = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt_buckets))
     fact_salted = fact.withColumn("__salt", salt.cast("int"))
     dim_exploded = dim.withColumn(

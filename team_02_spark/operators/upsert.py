@@ -40,8 +40,12 @@ def upsert(base: DataFrame, updates: DataFrame, key: str, *,
         joined = joined.filter(
             ~F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
         )
+    # Gate on update-row PRESENCE (u.key not null), not per-column
+    # coalesce: an update that explicitly sets a field to NULL must
+    # overwrite the base value, not silently retain it.
+    upd_present = F.col(f"u.{key}").isNotNull()
     picked = [
-        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        F.when(upd_present, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
         if c != key
         else F.coalesce(F.col(f"b.{key}"), F.col(f"u.{key}")).alias(key)
         for c in cols

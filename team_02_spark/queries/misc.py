@@ -401,10 +401,13 @@ def q_histogram(spark, sf_dir):
                'NONE' AS c_mktsegment
         FROM region
     )
-    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
-           COALESCE(u.c_name, b.c_name) AS c_name,
-           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
-           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END
+               AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END
+               AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END
+               AS c_mktsegment
     FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
     """,
 )

@@ -224,7 +224,7 @@ def q_fingerprint(spark, sf_dir):
     oracle="""
     SELECT doc_id, n_chars FROM (
         SELECT doc_id, n_chars,
-               -LN((( (doc_id * 2654435761) % 4294967296 ) + 1) / 4294967297.0)
+               -LN(CAST(( (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 ) + 1 AS DOUBLE) / 4294967297.0)
                  / n_chars AS score
         FROM documents
     ) s ORDER BY score, doc_id LIMIT 25

@@ -196,11 +196,15 @@ def q_funnel(spark, sf_dir):
     signed = F.col("t_signup").isNotNull()
     clicked = signed & (F.col("t_click") > F.col("t_signup"))
     purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    # when(..., 1).otherwise(0), not cast('int'): the comparisons are
+    # NULL (not false) for users missing a stage, and SUM over an
+    # all-NULL operand is NULL where the oracle's CASE ... ELSE 0 is 0.
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return stages.agg(
         F.count("*").alias("n_users"),
-        F.sum(signed.cast("int")).cast("bigint").alias("n_signup"),
-        F.sum(clicked.cast("int")).cast("bigint").alias("n_signup_then_click"),
-        F.sum(purchased.cast("int")).cast("bigint").alias("n_full_funnel"),
+        one_if(signed).cast("bigint").alias("n_signup"),
+        one_if(clicked).cast("bigint").alias("n_signup_then_click"),
+        one_if(purchased).cast("bigint").alias("n_full_funnel"),
     )
 
 

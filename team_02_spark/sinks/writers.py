@@ -24,8 +24,14 @@ def dataset_fingerprint(df: DataFrame, *cols: str) -> str:
     CSV bytes as cache key, src/main.py:71 — made partitioning-stable
     by hashing sorted per-row md5s). Single small driver value."""
     use = list(cols) or df.columns
+    # Explicit NULL sentinel per column: concat_ws silently SKIPS null
+    # inputs, so ('x', NULL) and (NULL, 'x') would hash identically and
+    # a distinct dataset could be mistaken for a cache hit.
+    encoded = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in use
+    ]
     row = (
-        df.select(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in use])).alias("h"))
+        df.select(F.md5(F.concat_ws("\x1f", *encoded)).alias("h"))
         .agg(F.md5(F.array_join(F.sort_array(F.collect_list("h")), "")).alias("fp"))
         .first()
     )

@@ -171,7 +171,9 @@ def test_upsert_semantics(spark):
     )
     out = upsert(base, updates.drop("deleted"), "k")
     got = {r["k"]: (r["v"], r["x"]) for r in out.collect()}
-    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # k=3's update row carries explicit NULLs — they OVERWRITE (the
+    # update wins wholesale when present; no stale per-column coalesce)
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: (None, None), 4: ("d", 40.0)}
     # with tombstones: k=3 removed
     out2 = upsert(base, updates, "k", tombstone_col="deleted")
     assert {r["k"] for r in out2.collect()} == {1, 2, 4}
@@ -188,3 +190,54 @@ def test_connected_components(spark):
     assert labels[1] == labels[2] == labels[3] == labels[4] == 1
     assert labels[10] == labels[11] == 10
     assert labels[20] == labels[21] == labels[22] == 20
+
+
+def test_fingerprint_distinguishes_null_position(spark):
+    """concat_ws skips NULLs — the fingerprint must null-encode each
+    column so ('x', NULL) and (NULL, 'x') hash differently, and NULL
+    differs from empty string (ADVICE r1)."""
+    a = spark.createDataFrame([("x", None)], "c1 string, c2 string")
+    b = spark.createDataFrame([(None, "x")], "c1 string, c2 string")
+    c = spark.createDataFrame([("x", "")], "c1 string, c2 string")
+    fps = {dataset_fingerprint(d, "c1", "c2") for d in (a, b, c)}
+    assert len(fps) == 3
+
+
+def test_weighted_sample_huge_keys_no_overflow(spark):
+    """ANSI mode: key * 2654435761 overflows int64 for keys >= ~3.47e9;
+    the decimal(38,0) hash must survive 100-TB-scale ids (ADVICE r1)."""
+    from team_02_spark.operators.relational import weighted_sample_exact
+
+    big = spark.createDataFrame(
+        [(4_000_000_000 + i, float(i + 1)) for i in range(20)], "k long, w double"
+    )
+    out = weighted_sample_exact(big, "w", 5, key="k")
+    assert out.count() == 5
+    # deterministic across invocations
+    again = weighted_sample_exact(big, "w", 5, key="k")
+    assert out.select("k").subtract(again.select("k")).count() == 0
+
+
+def test_funnel_degenerate_all_null_stage(spark):
+    """q_funnel's conversion sums must be 0 (not NULL) when no user
+    reaches a stage (ADVICE r1)."""
+    import pandas as pd
+    from team_02_spark.queries.registry import QUERIES
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "user_id": [1, 2],
+                "event_type": ["signup", "signup"],
+                "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                "amount": [0.0, 0.0],
+                "source": ["web", "web"],
+            }
+        )
+        os.makedirs(os.path.join(d), exist_ok=True)
+        ev.to_parquet(os.path.join(d, "events.parquet"))
+        row = QUERIES["q_funnel"].fn(spark, d).first()
+        assert row["n_users"] == 2 and row["n_signup"] == 2
+        assert row["n_signup_then_click"] == 0 and row["n_full_funnel"] == 0

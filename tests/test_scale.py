@@ -65,3 +65,19 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """right/full_outer would emit unmatched dim rows once per salt
+    replica — the operator must refuse them (ADVICE r1)."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, d string")
+    for bad in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(fact, dim, "k", how=bad)
+    # left still works and keeps unmatched FACT rows exactly once
+    fact2 = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+    out = salted_join(fact2, dim, "k", how="left")
+    assert out.count() == 2
