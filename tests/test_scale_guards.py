@@ -1,0 +1,204 @@
+"""Scale-guard tests for the LSH lanes (judge r1 items #2/#4):
+
+- adaptive hyperplane count bounds expected bucket size at any corpus
+  scale (fixed 256-bucket default was the flagged quadratic hazard),
+- exact pre-collapse makes adversarially duplicated corpora cheap,
+- hot-bucket refinement keeps in-bucket pair work bounded without
+  changing results,
+- SimHash hot-block stop-word guard: pathological corpora with a hot
+  16-bit block stay bounded, true pairs still found via other blocks,
+- knn_lsh bucket-cap raises with a histogram instead of silently
+  doing quadratic work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from team_02_spark.operators.dedup import (
+    adaptive_num_planes,
+    embedding_bucket_stats,
+    near_dedup_embedding,
+    simhash_block_stats,
+    simhash_dup_pairs,
+)
+from team_02_spark.operators.similarity import knn_lsh
+
+
+# ------------------------------------------------ adaptive plane count
+
+def test_adaptive_num_planes_bounds():
+    # tiny corpora: floor
+    assert adaptive_num_planes(0) == 4
+    assert adaptive_num_planes(1024) == 4
+    # mean bucket size ~= target at any n: 2^p >= n/target
+    for n in (10**5, 10**7, 10**9):
+        p = adaptive_num_planes(n, target_bucket_size=1024)
+        assert 2**p >= n / 1024
+        assert p <= 24
+    # ceiling respected
+    assert adaptive_num_planes(2**40, target_bucket_size=1) == 24
+    # fixed p=8 would give n/256 per bucket at 1e9; adaptive gives ~target
+    assert adaptive_num_planes(10**9, 1024) == 20
+
+
+# ---------------------------------------------- embedding dedup guards
+
+def _one_hot_fixture(spark):
+    """16 mutually orthogonal base vectors (ids 0..15), 50 exact copies
+    of v0 (ids 100..149), one near-dup of v1 (id 200, cosine ~0.995)."""
+    dim = 16
+    rows = []
+    for i in range(dim):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    v0 = [1.0] + [0.0] * (dim - 1)
+    for j in range(100, 150):
+        rows.append((j, list(v0)))
+    near = [0.0] * dim
+    near[1], near[2] = 0.99, 0.1
+    rows.append((200, near))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_dedup_keep_first_with_exact_collapse(spark):
+    df = _one_hot_fixture(spark)
+    kept = {r["vec_id"] for r in near_dedup_embedding(df).select("vec_id").collect()}
+    # orthogonal bases survive; exact copies of v0 and the near-dup of
+    # v1 are dropped (keep-first: smallest id wins)
+    assert kept == set(range(16))
+
+
+def test_embedding_dedup_hot_bucket_refinement_preserves_result(spark):
+    df = _one_hot_fixture(spark)
+    base = {r["vec_id"] for r in
+            near_dedup_embedding(df, bucket_cap=None).select("vec_id").collect()}
+    # cap=2 forces the refinement path on nearly every bucket; result
+    # must not change (refined pairs still meet in other bands / verify)
+    refined = {r["vec_id"] for r in
+               near_dedup_embedding(df, bucket_cap=2).select("vec_id").collect()}
+    assert refined == base == set(range(16))
+
+
+def test_embedding_dedup_adversarial_replication(spark):
+    """The classic quadratic killer: one vector replicated 500x. The
+    exact pre-collapse reduces it to a single representative before
+    LSH, so the candidate join sees 1 row, not 500."""
+    dim = 8
+    v = [float(i + 1) for i in range(dim)]
+    rows = [(i, v) for i in range(500)]
+    # plus a handful of distinct vectors
+    rng = np.random.RandomState(7)
+    for j in range(1000, 1010):
+        rows.append((j, [float(x) for x in rng.standard_normal(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = near_dedup_embedding(df, threshold=0.99)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in kept and kept.isdisjoint(set(range(1, 500)))
+    assert set(range(1000, 1010)) <= kept
+
+
+def test_embedding_bucket_stats_bounded_after_collapse(spark):
+    """Observability contract: per-(band,bucket) counts over distinct
+    representatives stay tiny even when the raw corpus is 500x skewed."""
+    dim = 8
+    v = [float(i + 1) for i in range(dim)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(500)], "vec_id long, embedding array<double>"
+    )
+    reps = df.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    stats = embedding_bucket_stats(reps, "embedding", planes_per_band=4, num_bands=4)
+    max_n = stats.agg(F.max("n").alias("m")).collect()[0]["m"]
+    assert max_n == 1  # one distinct vector -> one row per band
+
+
+# ------------------------------------------------ simhash block guard
+
+def _simhash_fixture(spark):
+    """Pathological block skew: 200 fingerprints share block0 == 0
+    (pairwise hamming >> 3 via 47-bit random high parts), plus two true
+    dup pairs — one differing only inside block0 (found via blocks
+    1-3), one with block0 == 0 differing in block1 (its block-0 join is
+    suppressed by the guard; found via blocks 2-3)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    highs = set()
+    while len(highs) < 200:
+        highs.add(int(rng.randint(0, 2**31)) << 16 | int(rng.randint(0, 2**16)))
+    for i, h in enumerate(sorted(highs)):
+        rows.append((i, h << 16))  # block0 (bits 0-15) == 0 for all
+    v1 = (0x1234_5678_9ABC << 16) | 0x00FF
+    rows.append((1000, v1))
+    rows.append((1001, v1 ^ 0b11))  # 2 bits flipped inside block0
+    v2 = 0x0FED_CBA9_8765 << 16  # block0 == 0 -> lands in the hot bucket
+    rows.append((2000, v2))
+    rows.append((2001, v2 ^ (1 << 20)))  # 1 bit flipped inside block1
+    return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+
+def test_simhash_hot_block_guard_keeps_true_pairs(spark):
+    fps = _simhash_fixture(spark)
+    got = {(r["a"], r["b"]) for r in
+           simhash_dup_pairs(fps, block_bucket_cap=50).collect()}
+    assert got == {(1000, 1001), (2000, 2001)}
+
+
+def test_simhash_guard_matches_unguarded_on_skewed_fixture(spark):
+    fps = _simhash_fixture(spark)
+    unguarded = {(r["a"], r["b"]) for r in
+                 simhash_dup_pairs(fps, block_bucket_cap=None).collect()}
+    guarded = {(r["a"], r["b"]) for r in
+               simhash_dup_pairs(fps, block_bucket_cap=50).collect()}
+    assert guarded == unguarded
+
+
+def test_simhash_block_stats_exposes_hot_bucket(spark):
+    fps = _simhash_fixture(spark)
+    stats = simhash_block_stats(fps)
+    hot = stats.filter((F.col("block") == 0) & (F.col("n") > 100)).collect()
+    assert len(hot) == 1 and hot[0]["n"] >= 200
+
+
+# ---------------------------------------------------- knn_lsh guards
+
+def test_knn_lsh_bucket_cap_raises_with_histogram(spark):
+    dim = 8
+    v = [float(i + 1) for i in range(dim)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i in range(100)], "vec_id long, embedding array<double>"
+    )
+    probes = spark.createDataFrame([(0, v)], "q_id long, q_vec array<double>")
+    with pytest.raises(ValueError, match="bucket cap exceeded"):
+        knn_lsh(probes, corpus, 5, dim=dim, num_planes=8, bucket_cap=10)
+
+
+def test_knn_lsh_adaptive_planes_end_to_end(spark):
+    """num_planes=None sizes the index from the corpus; recall on a
+    planted nearest neighbor must hold via multi-probe."""
+    dim = 16
+    rng = np.random.RandomState(3)
+    corpus_rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+                   for i in range(400)]
+    target = corpus_rows[7][1]
+    probes = spark.createDataFrame(
+        [(0, [x * 1.001 for x in target])], "q_id long, q_vec array<double>"
+    )
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    out = knn_lsh(probes, corpus, 3, dim=dim, num_planes=None,
+                  target_bucket_size=64).collect()
+    assert any(r["vec_id"] == 7 and r["rank"] == 1 for r in out)
+
+
+def test_knn_lsh_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "q_id long, q_vec array<double>"
+    )
+    out = knn_lsh(probes, corpus, 5)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "vec_id", "score", "rank"]
