@@ -30,6 +30,8 @@ HEADLINE = [
     "q_topk",
     "q_dedup_near",
     "q_knn_topk",
+    "q_dedup_embedding",
+    "q_knn_lsh",
     "q_window_tumbling",
     "q_clean_stem",
     "q_embed",

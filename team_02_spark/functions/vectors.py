@@ -8,6 +8,8 @@ embedding-cosine near-dup lane (operators/dedup.py). SURVEY.md §2.4 J5.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -53,3 +55,65 @@ def normalize(a: Column) -> Column:
     return F.when(n == 0.0, a).otherwise(
         F.transform(a, lambda x: (x / n).cast("float"))
     )
+
+
+# ------------------------------------------ hyperplane sign-bit hashes
+#
+# LSH bucket ids = sign bits of fixed pseudo-random projections. Unlike
+# the exact-math functions above (oracle-checked, so they stay JVM
+# HOFs), bucket hashing feeds rows-only LSH lanes — here one
+# Arrow-batched numpy matmul replaces num_planes interpreted
+# zip_with/aggregate trees per row (measured 20x+ on the dedup lane:
+# 64 HOF projections over dim-64 vectors dominated the whole query).
+# Planes are derived on the driver from a seeded RandomState, captured
+# in the UDF closure; no RNG state ships to executors.
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int):
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(vec_col: str | Column, dim: int, num_planes: int,
+                      seed: int) -> Column:
+    """Single bucket id: bit p (weight 2^p) set iff projection onto
+    plane p is >= 0. Convention matches the historical JVM builder
+    (sig |= 1<<p), so multi-probe bit flips compose unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(dim, num_planes, seed)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ planes.T >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def band_buckets(vec_col: str | Column, dim: int, planes_per_band: int,
+                 num_bands: int, seed: int) -> Column:
+    """array<long> of ``num_bands`` bucket ids — one signature of
+    num_bands*planes_per_band sign bits sliced MinHash-style into
+    bands (band b owns planes [b*p, (b+1)*p), first plane = MSB). A
+    pair is an LSH candidate iff ANY band agrees on ALL its bits:
+    P(candidate) = 1-(1-(1-θ/π)^p)^b."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(dim, planes_per_band * num_bands, seed)
+    weights = (1 << np.arange(planes_per_band - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _bands(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ planes.T >= 0).astype(np.int64)
+        bk = bits.reshape(len(m), num_bands, planes_per_band) @ weights
+        return pd.Series(list(bk))
+
+    return _bands(F.col(vec_col) if isinstance(vec_col, str) else vec_col)

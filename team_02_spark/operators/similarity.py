@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from team_02_spark.functions.vectors import cosine
+from team_02_spark.functions.vectors import cosine, hyperplane_bucket
 
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
@@ -46,25 +46,10 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 def _hyperplane_bucket(vec_col: str, dim: int, num_planes: int, seed: int) -> F.Column:
-    """Sign-bit bucket id from fixed pseudo-random hyperplanes (driver
-    literals, deterministic in ``seed``)."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_planes, dim))
-    sig = F.lit(0)
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in planes[p]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sig
+    """Sign-bit bucket id from fixed pseudo-random hyperplanes (seeded
+    on the driver, deterministic). One Arrow-batched matmul per batch —
+    see functions.vectors.hyperplane_bucket."""
+    return hyperplane_bucket(vec_col, dim, num_planes, seed)
 
 
 def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,

@@ -30,9 +30,10 @@ from team_02_spark.operators.similarity import knn_lsh
 # ------------------------------------------------ adaptive plane count
 
 def test_adaptive_num_planes_bounds():
-    # tiny corpora: floor
-    assert adaptive_num_planes(0) == 4
-    assert adaptive_num_planes(1024) == 4
+    # tiny corpora: floor (8 bits -> 256 buckets/band; fewer bits makes
+    # permissive buckets that near-cross-join into the verify step)
+    assert adaptive_num_planes(0) == 8
+    assert adaptive_num_planes(1024) == 8
     # mean bucket size ~= target at any n: 2^p >= n/target
     for n in (10**5, 10**7, 10**9):
         p = adaptive_num_planes(n, target_bucket_size=1024)

@@ -77,10 +77,72 @@ def workload(spark, path: str) -> dict[str, float]:
     return {"dedup_sec": round(dedup_s, 2), "token_topk_sec": round(tok_s, 2)}
 
 
+def embedding_probe(replication: int) -> None:
+    """Adversarial data-scaling sweep for the embedding LSH lane
+    (judge r1 #2): the sf0.1 embeddings table replicated N× with
+    identical vectors under fresh ids — the classic quadratic killer,
+    since every copy lands in the same bucket regardless of plane
+    count. Records dedup wall-clock, surviving rows, the adaptive
+    plane count chosen, and the max per-(band,bucket) size over
+    distinct representatives — the quantity the guards bound."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import (
+        adaptive_num_planes,
+        embedding_bucket_stats,
+        near_dedup_embedding,
+    )
+
+    spark = get_spark(f"scaling-emb-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding")
+        )
+    df = df.repartition(32).persist()
+    total = df.count()
+    df.write.format("noop").mode("overwrite").save()  # warm
+
+    t0 = time.perf_counter()
+    kept = near_dedup_embedding(df).count()
+    dedup_s = time.perf_counter() - t0
+
+    planes = adaptive_num_planes(total, 1024)
+    reps = df.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    max_bucket = (
+        embedding_bucket_stats(reps, "embedding", planes_per_band=planes)
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    print(
+        json.dumps(
+            {
+                "mode": "embedding",
+                "replication": replication,
+                "n_vectors": total,
+                "kept": kept,
+                "dedup_sec": round(dedup_s, 2),
+                "adaptive_planes_per_band": planes,
+                "max_bucket_over_reps": max_bucket,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
         relational_probe(arg)
+        return
+    if mode == "embedding":
+        embedding_probe(arg)
         return
     from team_02_spark import get_spark
 
