@@ -203,3 +203,35 @@ def test_knn_lsh_empty_corpus(spark):
     out = knn_lsh(probes, corpus, 5)
     assert out.count() == 0
     assert out.columns == ["q_id", "vec_id", "score", "rank"]
+
+
+# ------------------------------------------ lazy-composition gates (r1 #8)
+
+def test_ensure_parallelism_conf_gate(spark):
+    from team_02_spark.util import ENSURE_PARALLELISM_CONF, ensure_parallelism
+
+    one_part = spark.range(10).coalesce(1)
+    # default: small input is repartitioned up to defaultParallelism
+    assert "Repartition" in ensure_parallelism(one_part)._jdf.queryExecution().logical().toString()
+    try:
+        spark.conf.set(ENSURE_PARALLELISM_CONF, "false")
+        gated = ensure_parallelism(one_part)
+        assert gated is one_part  # pure pass-through: no probe, no shuffle
+    finally:
+        spark.conf.unset(ENSURE_PARALLELISM_CONF)
+
+
+def test_media_repartition_precomputed_stat(spark):
+    from team_02_spark.operators.multimodal import media_repartition
+
+    df = spark.createDataFrame(
+        [(1, (100,)), (2, (200,))], "doc_id long, media struct<n_bytes: long>"
+    )
+    out = media_repartition(df, target_bytes_per_partition=100, total_bytes=300)
+    assert out.rdd.getNumPartitions() == 3  # derived from the stat, no agg job
+
+
+def test_embedding_dedup_known_dim_stays_lazy(spark):
+    df = _one_hot_fixture(spark)
+    kept = near_dedup_embedding(df, dim=16, num_planes=8)
+    assert {r["vec_id"] for r in kept.select("vec_id").collect()} == set(range(16))
