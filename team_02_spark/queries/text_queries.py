@@ -502,3 +502,171 @@ def q_contamination(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text"
     )
     return find_contaminated(docs, bench, min_shared=5)
+
+
+# ------------------------------------------- search / packing lane (r2)
+
+_BM25_TERMS = ["spark", "join", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_CLEAN_TOKENS_SQL}) AS token FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) AS n_docs
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ({_sql_str_list(_BM25_TERMS)})
+        GROUP BY doc_id, token
+    ),
+    docfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    )
+    SELECT t.doc_id,
+           ROUND(SUM(
+               ROUND(LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+               * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+           ), 4) AS bm25,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM tf t
+    JOIN docfreq f ON t.token = f.token
+    JOIN doclen d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Search lane: BM25 (Robertson/Sparck Jones, the Okapi form with
+    the +1 idf floor) for a fixed term set, fully relational — explode
+    → tf / df / doclen aggregates → one scoring join. The per-doc
+    token lists never leave the executors; corpus-level scalars
+    (N, avgdl) ride a broadcast. idf is rounded to 6dp on both engines
+    (LN is libm, last-ulp divergent), the final score to 4dp."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(clean_tokens(F.col("text"))).alias("token")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        6,
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 4).alias("bm25"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        FROM sized
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS pack_id
+    FROM placed
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Training-pipeline lane: sequence packing — assign each document
+    to a fixed-budget context pack (2048 tokens) by its cumulative
+    start offset in deterministic doc_id order. The offset form of
+    greedy packing is a pure running-sum window (one sort-shuffle, no
+    stateful scan), which is what makes it tractable at corpus scale;
+    at 1000 executors the ORDER BY doc_id window runs per range
+    partition with a tiny prefix-sum fixup."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return sized.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+_POSTING_TERMS = ["merge", "stream", "window", "vector", "scan"]
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_CLEAN_TOKENS_SQL}) AS token FROM documents
+    ),
+    hits AS (
+        SELECT DISTINCT token, doc_id FROM toks
+        WHERE token IN ({_sql_str_list(_POSTING_TERMS)})
+    )
+    SELECT token,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings,
+           CAST(COUNT(*) AS INT) AS df
+    FROM hits
+    GROUP BY token
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Search lane: posting-list construction — term → sorted doc_id
+    list + document frequency for a fixed vocabulary slice. One
+    explode + one agg; at scale the posting lists shard by term
+    (the natural inverted-index layout) and doc ids arrive pre-sorted
+    per shard when the corpus is id-ordered."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hits = (
+        docs.select("doc_id", F.explode(clean_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(_POSTING_TERMS))
+        .distinct()
+    )
+    return hits.groupBy("token").agg(
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+        F.countDistinct("doc_id").cast("int").alias("df"),
+    )
