@@ -670,3 +670,67 @@ def q_inverted_index(spark, sf_dir):
         F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
         F.countDistinct("doc_id").cast("int").alias("df"),
     )
+
+
+@query(
+    "q_dup_components",
+    oracle=f"""
+    WITH RECURSIVE sets AS ({_NGRAM_SETS_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT c.ida AS a, c.idb AS b
+        FROM cand c
+        JOIN sizes x ON c.ida = x.doc_id
+        JOIN sizes y ON c.idb = y.doc_id
+        WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
+    ),
+    edges AS (
+        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.b AS node, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    """,
+)
+def q_dup_components(spark, sf_dir):
+    """Iterative-algorithm lane WITH an exact oracle: full transitive
+    duplicate groups — exact n-gram Jaccard pairs (q_dedup_ngram's
+    complete candidate generation) closed under connectivity by
+    min-label propagation (O(log n) join rounds, no driver state).
+    The DuckDB twin walks the same graph with a recursive CTE, so the
+    fixpoint itself is value-checked, not just row counts."""
+    from team_02_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    sets_df = ensure_parallelism(docs).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
+    pairs = (
+        cand.join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("sz", "szb"), "idb")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= 0.6
+        )
+        .select(F.col("ida").alias("a"), F.col("idb").alias("b"))
+    )
+    return connected_components(pairs)
