@@ -246,3 +246,53 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_interval(spark, sf_dir):
+    """Batch form of the stream-stream interval join
+    (streaming/joins.py): click → purchase attribution within 1 hour
+    per user. The equi-key (user_id) drives the shuffle; the time
+    bound is a post-join range filter — the same predicate that GC's
+    state in the streaming form. Timestamps exit as a lag in whole
+    seconds computed from MICROSECOND epochs on both engines (flooring
+    each timestamp to seconds first diverges when sub-second parts
+    wrap)."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+            .alias("lag_s"),
+        )
+    )
