@@ -1,0 +1,261 @@
+"""Behavioral / sequence analytics over the events table: Markov
+transitions, co-occurrence mining, statistical outlier flagging,
+period-over-period growth, and forward-fill gap filling.
+
+These are the event-log operators a training-data pipeline runs to
+understand and filter user-interaction corpora (reference scope: the
+Twitter event loop, /root/reference/src/main.py:133-160, only ever
+counts raw events; these are the Spark-native analytics a user would
+reach for next on the same table).
+
+Scale posture: every query here is a single keyed shuffle (window on
+user_id, or groupBy on a low-cardinality key) — no self-join is ever
+unbounded. Co-occurrence self-joins only within (user, hour) blocks
+whose distinct-type cardinality is bounded by the event-type alphabet,
+so candidate pairs are O(rows x |alphabet|), never O(rows^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import dsum, dsum_sql, t
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counted AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counted
+    """,
+)
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user:
+    lead() over one (user_id, ts) window — a single shuffle keyed on
+    user_id — then a tiny |alphabet|^2 aggregate. The probability is a
+    raw IEEE double division of two exact bigints (identical bits in
+    any engine, no rounding needed)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counted = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+@query(
+    "q_cooccurrence",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+        FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_blocks
+    FROM present a JOIN present b
+      ON a.user_id = b.user_id AND a.h = b.h
+     AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def q_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence: which pairs of actions happen in the
+    same user-hour. The self-join runs AFTER distinct-ing to
+    (user, hour, type), so each block contributes at most
+    C(|alphabet|, 2) pairs — bounded candidates, the same blocking
+    discipline as the dedup lanes (operators/dedup.py)."""
+    ev = t(spark, sf_dir, "events")
+    present = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).distinct()
+    a = present.alias("a")
+    b = present.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_blocks"))
+    )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               {dsum_sql('value')} AS s1,
+               {dsum_sql('value * value')} AS s2,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s.s1 / s.n)
+               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE s.n > 1
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE abs(z) > 2.0
+    """,
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier flagging. The standard deviation is
+    computed from exact DECIMAL power sums (sum, sum-of-squares) so it
+    is order-independent — stddev_samp() streaming formulas are NOT
+    bit-stable across engines/partitionings, but this is (FIXTURES.md
+    §C discipline). Stats side is |alphabet| rows → broadcast join
+    back; the fact table is scanned twice but shuffled zero times."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.count("*").alias("n"),
+    ).filter(F.col("n") > 1)
+    e = ev.alias("e")
+    s = F.broadcast(stats.alias("s"))
+    mean = F.col("s.s1") / F.col("s.n")
+    var = (F.col("s.s2") - F.col("s.s1") * F.col("s.s1") / F.col("s.n")) / (
+        F.col("s.n") - 1
+    )
+    z = (F.col("e.value") - mean) / F.sqrt(var)
+    return (
+        e.join(s, F.col("e.event_type") == F.col("s.event_type"))
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.value").alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
+
+
+@query(
+    "q_weekly_growth",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               {dsum_sql('value')} AS revenue
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT week_start, revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY week_start))
+           / LAG(revenue) OVER (ORDER BY week_start) AS wow_growth
+    FROM weekly
+    """,
+)
+def q_weekly_growth(spark, sf_dir):
+    """Week-over-week growth: exact decimal weekly sums, then lag()
+    over the (tiny) weekly series. Both engines truncate weeks to
+    Monday (ISO). The growth ratio is raw double division of two
+    decimal-exact sums — bit-identical, no rounding."""
+    ev = t(spark, sf_dir, "events")
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week_start"))
+        .agg(dsum("value").alias("revenue"))
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               {dsum_sql('value')} AS spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT u.user_id, s.day,
+           COALESCE(d.spend, 0.0) AS spend,
+           last_value(d.spend IGNORE NULLS)
+               OVER (PARTITION BY u.user_id ORDER BY s.day) AS carried_spend
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Gap-filled daily per-user spend with forward fill: a generated
+    calendar spine cross-joined to the user dimension, left-joined to
+    actuals, then last(ignorenulls) carries the most recent observed
+    value across silent days. The spine is dimension x time (bounded),
+    never fact-sized; the only fact shuffle is the daily groupBy."""
+    ev = t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("spend"))
+    )
+    grid = users.crossJoin(spine)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+            F.last("spend", ignorenulls=True).over(w).alias("carried_spend"),
+        )
+    )
