@@ -734,3 +734,41 @@ def q_dup_components(spark, sf_dir):
         .select(F.col("ida").alias("a"), F.col("idb").alias("b"))
     )
     return connected_components(pairs)
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_brand AS brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    """Fuzzy entity matching by Levenshtein distance within blocking
+    buckets — the record-linkage primitive next to the token-set dedup
+    lanes (operators/dedup.py). Candidates are generated ONLY inside a
+    brand block (at 100 TB: block on length band + first token, same
+    bounded-candidates discipline), and the distance runs in the JVM
+    (built-in levenshtein), never Python."""
+    part = t(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_brand").alias("brand"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )

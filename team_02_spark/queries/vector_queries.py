@@ -131,3 +131,106 @@ def q_dedup_embedding(spark, sf_dir):
     random-hyperplane buckets + exact verify."""
     emb = t(spark, sf_dir, "embeddings")
     return near_dedup_embedding(emb.select("vec_id", "embedding")).select("vec_id")
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    SELECT e.label,
+           CAST(i.i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)
+                         AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS centroid
+    FROM embeddings e, range(1, 65) i(i)
+    GROUP BY e.label, dim
+    """,
+)
+def q_embed_centroid(spark, sf_dir):
+    """Per-class centroid of the embedding column, in long form
+    (label, dim, mean) — the building block of IVF training and
+    class-prototype dedup. posexplode keeps everything JVM-side; the
+    shuffle key (label, dim) has cardinality |classes| x dim, so the
+    aggregate is map-side-combined and tiny. Element sums go through
+    DECIMAL(18,4) for order-independence (FIXTURES.md §C)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select("label", F.col("dim").cast("int").alias("dim"), "val")
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("centroid")
+    )
+
+
+@query(
+    "q_vector_quantize",
+    oracle="""
+    WITH vd AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(list_min(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmin,
+               CAST(list_max(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vmax
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v, vmin, (vmax - vmin) / 255.0 AS scale FROM vd
+    ),
+    coded AS (
+        SELECT vec_id, v, vmin, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)
+                    END) AS codes
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_sum(list_transform(range(1, 65), i ->
+               (v[CAST(i AS INT)] - (vmin + codes[CAST(i AS INT)] * scale))
+             * (v[CAST(i AS INT)] - (vmin + codes[CAST(i AS INT)] * scale))))
+           / 64.0 AS mse
+    FROM coded
+    """,
+)
+def q_vector_quantize(spark, sf_dir):
+    """Int8-style scalar quantization of each embedding (per-vector
+    min/max affine grid, 256 levels) with exact reconstruction-error
+    accounting: code_sum is the integer checksum of the code vector,
+    mse the mean squared dequantization error. All higher-order JVM
+    functions — at 100 TB this is the compression pass before ANN
+    index build, and it never leaves whole-stage codegen. Rounding is
+    floor(x + 0.5) on both sides (engine round() half-mode differs);
+    squares are written as x*x (libm pow differs in the last ulp)."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("vmin"),
+        ((F.array_max(v) - F.array_min(v)) / F.lit(255.0)).alias("scale"),
+    )
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((x - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        ),
+    )
+    df = df.withColumn("codes", codes)
+    sqerr = F.zip_with(
+        F.col("v"),
+        F.col("codes"),
+        lambda x, c: (x - (F.col("vmin") + c * F.col("scale")))
+        * (x - (F.col("vmin") + c * F.col("scale"))),
+    )
+    return df.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        (
+            F.aggregate(sqerr, F.lit(0.0), lambda a, x: a + x) / F.lit(64.0)
+        ).alias("mse"),
+    )
