@@ -259,3 +259,227 @@ def q_gap_fill(spark, sf_dir):
             F.last("spend", ignorenulls=True).over(w).alias("carried_spend"),
         )
     )
+
+
+@query(
+    "q_abtest",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    assigned AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS converted
+        FROM firsts WHERE rn = 1
+    ),
+    arms AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        FROM assigned GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+               MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)), 0) AS z
+    FROM wide
+    """,
+)
+def q_abtest(spark, sf_dir):
+    """Two-proportion z-test between experiment arms (variant =
+    user_id parity; conversion = the user's FIRST event is a purchase,
+    a scale-invariant ~1/|alphabet| rate — any-purchase-ever saturates
+    to 100% as per-user event counts grow). Everything reduces to
+    exact integer counts before any floating point, so the z value is
+    bit-identical in any engine (sqrt is IEEE-exact, denominator
+    NULLIF-guarded for degenerate pooled rates). One user-keyed
+    window, then a 2-row reduction — at 100 TB the only shuffle is
+    the (user_id) partitioning."""
+    ev = t(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    assigned = (
+        ev.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.nullif(
+        F.sqrt(
+            pooled * (1 - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"), z.alias("z"),
+    )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    probs AS (
+        SELECT user_id,
+               CAST(c AS DOUBLE)
+               / SUM(c) OVER (PARTITION BY user_id) AS p
+        FROM counts
+    )
+    SELECT user_id,
+           CAST(-SUM(CAST(p * ln(p) AS DECIMAL(18,8))) AS DOUBLE)
+               AS entropy_nats
+    FROM probs
+    GROUP BY user_id
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score used to filter bot-like traffic from
+    training corpora. Each p*ln(p) term is snapped to DECIMAL(18,8)
+    BEFORE summing: ln() is libm (cross-engine last-ulp noise) and
+    float sums are order-dependent, but decimal term sums are exact
+    and order-free, so the result is reproducible on any partitioning
+    (FIXTURES.md §C discipline applied to an entropy reduction)."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("user_id")
+    probs = counts.select(
+        "user_id",
+        (F.col("c").cast("double") / F.sum("c").over(wp)).alias("p"),
+    )
+    term = (F.col("p") * F.log(F.col("p"))).cast("decimal(18,8)")
+    return probs.groupBy("user_id").agg(
+        (-F.sum(term)).cast("double").alias("entropy_nats")
+    )
+
+
+@query(
+    "q_lag_features",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT)
+               AS gap_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS rolling_avg_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_features(spark, sf_dir):
+    """Per-user temporal feature generation for model training: lag
+    value, inter-event gap in exact microseconds, 3-row rolling mean
+    (decimal-exact sum / count). ONE window spec — a single shuffle
+    keyed on user_id serves all three features; microsecond epoch
+    arithmetic avoids second-truncation divergence (same discipline
+    as q_join_interval)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-2, Window.currentRow)
+    us = lambda c: (F.unix_timestamp(c) * F.lit(1_000_000)
+                    + F.date_format(c, "SSSSSS").cast("long"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).cast("long").alias("gap_us"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(wr).cast("double")
+            / F.count("*").over(wr)
+        ).alias("rolling_avg_3"),
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM
+                    LAG(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(changed) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM marked WHERE changed = 1
+    )
+    SELECT user_id, event_type,
+           CAST(version AS INT) AS version,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_s,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY version))) AS BIGINT)
+               AS valid_to_s
+    FROM runs
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build from an event log:
+    collapse consecutive same-state runs (run-length encoding via the
+    gaps-and-islands change marker), then open/close validity
+    intervals with lead(). The current state has NULL valid_to. Two
+    window passes over the SAME (user_id, ts) ordering — Spark reuses
+    the one shuffle (PLANS.md single-shuffle evidence pattern)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(
+                F.lag("event_type").over(w)
+            ),
+            1,
+        ).otherwise(0).alias("changed"),
+    )
+    runs = (
+        marked.withColumn("version", F.sum("changed").over(w))
+        .filter(F.col("changed") == 1)
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.col("version").cast("int").alias("version"),
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.unix_timestamp(F.lead("ts").over(wv)).alias("valid_to_s"),
+    )

@@ -89,3 +89,36 @@ def q_bpe_encode(spark, sf_dir):
         "doc_id",
         F.size(apply_bpe(merges, F.col("text"))).cast("int").alias("n_subwords"),
     )
+
+
+@query(
+    "q_stratified_kfold",
+    oracle="""
+    WITH folded AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT lang, fold, COUNT(*) AS n_docs
+    FROM folded GROUP BY lang, fold
+    """,
+)
+def q_stratified_kfold(spark, sf_dir):
+    """Deterministic stratified k-fold assignment for train/eval
+    splits: fold = md5(doc_id) prefix mod k — repartition-stable,
+    engine-portable (never engine hash()/rand(), FIXTURES.md §C), and
+    uniform within every language stratum. Returns the stratum x fold
+    contingency table that a pipeline would assert balance on. Scale:
+    the only shuffle is the tiny (lang, fold) aggregate; assignment
+    itself is a stateless map."""
+    docs = t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    return (
+        docs.select("lang", fold.alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
