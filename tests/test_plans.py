@@ -93,3 +93,46 @@ def test_partial_aggregation_before_shuffle(spark):
 def test_agg_single_shuffle(spark):
     assert shuffle_count(_q(spark, "q_groupby_agg")) == 1
     assert shuffle_count(_q(spark, "q_event_rates")) <= 2  # distinct adds one
+
+
+def test_behavior_lane_shuffle_budgets(spark):
+    # q_lag_features: ONE window spec → one user_id exchange serves
+    # lag, gap, and rolling mean
+    assert shuffle_count(_q(spark, "q_lag_features")) <= 1
+    # q_scd2: second window re-partitions by the same user_id key, so
+    # Spark must reuse the first exchange
+    assert shuffle_count(_q(spark, "q_scd2")) <= 1
+    # q_transition_matrix: user window + alphabet^2 agg + tiny window
+    assert shuffle_count(_q(spark, "q_transition_matrix")) <= 3
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    # the |alphabet|-row stats side must broadcast; the fact table is
+    # never shuffled (only the stats aggregate exchanges)
+    df = _q(spark, "q_zscore_outliers")
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 1
+
+
+def test_vector_quantize_is_map_only(spark):
+    # pure higher-order-function projection: zero shuffles, no Python
+    df = _q(spark, "q_vector_quantize")
+    assert shuffle_count(df) == 0
+    assert not uses_python_udf(df)
+
+
+def test_new_lanes_stay_jvm_side(spark):
+    for name in (
+        "q_transition_matrix", "q_cooccurrence", "q_zscore_outliers",
+        "q_weekly_growth", "q_gap_fill", "q_abtest", "q_entropy",
+        "q_lag_features", "q_scd2", "q_edit_distance",
+        "q_embed_centroid", "q_vector_quantize", "q_stratified_kfold",
+    ):
+        assert not uses_python_udf(_q(spark, name)), f"{name} crossed into Python"
+
+
+def test_kfold_prunes_wide_text_column(spark):
+    # fold assignment reads only (doc_id, lang) — the wide text bytes
+    # must never leave the scan
+    schemas = read_schema_columns(_q(spark, "q_stratified_kfold"))
+    assert schemas and all("text" not in cols for cols in schemas)
