@@ -79,3 +79,31 @@ def materialized_aggregate(stream_df, agg_fn, snapshot_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_foreach_batch(batch_fn, commit_dir: str):
+    """Exactly-once side effects under micro-batch replay: wrap a
+    ``batch_fn(batch_df, batch_id)`` with a batch-id commit log so a
+    RETRIED micro-batch (failure after the side effect but before the
+    checkpoint advanced — Structured Streaming's at-least-once window
+    for foreachBatch sinks) is a no-op instead of a duplicate write.
+
+    The marker is written AFTER the side effect completes, mirroring
+    how transactional sinks commit: crash before marker → replay
+    redoes the work (sink must tolerate its own partial output, e.g.
+    overwrite-by-batch-path); crash after → replay skips. On a real
+    cluster the commit dir lives on the object store next to the
+    checkpoint.
+    """
+    import os
+
+    def fn(batch_df, batch_id):
+        marker = os.path.join(commit_dir, f"{batch_id}.committed")
+        if os.path.exists(marker):
+            return
+        batch_fn(batch_df, batch_id)
+        os.makedirs(commit_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return fn

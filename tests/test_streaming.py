@@ -247,3 +247,62 @@ def test_watermark_late_data_determinism(spark, tmp_path):
     ]
     assert str(rows[0]["window_start"]).startswith("2026-01-01 10:00")
     assert str(rows[1]["window_start"]).startswith("2026-01-01 12:00")
+
+
+def test_idempotent_foreach_batch_survives_replay(spark, tmp_path):
+    """Simulate Structured Streaming's at-least-once foreachBatch
+    replay: deliver the same micro-batch twice (same batch_id). The
+    commit-log wrapper must apply the side effect exactly once; a new
+    batch_id must still apply."""
+    from team_02_spark.streaming.sinks import idempotent_foreach_batch
+
+    out = str(tmp_path / "applied")
+    commit = str(tmp_path / "commits")
+
+    def append_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    fn = idempotent_foreach_batch(append_batch, commit)
+    batch = spark.range(10).withColumnRenamed("id", "k")
+
+    fn(batch, 0)
+    fn(batch, 0)  # replay of an already-committed batch → no-op
+    assert spark.read.parquet(out).count() == 10
+
+    fn(batch, 1)  # genuinely new batch still lands
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
+    """Drive the wrapper through a real availableNow stream, then
+    restart the SAME query from its checkpoint: no new data → no new
+    writes, and row counts stay exact."""
+    from team_02_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+        stream_foreach_batch,
+    )
+
+    out = str(tmp_path / "rows")
+    commit = str(tmp_path / "commits")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    src = read_events_stream(spark, SF_SMOKE).select("event_id", "event_type")
+    expected = load_table(spark, SF_SMOKE, "events").count()
+
+    q = stream_foreach_batch(
+        src, idempotent_foreach_batch(append_batch, commit), ckpt,
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == expected
+
+    # restart from checkpoint: everything already processed
+    q2 = stream_foreach_batch(
+        src, idempotent_foreach_batch(append_batch, commit), ckpt,
+        output_mode="append",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == expected
