@@ -483,3 +483,64 @@ def q_scd2(spark, sf_dir):
         F.unix_timestamp("ts").alias("valid_from_s"),
         F.unix_timestamp(F.lead("ts").over(wv)).alias("valid_to_s"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+                        THEN value END) AS lo,
+               MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS value_w
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping to the 5th/95th percentile) per
+    group — the standard clean-before-train transform. The percentile
+    is an EXACT order statistic (value at rank ceil(q*n), ties broken
+    by id), not an interpolated quantile, so both engines select the
+    identical row and the clip bounds match bitwise. One window
+    shuffle computes ranks; the |alphabet|-row bounds broadcast back
+    (same shape as q_zscore_outliers)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")))
+    hi_rank = F.ceil(0.95 * F.col("n"))
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("hi"),
+    )
+    e = ev.alias("e")
+    b = F.broadcast(bounds.alias("b"))
+    clipped = (
+        F.when(F.col("e.value") < F.col("b.lo"), F.col("b.lo"))
+        .when(F.col("e.value") > F.col("b.hi"), F.col("b.hi"))
+        .otherwise(F.col("e.value"))
+    )
+    return e.join(b, F.col("e.event_type") == F.col("b.event_type")).select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        clipped.alias("value_w"),
+    )

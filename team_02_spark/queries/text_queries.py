@@ -772,3 +772,86 @@ def q_edit_distance(spark, sf_dir):
         )
         .filter(F.col("dist") <= 3)
     )
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_CLEAN_TOKENS_SQL} AS tk FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]))
+               AS bg
+        FROM toks
+    ),
+    uni AS (SELECT unnest(tk) AS w FROM toks),
+    bg_counts AS (
+        SELECT bg, COUNT(*) AS n_xy FROM bigrams GROUP BY bg HAVING COUNT(*) >= 5
+    ),
+    uni_counts AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+    tot AS (SELECT (SELECT COUNT(*) FROM uni) AS t_uni,
+                   (SELECT COUNT(*) FROM bigrams) AS t_bg)
+    SELECT split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2,
+           n_xy,
+           CAST(CAST(ln((CAST(n_xy AS DOUBLE) / t_bg)
+                        / ((CAST(u1.n_w AS DOUBLE) / t_uni)
+                         * (CAST(u2.n_w AS DOUBLE) / t_uni)))
+                     AS DECIMAL(18,8)) AS DOUBLE) AS pmi
+    FROM bg_counts
+    CROSS JOIN tot
+    JOIN uni_counts u1 ON u1.w = split_part(bg, ' ', 1)
+    JOIN uni_counts u2 ON u2.w = split_part(bg, ' ', 2)
+    """,
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: which token
+    bigrams co-occur far above chance — the phrase-detection pass a
+    corpus pipeline runs before vocabulary building (cf. BM25/inverted
+    index above). Token arrays are built once per document; bigram and
+    unigram counts are two partial-agg shuffles over exploded tokens;
+    the corpus totals broadcast as scalars. ln() is libm, so PMI is
+    snapped to DECIMAL(18,8) before exiting (FIXTURES.md §C)."""
+    docs = t(spark, sf_dir, "documents").select(
+        clean_tokens(F.col("text")).alias("tk")
+    )
+    bg_expr = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+        "ELSE array() END"
+    )
+    bigrams = docs.select(F.explode(bg_expr).alias("bg"))
+    uni = docs.select(F.explode("tk").alias("w"))
+    bg_counts = (
+        bigrams.groupBy("bg").agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    tot = F.broadcast(
+        uni.agg(F.count("*").alias("t_uni")).crossJoin(
+            bigrams.agg(F.count("*").alias("t_bg"))
+        )
+    )
+    w1 = F.expr("split_part(bg, ' ', 1)")
+    w2 = F.expr("split_part(bg, ' ', 2)")
+    joined = (
+        bg_counts.withColumn("w1", w1).withColumn("w2", w2)
+        .crossJoin(tot)
+        .join(uni_counts.withColumnRenamed("w", "w1")
+              .withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni_counts.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "n_w2"), "w2")
+    )
+    pmi = F.log(
+        (F.col("n_xy").cast("double") / F.col("t_bg"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("t_uni"))
+            * (F.col("n_w2").cast("double") / F.col("t_uni"))
+        )
+    )
+    return joined.select(
+        "w1", "w2", "n_xy",
+        pmi.cast("decimal(18,8)").cast("double").alias("pmi"),
+    )
