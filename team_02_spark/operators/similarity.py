@@ -170,6 +170,20 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # empty-corpus guard (same contract as knn_lsh above): KMeans
+    # cannot fit zero rows — return the empty result with the schema
+    if corpus.select(c_id).first() is None:
+        return (
+            corpus.select(
+                F.col(c_id),
+                F.lit(0.0).alias("score"),
+                F.lit(0).alias("rank"),
+            )
+            .join(queries.select(q_id))
+            .select(q_id, c_id, "score", "rank")
+            .limit(0)
+        )
+
     train = corpus.select(array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]

@@ -544,3 +544,26 @@ def q_winsorize(spark, sf_dir):
         F.col("e.value").alias("value"),
         clipped.alias("value_w"),
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value) AS pr
+    FROM events
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Rank-based normalization to [0,1] (percent_rank per group) —
+    the distribution-free feature transform. percent_rank is
+    (rank-1)/(n-1) over exact integer ranks, so the output double is
+    bit-identical across engines; one window shuffle on the group
+    key."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.percent_rank().over(w).alias("pr"),
+    )

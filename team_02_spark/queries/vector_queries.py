@@ -234,3 +234,20 @@ def q_vector_quantize(spark, sf_dir):
             F.aggregate(sqerr, F.lit(0.0), lambda a, x: a + x) / F.lit(64.0)
         ).alias("mse"),
     )
+
+
+@query("q_knn_ivf")  # rows-only: KMeans cell layout is probabilistic recall
+def q_knn_ivf(spark, sf_dir):
+    """J5 scale path #2: inverted-file ANN — seeded KMeans cells
+    partition the corpus, each probe searches its n_probe nearest
+    cells, exact cosine re-ranks inside. Recall vs brute force is
+    pinned by tests/test_ml.py::test_knn_ivf_recall; at production
+    scale the cell id becomes the table partition key so probes are
+    partition-pruned reads (see operators/similarity.py:157)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    from team_02_spark.operators.similarity import knn_ivf
+    return knn_ivf(probes, corpus, k=10, n_cells=8, n_probe=4)
