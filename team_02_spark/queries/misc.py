@@ -527,3 +527,32 @@ def q_struct_funcs(spark, sf_dir):
         s.getField("v").alias("s_value"),
         lit_s.getField("b").cast("int").alias("s_lit"),
     )
+
+
+@query(
+    "q_schema_drift_union",
+    oracle="""
+    SELECT * FROM (
+        SELECT event_id, event_type, value, 'v1' AS src
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL BY NAME
+        SELECT event_id, event_type, value, props, 'v2' AS src
+        FROM events WHERE event_id % 3 = 1
+    )
+    """,
+)
+def q_schema_drift_union(spark, sf_dir):
+    """Schema-evolution union: an old extract (no `props` column) and
+    a new extract union BY NAME, with the missing column null-filled —
+    the ingest pattern when upstream schemas drift mid-corpus. Spark's
+    unionByName(allowMissingColumns=True) is the exact counterpart of
+    ANSI UNION ALL BY NAME; both resolve columns positionally-never,
+    by name-always."""
+    ev = t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "event_type", "value", F.lit("v1").alias("src")
+    )
+    v2 = ev.filter(F.col("event_id") % 3 == 1).select(
+        "event_id", "event_type", "value", "props", F.lit("v2").alias("src")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -160,3 +160,51 @@ def q_returned_revenue(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
     )
+
+
+@query(
+    "q_tpch_q3ish",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3ish(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    and date-filtered orders both reach the scan as pushed predicates,
+    the customer and orders sides broadcast into the lineitem pass,
+    and the top-10 is TakeOrderedAndProject — one agg shuffle, no
+    global sort. Revenue sums via DECIMAL(18,4) (FIXTURES.md §C)."""
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
