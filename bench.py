@@ -35,6 +35,8 @@ HEADLINE = [
     "q_window_tumbling",
     "q_clean_stem",
     "q_embed",
+    "q_lag_features",
+    "q_pmi_bigrams",
 ]
 
 

@@ -814,9 +814,9 @@ def q_pmi_bigrams(spark, sf_dir):
     unigram counts are two partial-agg shuffles over exploded tokens;
     the corpus totals broadcast as scalars. ln() is libm, so PMI is
     snapped to DECIMAL(18,8) before exiting (FIXTURES.md §C)."""
-    docs = t(spark, sf_dir, "documents").select(
-        clean_tokens(F.col("text")).alias("tk")
-    )
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").select("text")
+    ).select(clean_tokens(F.col("text")).alias("tk"))
     bg_expr = F.expr(
         "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
         "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
@@ -824,14 +824,14 @@ def q_pmi_bigrams(spark, sf_dir):
     )
     bigrams = docs.select(F.explode(bg_expr).alias("bg"))
     uni = docs.select(F.explode("tk").alias("w"))
-    bg_counts = (
-        bigrams.groupBy("bg").agg(F.count("*").alias("n_xy"))
-        .filter(F.col("n_xy") >= 5)
-    )
+    bg_all = bigrams.groupBy("bg").agg(F.count("*").alias("n_xy"))
+    bg_counts = bg_all.filter(F.col("n_xy") >= 5)
     uni_counts = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    # corpus totals fold the (vocab-sized) count tables, NOT the
+    # corpus — documents are scanned exactly twice (uni + bigram)
     tot = F.broadcast(
-        uni.agg(F.count("*").alias("t_uni")).crossJoin(
-            bigrams.agg(F.count("*").alias("t_bg"))
+        uni_counts.agg(F.sum("n_w").alias("t_uni")).crossJoin(
+            bg_all.agg(F.sum("n_xy").alias("t_bg"))
         )
     )
     w1 = F.expr("split_part(bg, ' ', 1)")

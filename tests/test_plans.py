@@ -136,3 +136,12 @@ def test_kfold_prunes_wide_text_column(spark):
     # must never leave the scan
     schemas = read_schema_columns(_q(spark, "q_stratified_kfold"))
     assert schemas and all("text" not in cols for cols in schemas)
+
+
+def test_tpch_q3_broadcasts_and_takeordered(spark):
+    from team_02_spark.plans import explain_str
+
+    df = _q(spark, "q_tpch_q3ish")
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert shuffle_count(df) <= 1
