@@ -567,3 +567,32 @@ def q_quantile_normalize(spark, sf_dir):
         "event_id", "event_type", "value",
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@query(
+    "q_dau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS total FROM events)
+    SELECT day, dau, CAST(dau AS DOUBLE) / total AS stickiness
+    FROM daily CROSS JOIN tot
+    """,
+)
+def q_dau(spark, sf_dir):
+    """Daily active users and stickiness (DAU over the period's total
+    actives): two distinct-count aggregates — the per-day one partial-
+    aggregates map-side on (day, user), the scalar total broadcasts.
+    The ratio is raw double division of exact counts."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    tot = F.broadcast(ev.agg(F.count_distinct("user_id").alias("total")))
+    return daily.crossJoin(tot).select(
+        "day", "dau",
+        (F.col("dau").cast("double") / F.col("total")).alias("stickiness"),
+    )

@@ -855,3 +855,35 @@ def q_pmi_bigrams(spark, sf_dir):
         "w1", "w2", "n_xy",
         pmi.cast("decimal(18,8)").cast("double").alias("pmi"),
     )
+
+
+@query(
+    "q_doc_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_CLEAN_TOKENS_SQL} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+           CAST(len(list_distinct(tk)) AS DOUBLE)
+               / NULLIF(len(tk), 0) AS ttr
+    FROM toks
+    """,
+)
+def q_doc_stats(spark, sf_dir):
+    """Per-document lexical statistics: token count, vocabulary size,
+    type-token ratio — the diversity screen next to q_quality_score /
+    q_repetition_filter in a curation pipeline. Pure array HOFs (no
+    explode, no shuffle: a map-only projection over the scan);
+    NULLIF-guarded for empty documents."""
+    docs = t(spark, sf_dir, "documents")
+    tk = clean_tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    n_unique = F.size(F.array_distinct(tk))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_unique.cast("int").alias("n_unique"),
+        (n_unique.cast("double") / F.nullif(n_tokens, F.lit(0))).alias("ttr"),
+    )
