@@ -596,3 +596,83 @@ def q_dau(spark, sf_dir):
         "day", "dau",
         (F.col("dau").cast("double") / F.col("total")).alias("stickiness"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                        THEN value END) AS median
+        FROM ranked GROUP BY event_type
+    ),
+    dev_ranked AS (
+        SELECT e.event_id, e.event_type, e.value, m.median,
+               ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                  ORDER BY abs(e.value - m.median),
+                                           e.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY e.event_type) AS n
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                        THEN abs(value - median) END) AS mad
+        FROM dev_ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.median, d.mad
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.median) > 3 * d.mad
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe sibling of q_zscore_outliers. Both medians are
+    EXACT lower-median order statistics (rank (n+1)/2, id tie-break),
+    so no interpolation arithmetic can diverge. Two window passes on
+    the same event_type key; the per-group medians broadcast back
+    over the unshuffled fact table."""
+    ev = t(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+
+    def lower_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        ranked = df.select(
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+            F.col(val_col).alias("__v") if isinstance(val_col, str)
+            else val_col.alias("__v"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2.0),
+                    F.col("__v"),
+                )
+            ).alias(out_name)
+        )
+
+    med = lower_median(ev, "value", "median")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "median",
+    )
+    mad = lower_median(
+        dev, F.abs(F.col("value") - F.col("median")), "mad"
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("median")) > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "median", "mad")
+    )

@@ -887,3 +887,113 @@ def q_doc_stats(spark, sf_dir):
         n_unique.cast("int").alias("n_unique"),
         (n_unique.cast("double") / F.nullif(n_tokens, F.lit(0))).alias("ttr"),
     )
+
+
+@query(
+    "q_keyword_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_CLEAN_TOKENS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        -- tf as INT: a BIGINT*DECIMAL(18,8) product overflows Spark's
+        -- 38-digit cap and silently drops to scale 7 — INT keeps s=8
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf AS INT) * CAST(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                            AS DECIMAL(18,8)) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(score AS DOUBLE) AS score, rnk FROM (
+        SELECT doc_id, token, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS INT)
+                   AS rnk
+        FROM scored
+    ) r WHERE rnk <= 3
+    """,
+)
+def q_keyword_tfidf(spark, sf_dir):
+    """Keyword extraction: top-3 tokens per document by tf-idf. The
+    idf ln() is snapped to DECIMAL(18,8) BEFORE ranking, so tf*idf is
+    exact decimal arithmetic and the rank order (score desc, token)
+    cannot flip on a last-ulp libm difference. Two partial-agg
+    shuffles (tf, df), the doc-count scalar broadcasts, one per-doc
+    window keeps k."""
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", clean_tokens(F.col("text")).alias("tk"))
+    toks = docs.select("doc_id", F.explode("tk").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = F.broadcast(
+        t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    )
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df")).cast("decimal(18,8)")
+    scored = tf.join(df_, "token").crossJoin(n).select(
+        "doc_id", "token", (F.col("tf").cast("int") * idf).alias("score")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", F.col("score").cast("double").alias("score"), "rnk")
+    )
+
+
+_QUALITY_SQL = f"""ROUND((
+    LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+    + CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(LENGTH(text), 1)
+    + LEAST(CAST(len(list_distinct(list_filter(
+          string_split_regex(lower(text), '\\s+'),
+          x -> x IN ({_sql_str_list(NLTK_STOPWORDS[:50])})))) AS DOUBLE)
+      / 5.0, 1.0)
+) / 3.0, 6)"""
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, md5(text) AS grp, {_QUALITY_SQL} AS quality
+        FROM documents
+    )
+    SELECT doc_id, quality FROM (
+        SELECT doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored
+    ) r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup: within each md5(text) duplicate
+    group keep the HIGHEST-quality copy (q_quality_score's heuristic,
+    doc_id tie-break) instead of the smallest id — what a curation
+    pipeline actually wants when duplicates differ in metadata. Same
+    single-shuffle shape as q_dedup_exact: the wide text bytes are
+    hashed into the shuffle key, never moved twice."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
