@@ -676,3 +676,143 @@ def q_mad_outliers(spark, sf_dir):
         .filter(F.abs(F.col("value") - F.col("median")) > 3 * F.col("mad"))
         .select("event_id", "event_type", "value", "median", "mad")
     )
+
+
+@query(
+    "q_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               {dsum_sql('value')} AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM daily
+    )
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept
+    FROM sums
+    """,
+)
+def q_trend(spark, sf_dir):
+    """Least-squares revenue trend (slope/intercept of daily purchase
+    revenue over day index): the closed-form normal equations on
+    decimal-exact power sums — x is an exact int, y a decimal-exact
+    daily sum, and x*y re-snaps to DECIMAL(18,4) so every sum is
+    order-independent; the final slope arithmetic is identical IEEE
+    division on both engines. One fact shuffle (daily groupBy), then
+    a 1-row reduction."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_diff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(dsum("value").alias("y"))
+    )
+    sums = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(slope.alias("slope"), intercept.alias("intercept"))
+
+
+@query(
+    "q_forecast_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {dsum_sql('value')} AS y
+        FROM events GROUP BY event_type, day
+    ),
+    fc AS (
+        SELECT event_type, day, y,
+               LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+        FROM daily
+    )
+    SELECT event_type,
+           COUNT(yhat) AS n_scored,
+           CAST(SUM(CAST(abs(y - yhat) / y AS DECIMAL(18,8))) AS DOUBLE)
+           / COUNT(yhat) AS mape
+    FROM fc WHERE yhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_forecast_eval(spark, sf_dir):
+    """Backtest of the seasonal-naive forecast (predict today = same
+    weekday last week) with per-type MAPE. Each absolute-percentage
+    error is snapped to DECIMAL(18,8) before averaging so the
+    reduction is order-free; y itself is a decimal-exact daily sum.
+    One fact shuffle + one dimension-sized window."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    ape = (F.abs(F.col("y") - F.col("yhat")) / F.col("y")).cast("decimal(18,8)")
+    return fc.groupBy("event_type").agg(
+        F.count("yhat").alias("n_scored"),
+        (F.sum(ape).cast("double") / F.count("yhat")).alias("mape"),
+    )
+
+
+@query(
+    "q_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT user_id, n,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(n AS DOUBLE) * n_keys / total AS skew_ratio
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_key_skew(spark, sf_dir):
+    """Heavy-hitter diagnostics for shuffle-key skew: the top-10 keys
+    by row count with their share of the table and their ratio to the
+    mean key size — the measurement that decides when operators/scale
+    salting kicks in. Map-side partial agg, scalar totals broadcast,
+    TakeOrdered top-k."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = F.broadcast(
+        counts.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"))
+    )
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "user_id", "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total"))
+            .alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
