@@ -997,3 +997,79 @@ def q_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "quality")
     )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH grouped AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dups,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_rate
+    FROM grouped GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    """Curation reporting: per-source duplicate rates (how dirty is
+    each ingest feed) — the metric sheet a dedup run publishes. Same
+    md5-keyed single shuffle as q_dedup_exact, then a tiny source
+    aggregate; the rate is raw double division of exact counts."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    grouped = docs.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return grouped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dup.alias("n_dups"),
+        (dup.cast("double") / F.count("*")).alias("dup_rate"),
+    )
+
+
+@query(
+    "q_char_ngrams",
+    oracle="""
+    WITH grams AS (
+        SELECT unnest(list_transform(range(1, GREATEST(LENGTH(text) - 1, 1)),
+                      i -> substr(text, CAST(i AS INT), 3))) AS g
+        FROM documents
+    )
+    SELECT g, COUNT(*) AS cnt
+    FROM grams
+    WHERE LENGTH(g) = 3
+    GROUP BY g
+    ORDER BY cnt DESC, g
+    LIMIT 20
+    """,
+)
+def q_char_ngrams(spark, sf_dir):
+    """Character-trigram corpus profile (top-20) — the feature family
+    classical language-ID and gibberish detectors train on (the n-gram
+    sibling of functions/text.lang_id's marker-word heuristic). The
+    trigram windows are generated with sequence+transform (JVM HOFs,
+    no UDF), exploded once, and partial-aggregated map-side before the
+    single shuffle; top-20 is TakeOrdered."""
+    docs = ensure_parallelism(t(spark, sf_dir, "documents").select("text"))
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)), "
+                "i -> substring(text, i, 3))"
+            )
+        ).alias("g")
+    ).filter(F.length("g") == 3)
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "g")
+        .limit(20)
+    )
