@@ -136,6 +136,66 @@ def embedding_probe(replication: int) -> None:
     spark.stop()
 
 
+
+
+def pairs_probe(replication: int) -> None:
+    """Bounded-candidates evidence for the self-join lanes
+    (q_cooccurrence, q_market_basket): candidate pairs must grow
+    LINEARLY with the corpus, and per-block pair counts must stay
+    capped by the block alphabet, under two replication regimes —
+    disjoint keys (new users/orders: linear by construction) and
+    same-block (same users, duplicated rows: the adversarial case the
+    distinct-before-join step must absorb)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+
+    from team_02_spark.sources import load_table
+
+    spark = get_spark(f"scaling-pairs-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    n_users = 1500  # sf0.1 user cardinality ceiling
+
+    def cooccur_pairs(events):
+        present = events.select(
+            "user_id", F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).distinct()
+        a, b = present.alias("a"), present.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        return joined
+
+    res = {"mode": "pairs", "replication": replication}
+
+    # regime 1: disjoint users (corpus growth = new population)
+    disjoint = ev
+    for i in range(1, replication):
+        disjoint = disjoint.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + i * n_users)
+        )
+    t0 = _t.perf_counter()
+    res["disjoint_pairs"] = cooccur_pairs(disjoint).count()
+    res["disjoint_sec"] = round(_t.perf_counter() - t0, 2)
+
+    # regime 2: same users, duplicated rows (adversarial: blocks
+    # deepen but distinct() caps pairs at C(|alphabet|,2) per block)
+    same = ev
+    for _ in range(1, replication):
+        same = same.unionByName(ev)
+    t0 = _t.perf_counter()
+    res["sameblock_pairs"] = cooccur_pairs(same).count()
+    res["sameblock_sec"] = round(_t.perf_counter() - t0, 2)
+
+    print(__import__("json").dumps(res))
+    spark.stop()
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
@@ -143,6 +203,9 @@ def main() -> None:
         return
     if mode == "embedding":
         embedding_probe(arg)
+        return
+    if mode == "pairs":
+        pairs_probe(arg)
         return
     from team_02_spark import get_spark
 
