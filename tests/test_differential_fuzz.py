@@ -164,3 +164,88 @@ def test_fuzzed_window_frames(spark, duck_joins, frame_rows):
         "FROM orders"
     ).fetchdf()
     assert not compare(got, want)
+
+
+@pytest.fixture(scope="module")
+def duck_events():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    width=st.integers(min_value=1, max_value=5),
+    lag_k=st.integers(min_value=1, max_value=3),
+)
+def test_fuzzed_rolling_features(spark, duck_events, width, lag_k):
+    """Random rolling-window widths and lag offsets over the per-user
+    ordering (the q_lag_features shape) agree exactly: decimal-exact
+    rolling sums, integer lag of event ids."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-(width - 1), Window.currentRow)
+    sdf = ev.select(
+        "event_id",
+        F.lag("event_id", lag_k).over(w).alias("prev_id"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(wr)
+        .cast("double").alias("roll_sum"),
+    )
+    ddf = duck_events.execute(f"""
+        SELECT event_id,
+               LAG(event_id, {lag_k}) OVER w AS prev_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                    (w ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS roll_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """).fetchdf()
+    assert not compare(sdf, ddf)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=st.integers(min_value=1, max_value=9).map(lambda i: i / 10.0))
+def test_fuzzed_exact_rank_percentile(spark, duck_events, q):
+    """Random exact-rank percentiles per group (the q_winsorize bound
+    selection): both engines pick the value at rank ceil(q*n) with id
+    tie-break — identical rows, identical values."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    sdf = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(q * F.col("n"))),
+                F.col("value"),
+            )
+        ).alias("pval")
+    )
+    ddf = duck_events.execute(f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               MIN(CASE WHEN rn = GREATEST(1, CAST(ceil({q} * n) AS BIGINT))
+                        THEN value END) AS pval
+        FROM ranked GROUP BY event_type
+    """).fetchdf()
+    assert not compare(sdf, ddf)
