@@ -145,3 +145,32 @@ def test_tpch_q3_broadcasts_and_takeordered(spark):
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in explain_str(df)
     assert shuffle_count(df) <= 1
+
+
+def test_newest_lanes_stay_jvm_side(spark):
+    for name in (
+        "q_winsorize", "q_pmi_bigrams", "q_quantile_normalize",
+        "q_rfm", "q_market_basket", "q_pareto", "q_doc_stats", "q_dau",
+        "q_keyword_tfidf", "q_mad_outliers", "q_dedup_keep_best",
+        "q_trend", "q_forecast_eval", "q_key_skew",
+        "q_dup_rate_by_source", "q_char_ngrams", "q_tpch_q3ish",
+        "q_schema_drift_union",
+    ):
+        assert not uses_python_udf(_q(spark, name)), f"{name} crossed into Python"
+
+
+def test_skew_and_ngram_topk_never_full_sort(spark):
+    from team_02_spark.plans import explain_str
+
+    for name in ("q_key_skew", "q_char_ngrams"):
+        assert "TakeOrderedAndProject" in explain_str(_q(spark, name)), name
+
+
+def test_winsorize_and_mad_broadcast_bounds(spark):
+    # per-group bounds/medians are |alphabet|-sized → must broadcast
+    for name in ("q_winsorize", "q_mad_outliers"):
+        assert has_broadcast_join(_q(spark, name)), name
+
+
+def test_doc_stats_is_map_only(spark):
+    assert shuffle_count(_q(spark, "q_doc_stats")) == 0
