@@ -816,3 +816,125 @@ def q_key_skew(spark, sf_dir):
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "q_path_analysis",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t0,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+    FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def q_path_analysis(spark, sf_dir):
+    """Top-10 three-step behavior paths (clickstream path analysis):
+    two lead() offsets over ONE per-user window — a single shuffle —
+    then an |alphabet|^3-bounded aggregate and TakeOrdered."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "q_multistep_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS s_ts
+        FROM events
+    ),
+    s2 AS (
+        SELECT user_id, ts, event_type, s_ts,
+               MIN(CASE WHEN event_type = 'click' AND ts >= s_ts
+                         AND ts <= s_ts + INTERVAL 7 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS c_ts
+        FROM s1
+    ),
+    s3 AS (
+        SELECT user_id, s_ts, c_ts,
+               MIN(CASE WHEN event_type = 'purchase' AND ts >= c_ts
+                         AND ts <= c_ts + INTERVAL 7 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS p_ts
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id, MAX(s_ts) AS s_ts, MAX(c_ts) AS c_ts,
+               MAX(p_ts) AS p_ts
+        FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(s_ts) AS n_signup,
+           COUNT(c_ts) AS n_click_7d,
+           COUNT(p_ts) AS n_purchase_7d
+    FROM per_user
+    """,
+)
+def q_multistep_funnel(spark, sf_dir):
+    """Time-constrained multistep funnel: signup → click within 7
+    days → purchase within 7 days of the click. Three chained window
+    aggregates ALL partitioned by user_id, so Spark plans ONE shuffle
+    and three sorts-free window passes over it (min() needs no
+    ordering) — no self-joins, no per-step re-scan. The per-user frame
+    then reduces to three stage counts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    day7 = F.expr("INTERVAL 7 DAY")
+    s1 = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        .alias("s_ts"),
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("s_ts"))
+                & (F.col("ts") <= F.col("s_ts") + day7),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("c_ts"))
+                & (F.col("ts") <= F.col("c_ts") + day7),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_7d"),
+        F.count("p_ts").alias("n_purchase_7d"),
+    )
