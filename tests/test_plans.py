@@ -174,3 +174,12 @@ def test_winsorize_and_mad_broadcast_bounds(spark):
 
 def test_doc_stats_is_map_only(spark):
     assert shuffle_count(_q(spark, "q_doc_stats")) == 0
+
+
+def test_sequence_lanes_shuffle_budget(spark):
+    # one user_id exchange for the window chain; the only other
+    # exchange is the inherent final aggregate
+    assert shuffle_count(_q(spark, "q_multistep_funnel")) <= 2
+    assert shuffle_count(_q(spark, "q_path_analysis")) <= 2
+    for name in ("q_multistep_funnel", "q_path_analysis"):
+        assert not uses_python_udf(_q(spark, name))
