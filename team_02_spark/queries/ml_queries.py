@@ -122,3 +122,67 @@ def q_stratified_kfold(spark, sf_dir):
         .groupBy("lang", "fold")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "q_cv_agreement",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 5 AS INT) AS fold,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|random_forest'), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END AS m_rf,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|logistic_regression'), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END AS m_lr,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|knn'), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END AS m_knn
+        FROM documents
+    )
+    SELECT fold,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS n_agree,
+           CAST(SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS agree_rate,
+           SUM(CASE WHEN m_rf + m_lr + m_knn >= 2 THEN 1 ELSE 0 END)
+               AS n_ensemble_pos
+    FROM scored GROUP BY fold
+    """,
+)
+def q_cv_agreement(spark, sf_dir):
+    """Cross-validated model-agreement report: per fold (the
+    q_stratified_kfold assignment), the pairwise agreement of two
+    scorers and the 3-model majority vote — the eval sheet a
+    multi-model scoring run (U9) publishes. Scoring is the same
+    deterministic md5-parity stand-in as q_score_multi, so exact
+    counts are oracle-checkable; one map-side scoring pass, one tiny
+    fold aggregate."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    scored = score_deterministic(
+        docs, "doc_id", ["random_forest", "logistic_regression", "knn"]
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    agree = F.sum(
+        F.when(F.col("random_forest") == F.col("logistic_regression"), 1)
+        .otherwise(0)
+    )
+    return (
+        scored.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            agree.alias("n_agree"),
+            (agree.cast("double") / F.count("*")).alias("agree_rate"),
+            F.sum(
+                F.when(
+                    F.col("random_forest")
+                    + F.col("logistic_regression")
+                    + F.col("knn")
+                    >= 2,
+                    1,
+                ).otherwise(0)
+            ).alias("n_ensemble_pos"),
+        )
+    )
