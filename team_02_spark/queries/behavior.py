@@ -938,3 +938,38 @@ def q_multistep_funnel(spark, sf_dir):
         F.count("c_ts").alias("n_click_7d"),
         F.count("p_ts").alias("n_purchase_7d"),
     )
+
+
+_WEIGHTED_VALUE_SQL = (
+    "value * CASE event_type "
+    "WHEN 'purchase' THEN 3.0 WHEN 'click' THEN 1.0 "
+    "WHEN 'view' THEN 0.5 WHEN 'signup' THEN 2.0 ELSE 0.0 END"
+)
+
+
+@query(
+    "q_engagement_score",
+    oracle=f"""
+    SELECT user_id,
+           {dsum_sql(_WEIGHTED_VALUE_SQL)} AS engagement
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_engagement_score(spark, sf_dir):
+    """Weighted engagement scoring with a literal weight map — the
+    broadcast-lookup pattern (a tiny dimension embedded as a map
+    literal, resolved at plan time; no join at all). Weights multiply
+    in double, then the per-user sum goes through DECIMAL(18,4) for
+    order-independence. One fact shuffle."""
+    ev = t(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(3.0),
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("signup"), F.lit(2.0),
+    )
+    w = F.coalesce(weights.getItem(F.col("event_type")), F.lit(0.0))
+    return ev.groupBy("user_id").agg(
+        dsum(F.col("value") * w).alias("engagement")
+    )

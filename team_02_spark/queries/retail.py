@@ -163,3 +163,42 @@ def q_pareto(spark, sf_dir):
         share.alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+@query(
+    "q_lead_time",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS total_days,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*) AS avg_days,
+           MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS max_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_lead_time(spark, sf_dir):
+    """Order-to-ship lead time by priority class — the fulfillment
+    SLA report. Integer day arithmetic end-to-end (exact sums, one
+    double division at exit); the orders side broadcasts into the
+    lineitem scan, one priority-keyed aggregate shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    days = F.date_diff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(days).cast("long").alias("total_days"),
+            (F.sum(days).cast("double") / F.count("*")).alias("avg_days"),
+            F.max(days).alias("max_days"),
+        )
+    )
