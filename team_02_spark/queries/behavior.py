@@ -123,7 +123,7 @@ def q_cooccurrence(spark, sf_dir):
     scored AS (
         SELECT e.event_id, e.event_type, e.value,
                (e.value - s.s1 / s.n)
-               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+               / NULLIF(sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 0) AS z
         FROM events e JOIN stats s ON e.event_type = s.event_type
         WHERE s.n > 1
     )
@@ -150,7 +150,7 @@ def q_zscore_outliers(spark, sf_dir):
     var = (F.col("s.s2") - F.col("s.s1") * F.col("s.s1") / F.col("s.n")) / (
         F.col("s.n") - 1
     )
-    z = (F.col("e.value") - mean) / F.sqrt(var)
+    z = (F.col("e.value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
     return (
         e.join(s, F.col("e.event_type") == F.col("s.event_type"))
         .select(
@@ -175,7 +175,7 @@ def q_zscore_outliers(spark, sf_dir):
     )
     SELECT week_start, revenue,
            (revenue - LAG(revenue) OVER (ORDER BY week_start))
-           / LAG(revenue) OVER (ORDER BY week_start) AS wow_growth
+           / NULLIF(LAG(revenue) OVER (ORDER BY week_start), 0) AS wow_growth
     FROM weekly
     """,
 )
@@ -195,7 +195,11 @@ def q_weekly_growth(spark, sf_dir):
     return weekly.select(
         "week_start",
         "revenue",
-        ((F.col("revenue") - prev) / prev).alias("wow_growth"),
+        # NULLIF: a zero-revenue week must yield NULL growth, not an
+        # ANSI DIVIDE_BY_ZERO (Spark 4 throws even for double/0)
+        ((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0))).alias(
+            "wow_growth"
+        ),
     )
 
 
@@ -750,7 +754,8 @@ def q_trend(spark, sf_dir):
     )
     SELECT event_type,
            COUNT(yhat) AS n_scored,
-           CAST(SUM(CAST(abs(y - yhat) / y AS DECIMAL(18,8))) AS DOUBLE)
+           CAST(SUM(CAST(abs(y - yhat) / NULLIF(y, 0) AS DECIMAL(18,8)))
+                AS DOUBLE)
            / COUNT(yhat) AS mape
     FROM fc WHERE yhat IS NOT NULL
     GROUP BY event_type
@@ -770,7 +775,9 @@ def q_forecast_eval(spark, sf_dir):
     fc = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
         F.col("yhat").isNotNull()
     )
-    ape = (F.abs(F.col("y") - F.col("yhat")) / F.col("y")).cast("decimal(18,8)")
+    ape = (
+        F.abs(F.col("y") - F.col("yhat")) / F.nullif(F.col("y"), F.lit(0.0))
+    ).cast("decimal(18,8)")
     return fc.groupBy("event_type").agg(
         F.count("yhat").alias("n_scored"),
         (F.sum(ape).cast("double") / F.count("yhat")).alias("mape"),
