@@ -1073,3 +1073,76 @@ def q_char_ngrams(spark, sf_dir):
         .orderBy(F.desc("cnt"), "g")
         .limit(20)
     )
+
+
+@query(
+    "q_setsim_join",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct({_CLEAN_TOKENS_SQL}) AS tk
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / NULLIF(len(list_distinct(a.tk || b.tk)), 0) AS sim
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+              / NULLIF(len(list_distinct(a.tk || b.tk)), 0) >= 0.8
+    """,
+)
+def q_setsim_join(spark, sf_dir):
+    """Set-similarity join (token-set Jaccard >= 0.8) with PREFIX
+    FILTERING — the PPJoin-family candidate pruning: tokens are
+    globally ordered rarest-first, each document exposes only its
+    first |s| - ceil(t*|s|) + 1 tokens, and two documents can pass the
+    threshold ONLY if their prefixes share a token. The filter is
+    LOSSLESS for Jaccard, so the brute-force oracle matches exactly —
+    an advanced pruning strategy whose output is still bit-checkable.
+    At 100 TB: candidates are bounded by rare-token postings lists
+    (the frequent tokens never enter a prefix), the inverted-index
+    discipline of operators/dedup.py taken one step further."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(clean_tokens(F.col("text")))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("f"))
+    # rarest-first total order (f, token); sets carried as sorted arrays
+    sets = (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "token"))),
+                lambda s: s["token"],
+            ).alias("tk")
+        )
+        .withColumn("sz", F.size("tk"))
+    )
+    pref_len = (F.col("sz") - F.ceil(0.8 * F.col("sz")) + 1).cast("int")
+    prefixes = sets.select(
+        "doc_id", F.explode(F.slice("tk", 1, pref_len)).alias("token")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    union = F.size(F.array_union("tk_a", "tk_b"))
+    sim = inter.cast("double") / F.nullif(union, F.lit(0))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.8)
+    )
