@@ -1,0 +1,158 @@
+"""Graph lane: iterative graph algorithms expressed as DataFrame
+joins — the pattern that scales, because each PageRank/label round is
+one shuffle on the edge key, never driver-side adjacency state.
+
+The graph is the customer↔supplier bipartite network induced by the
+order flow (edge = "customer bought from supplier", i.e. a distinct
+(o_custkey, l_suppkey) pair via lineitem⋈orders). Undirected: each
+pair contributes both directions to the edge list.
+
+The dedup lane already carries the other classic (connected
+components via min-label propagation, operators/dedup.py); this adds
+degree-distribution analytics and a fixed-iteration PageRank whose
+DuckDB oracle is the same computation unrolled as CTEs — every sum
+passes through DECIMAL(38,11) so the iterated floating-point state is
+bit-identical across engines (FIXTURES.md §C discipline).
+
+At 100 TB: the edge list is the only shuffled artifact (distinct on
+the pair key), degree and rank updates are map-side-combined
+aggregations on edge partitions, and iteration count is fixed —
+localCheckpoint between rounds (as connected_components does) caps
+the plan depth. PageRank here is 2 unrolled rounds to keep the SQL
+twin honest; the loop form lives in tests via the same building
+block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+# Decimal wide enough for summed rank contributions: scale 11 keeps
+# the scaled-integer form of any realistic rank sum below 2^53, so
+# the decimal -> double exit is an EXACT int conversion plus one
+# correctly-rounded division by 10^11 in BOTH engines (scale 18
+# overflowed 2^53 and produced last-ulp divergence).
+_DEC = "decimal(38,11)"
+_DEC_SQL = "DECIMAL(38,11)"
+
+_PAIRS_SQL = """
+      SELECT DISTINCT 'c' || o.o_custkey AS c_node, 's' || l.l_suppkey AS s_node
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _pairs(spark, sf_dir) -> DataFrame:
+    """Distinct customer↔supplier co-occurrence pairs. One fact pass,
+    orders broadcast, one distinct-shuffle on the pair."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        )
+        .distinct()
+    )
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    """Undirected edge list (both directions of each pair)."""
+    pairs = _pairs(spark, sf_dir)
+    return pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    deg AS (
+      SELECT c_node, COUNT(*) AS degree FROM pairs GROUP BY c_node
+    )
+    SELECT degree, COUNT(*) AS n_customers
+    FROM deg
+    GROUP BY degree
+    """,
+)
+def q_graph_degree(spark, sf_dir):
+    """Degree distribution of the customer side (how many distinct
+    suppliers each customer transacts with): two cheap aggregations
+    after the one distinct-pair shuffle. The skew diagnostic you run
+    before choosing a partitioning for any graph workload."""
+    pairs = _pairs(spark, sf_dir)
+    deg = pairs.groupBy("c_node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr1 AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+               CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / d.deg AS {_DEC_SQL})) AS DOUBLE)
+               AS pr
+      FROM edges e JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+               CAST(SUM(CAST(p.pr / d.deg AS {_DEC_SQL})) AS DOUBLE) AS pr
+      FROM edges e
+      JOIN deg d ON e.src = d.src
+      JOIN pr1 p ON e.src = p.node
+      GROUP BY e.dst
+    )
+    SELECT node, pr FROM pr2
+    ORDER BY pr DESC, node
+    LIMIT 20
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, uniform init 1.0), two unrolled rounds
+    on the undirected bipartite graph; top-20 nodes. Each round is
+    edges ⋈ deg ⋈ prev-rank then a groupBy(dst) — the rank table stays
+    distributed; nothing touches the driver. Contribution sums go
+    through DECIMAL(38,11) so the iterated double state matches the
+    unrolled-CTE oracle bit-for-bit; the top-20 cut is deterministic
+    via the (pr DESC, node) tiebreak on both sides."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+
+    def rank_round(prev: DataFrame | None) -> DataFrame:
+        contrib = (
+            ed if prev is None
+            else ed.join(prev.withColumnRenamed("node", "src"), "src")
+        )
+        term = (
+            (F.lit(1.0) / F.col("deg")) if prev is None
+            else (F.col("pr") / F.col("deg"))
+        )
+        return (
+            contrib.withColumn("__t", term.cast(_DEC))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(0.15) + F.lit(0.85) * F.sum("__t").cast("double")).alias("pr")
+            )
+        )
+
+    pr1 = rank_round(None)
+    pr2 = rank_round(pr1)
+    return pr2.orderBy(F.desc("pr"), "node").limit(20)

@@ -1,0 +1,172 @@
+"""Time-series lane over the events stream-table: OHLC bar resampling,
+rolling exact medians, and EWMA smoothing — the shapes a metrics/
+feature-engineering pipeline runs constantly.
+
+Engine discipline notes (FIXTURES.md §C):
+
+- Bars exit as *formatted strings* at bar granularity, never raw
+  timestamps (container-tz gotcha — .claude/skills/verify).
+- Open/close use explicit ROW_NUMBER endpoints with an
+  (ts, event_id) tiebreak on BOTH engines — min_by/arg_min tie
+  behavior is engine-defined, row_number is not.
+- Rolling median is computed from an explicitly sorted frame list
+  with the same index arithmetic on both engines (Spark's
+  percentile/median interpolation vs DuckDB's quantile_cont is NOT
+  guaranteed bit-identical; element_at + (a+b)/2.0 is).
+- EWMA is a left fold over the ordered frame (higher-order
+  functions: Spark F.aggregate ≡ DuckDB list_reduce, same operand
+  order, same doubles).
+
+At scale: everything here is a single window pass per user/bar key —
+rolling state never leaves the executor, and the per-key frame is
+bounded (5/10 rows), so memory is O(frame), not O(partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bkt, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, strftime(bkt, '%Y-%m-%d %H:00') AS bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r
+    GROUP BY event_type, bar_hour
+    """,
+)
+def q_ohlc_bars(spark, sf_dir):
+    """Resample the event stream into hourly OHLC bars per event type.
+    One window pass tags the bar endpoints (first/last by (ts,
+    event_id) — deterministic under ts ties), one aggregation folds
+    the bar. The window and the aggregation share the same
+    (event_type, hour) key, so Spark reuses a single shuffle."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bkt", F.date_trunc("hour", F.col("ts"))
+    )
+    w_a = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bkt").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy(
+            "event_type",
+            F.date_format("bkt", "yyyy-MM-dd HH:00").alias("bar_hour"),
+        )
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH fr AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(l) % 2 = 1
+                THEN list_sort(l)[CAST(FLOOR((len(l) + 1) / 2) AS INT)]
+                ELSE (list_sort(l)[CAST(FLOOR(len(l) / 2) AS INT)]
+                      + list_sort(l)[CAST(FLOOR(len(l) / 2) AS INT) + 1])
+                     / CAST(2.0 AS DOUBLE)
+           END AS rolling_med
+    FROM fr
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Exact rolling median of the last 5 events per user. The frame
+    is collected (bounded: 5 rows), sorted, and indexed with explicit
+    midpoint arithmetic — identical formula on both engines, immune
+    to engine-specific quantile interpolation. Per-user state stays
+    inside one window pass."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    lst = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(lst)
+    odd = F.element_at(lst, F.floor((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(lst, F.floor(n / 2).cast("int"))
+        + F.element_at(lst, F.floor(n / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_med"),
+    )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH fr AS (
+      SELECT user_id, event_id, value,
+             list(struct_pack(ts := ts, event_id := event_id, value := value))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           list_reduce(
+             list_transform(list_sort(l), x -> x.value),
+             (acc, x) -> x * CAST(0.3 AS DOUBLE) + acc * CAST(0.7 AS DOUBLE)
+           ) AS ewma
+    FROM fr
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """EWMA (alpha = 0.3) over each user's last 10 events: a left fold
+    over the ordered frame, seeded with the frame's first value —
+    Spark's F.aggregate and DuckDB's list_reduce run the identical
+    operand order, so the iterated double state matches exactly. The
+    frame list is sorted via (ts, event_id, value) structs, NOT
+    collection order (collect_list order inside a window frame is not
+    a contract)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    lst = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value")).over(w)
+        ),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: x * F.lit(0.3) + acc * F.lit(0.7),
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "value", ewma.alias("ewma"))
