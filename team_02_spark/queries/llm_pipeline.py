@@ -1,0 +1,281 @@
+"""LLM training-data pipeline operators, round 2: chunking, vocab
+coverage, deterministic source mixing, stage-yield observability, and
+incremental (mergeable-state) aggregation.
+
+These extend the curation lane (pipeline_data.py, text_queries.py)
+with the steps between "curated corpus" and "training batches":
+
+- chunking: split documents into overlapping fixed-token windows —
+  the tokenize-and-pack precursor (companion to q_pack_sequences);
+- vocab coverage: what fraction of token occurrences a top-K corpus
+  vocabulary covers — the OOV-rate metric for tokenizer sizing;
+- source mixing: down/up-weight sources to a target mixture with a
+  DETERMINISTIC per-row keep decision (Knuth multiplicative hash of
+  the id — reproducible in any engine, auditable, re-runnable);
+- pipeline yield: per-stage survivor counts through the cumulative
+  filter chain — the observability table every curation run reports;
+- incremental agg: merge partial aggregates from a base corpus and a
+  delta batch WITHOUT rescanning the base — the mergeable-state
+  pattern (count + decimal sum) behind incremental materialized
+  views; the oracle proves merge ≡ full recompute.
+
+At 100 TB: chunking/coverage are one explode-shuffle each (the
+explode is map-side; the shuffle is only the vocab/doc aggregation);
+source mixing is a pure map (no shuffle at all — the hash decision is
+row-local); incremental agg reads ONLY the delta plus tiny partial
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+# Whitespace tokens, empty-free — the house tokenization
+# (text_queries.py q_token_count uses the same split on both engines).
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _toks(col):
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+@query(
+    "q_chunk_text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1, 15)) AS start
+      FROM tok
+      WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 15 AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + 19), ' ') AS chunk,
+           CAST(least(20, len(toks) - start + 1) AS INT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def q_chunk_text(spark, sf_dir):
+    """Chunk each document into 20-token windows with stride 15 (5
+    tokens of overlap) — the context-window preprocessing step before
+    tokenize/embed. The token array is built ONCE per document and the
+    chunk explosion is map-side (no shuffle at all: chunking is
+    embarrassingly parallel); at scale the output is written
+    partitioned by source so downstream embedding jobs stream it."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(15))
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / 15).cast("int").alias("chunk_id"),
+            F.array_join(F.slice(F.col("toks"), F.col("start"), 20), " ").alias(
+                "chunk"
+            ),
+            F.least(
+                F.lit(20), F.size("toks") - F.col("start") + 1
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS r
+        FROM tok GROUP BY tok
+      ) WHERE r <= 500
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_covered,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS coverage
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document coverage of the corpus top-500 vocabulary (by
+    occurrence): the OOV-rate report used to size tokenizer vocabs.
+    Two aggregations share one exploded-token pass; the vocab (tiny by
+    construction) broadcasts back onto the token stream, so the only
+    big shuffle is the token-frequency count — and that one is
+    map-side combined. Rank ties at the K boundary break on the token
+    string, so the vocab set is deterministic on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    wr = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= 500)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).alias("n_covered"),
+            (
+                F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("coverage"),
+        )
+    )
+
+
+# Deterministic uniform draw in (0,1) from an integer id — the Knuth
+# multiplicative hash in exact decimal arithmetic (same construction
+# as operators/relational.weighted_sample_exact; HUGEINT on the
+# DuckDB side). Engine-reproducible, overflow-safe under ANSI mode.
+_U_SQL = (
+    "(CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) + 1 AS DOUBLE)"
+    " / 4294967297.0)"
+)
+
+
+def _u(key):
+    return (
+        F.pmod(
+            F.col(key).cast("decimal(38,0)") * F.lit(2654435761),
+            F.lit(4294967296),
+        )
+        + 1
+    ).cast("double") / F.lit(4294967297.0)
+
+
+_RATE_SQL = """CASE
+      WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.9
+      WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+      ELSE 0.2 END"""
+
+
+@query(
+    "q_source_mix",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_U_SQL} < {_RATE_SQL}
+    """,
+)
+def q_source_mix(spark, sf_dir):
+    """Deterministic source mixing: keep each document with a
+    per-source target rate (high-quality sources at 0.9, mid at 0.5,
+    tail at 0.2) decided by a hash of the doc id — not an RNG — so the
+    mixture is exactly reproducible across runs, engines, and
+    retries. A pure map over the corpus: no shuffle, no state; at 100
+    TB this composes with the scan (predicate evaluated next to the
+    parquet reader)."""
+    docs = t(spark, sf_dir, "documents")
+    rate = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(0.9),
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            F.lit(0.5),
+        )
+        .otherwise(F.lit(0.2))
+    )
+    return docs.filter(_u("doc_id") < rate).select("doc_id", "source")
+
+
+@query(
+    "q_pipeline_yield",
+    oracle=f"""
+    WITH annotated AS (
+      SELECT n_chars, lang,
+             len({_TOKS_SQL}) AS n_toks
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_total,
+           SUM(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS n_after_length,
+           SUM(CASE WHEN n_chars >= 50 AND lang = 'en' THEN 1 ELSE 0 END)
+             AS n_after_lang,
+           SUM(CASE WHEN n_chars >= 50 AND lang = 'en' AND n_toks >= 10
+                    THEN 1 ELSE 0 END) AS n_after_tokens,
+           CAST(SUM(CASE WHEN n_chars >= 50 AND lang = 'en' AND n_toks >= 10
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS yield_pct
+    FROM annotated
+    """,
+)
+def q_pipeline_yield(spark, sf_dir):
+    """Curation observability: survivor counts through the cumulative
+    filter chain (length → language → token budget) plus the final
+    yield fraction — ONE pass with conditional aggregates, not one
+    count() job per stage (the difference between a report and four
+    full corpus scans at 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    n_toks = F.size(_toks(F.col("text")))
+    s1 = F.col("n_chars") >= 50
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & (n_toks >= 10)
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        one_if(s1).alias("n_after_length"),
+        one_if(s2).alias("n_after_lang"),
+        one_if(s3).alias("n_after_tokens"),
+        (one_if(s3).cast("double") / F.count("*")).alias("yield_pct"),
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregation via mergeable partial state: the base
+    corpus (events before Jan 15) and the delta batch (after) are
+    aggregated SEPARATELY into (count, decimal-sum) partials, then
+    merged by re-summing — and the oracle is the full recompute over
+    everything, proving merge ≡ recompute. This is the maintenance
+    step of an incremental materialized view: at 100 TB the base
+    partials are a tiny stored table and only the delta is scanned.
+    Counts merge by summing; sums merge EXACTLY because the partial
+    state is decimal, not double (FIXTURES.md §C)."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__s"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.sum("__s").cast("double").alias("total_value"),
+        )
+    )
