@@ -25,7 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from team_02_spark.functions.vectors import band_buckets, cosine, hyperplane_bucket
+from team_02_spark.functions.vectors import (
+    band_buckets, cosine, hyperplane_bucket, normalize, pdot, punit,
+)
 from team_02_spark.util import ensure_parallelism
 
 
@@ -408,21 +410,33 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
 
     # 2. band signature (adaptive bits per band). The bucket index
     # carries the vector (spark.ml MinHashLSH's approxSimilarityJoin
-    # layout) so the verify step needs NO extra join back to reps; it
-    # is persisted because three consumers (hot-bucket counts, both
-    # sides of the self-join) would otherwise recompute the signature
-    # UDF. At cluster scale this index is the thing you'd checkpoint.
+    # layout) so the verify step needs NO extra join back to reps; the
+    # signature table is persisted because three consumers (hot-bucket
+    # counts, both sides of the self-join) would otherwise recompute
+    # the signature UDFs and the pre-collapse window. At cluster scale
+    # this index is the thing you'd checkpoint.
     if num_planes is None:
         # sized from the RAW count (parquet metadata-only, no window
         # job) — an upper bound on distinct reps, which can only make
         # buckets smaller; banding keeps recall
         num_planes = adaptive_num_planes(df.count(), target_bucket_size)
-    buckets = reps.select(
+    # The persisted signature table is UN-exploded (one row per rep:
+    # unit vector + band array + refine bits) — the cache holds ONE
+    # copy of each vector, not num_bands copies, and all three Python
+    # crossings (unit-normalize, band signature, refine bits) run in a
+    # single Arrow stage over rep-cardinality rows. The band explosion
+    # happens on read from this tiny cache, per consumer.
+    sig = reps.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            _banded_bucket_col(vec_col, dim, num_planes, num_bands, seed)
-        ).alias("bk"),
+        # unit-normalized ONCE at index build: the verify step is then
+        # a single dot product per pair instead of dot + two norms —
+        # 3x less per-pair work, and the norm is never recomputed per
+        # collision (punit() passes all-zero vectors through; their
+        # dot is 0 < threshold, same keep decision as cosine=0)
+        punit(F.col(vec_col)).alias("__unit"),
+        _banded_bucket_col(vec_col, dim, num_planes, num_bands, seed).alias(
+            "__bands"
+        ),
         *(
             []
             if bucket_cap is None
@@ -432,13 +446,19 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
                 hyperplane_bucket(vec_col, dim, 8, seed + 10_007).alias("__refine")
             ]
         ),
+    ).persist()
+    buckets = sig.select(
+        id_col,
+        "__unit",
+        F.explode("__bands").alias("bk"),
+        *([] if bucket_cap is None else ["__refine"]),
     ).select(
         id_col,
-        vec_col,
+        "__unit",
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
         *([] if bucket_cap is None else ["__refine"]),
-    ).persist()
+    )
     if bucket_cap is not None:
         counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
         hot = counts.filter(F.col("__n") > bucket_cap).select(
@@ -458,9 +478,11 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
             .drop("__hot", "__refine")
         )
 
-    # 3+4. candidate pairs (same band+bucket, a < b) verified by exact
-    # cosine in place — vectors ride the join, so a pair costs one
-    # cosine per shared band and never a second shuffle of reps.
+    # 3+4. candidate pairs (same band+bucket, a < b) — deduped across
+    # bands BEFORE scoring (a pair colliding in k bands would
+    # otherwise be verified k times), then verified by one
+    # Arrow-batched dot per pair (unit vectors: dot IS cosine).
+    # Vectors ride the join; reps is never shuffled a second time.
     l, r = buckets.alias("l"), buckets.alias("r")
     lsh_losers = (
         l.join(
@@ -469,8 +491,15 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .filter(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) >= threshold)
-        .select(F.col(f"r.{id_col}").alias(id_col))
+        .select(
+            F.col(f"l.{id_col}").alias("__a"),
+            F.col(f"r.{id_col}").alias("__b"),
+            F.col("l.__unit").alias("__ua"),
+            F.col("r.__unit").alias("__ub"),
+        )
+        .dropDuplicates(["__a", "__b"])
+        .filter(pdot(F.col("__ua"), F.col("__ub")) >= threshold)
+        .select(F.col("__b").alias(id_col))
     )
     losers = exact_losers.unionByName(lsh_losers).distinct()
     return df.join(losers, id_col, "left_anti")
