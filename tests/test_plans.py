@@ -183,3 +183,56 @@ def test_sequence_lanes_shuffle_budget(spark):
     assert shuffle_count(_q(spark, "q_path_analysis")) <= 2
     for name in ("q_multistep_funnel", "q_path_analysis"):
         assert not uses_python_udf(_q(spark, name))
+
+
+# ------------------------------------------------- round-2 lanes
+
+
+def test_tpch_tail_broadcasts_and_shuffle_budget(spark):
+    """Every round-2 TPC-H tail shape keeps dims broadcast and at most
+    two shuffles (the aggregation, plus at most one decorrelated
+    subquery / second-level agg)."""
+    for name in (
+        "q_tpch_q4ish", "q_tpch_q7ish", "q_tpch_q8ish", "q_tpch_q13ish",
+        "q_tpch_q14ish", "q_tpch_q15ish", "q_tpch_q17ish", "q_tpch_q18ish",
+        "q_tpch_q19ish", "q_tpch_q22ish",
+    ):
+        df = _q(spark, name)
+        assert shuffle_count(df) <= 2, name
+        assert has_broadcast_join(df), name
+        assert not uses_python_udf(df), name
+
+
+def test_llm_pipeline_map_only_lanes(spark):
+    """Chunking and source mixing compose with the scan: ZERO
+    shuffles — at 100 TB these are free riders on the read."""
+    assert shuffle_count(_q(spark, "q_chunk_text")) == 0
+    assert shuffle_count(_q(spark, "q_source_mix")) == 0
+    for name in ("q_chunk_text", "q_source_mix"):
+        assert not uses_python_udf(_q(spark, name))
+
+
+def test_timeseries_single_user_exchange(spark):
+    """Rolling median / EWMA: the whole per-user frame pipeline rides
+    ONE hashpartitioning(user_id) exchange."""
+    assert shuffle_count(_q(spark, "q_rolling_median")) == 1
+    assert shuffle_count(_q(spark, "q_ewma")) == 1
+    # OHLC: window tag + bar aggregation (different grouping key)
+    assert shuffle_count(_q(spark, "q_ohlc_bars")) <= 2
+
+
+def test_graph_lane_plans(spark):
+    """Degree histogram: distinct-pair shuffle + two tiny aggs, orders
+    broadcast. PageRank: joins stay JVM-side, no Python."""
+    deg = _q(spark, "q_graph_degree")
+    assert shuffle_count(deg) <= 3
+    assert has_broadcast_join(deg)
+    assert not uses_python_udf(_q(spark, "q_pagerank"))
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The top-K vocab must broadcast back onto the token stream —
+    the token table is corpus-scale, the vocab is K rows."""
+    df = _q(spark, "q_vocab_coverage")
+    assert has_broadcast_join(df)
+    assert not uses_python_udf(df)
