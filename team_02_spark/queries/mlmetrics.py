@@ -1,0 +1,142 @@
+"""ML evaluation metrics as distributed aggregations — the companions
+to the confusion-matrix query (ml/models.py A1): ranking quality (AUC)
+and probability calibration.
+
+Ground truth / scores come from the events table (label = "is a
+purchase event", score = the event's value column) — the same
+label/score shape a model-scoring pipeline produces (ml/scoring.py
+U9 writes exactly such columns).
+
+Scale design: AUC is computed WITHOUT a global per-row rank. Scores
+are first aggregated per distinct value (one map-side-combined
+shuffle); the rank structure is recovered from cumulative counts over
+the (much smaller) grouped table — the Mann-Whitney statistic with
+exact average-rank tie handling, identical in any engine. A naive
+row-level rank() would sort the full corpus; this sorts distinct
+scores only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+_LABEL_SQL = "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+
+
+@query(
+    "q_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT value AS score, {_LABEL_SQL} AS y FROM events
+    ),
+    grouped AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS n_pos
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT n, n_pos,
+             COALESCE(SUM(n) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+      FROM grouped
+    ),
+    stats AS (
+      SELECT CAST(SUM(CAST(n_pos * (cum_before + (n + 1) / CAST(2.0 AS DOUBLE))
+                           AS DECIMAL(28,4))) AS DOUBLE) AS s_pos,
+             SUM(n_pos) AS np, SUM(n - n_pos) AS nn
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           (s_pos - np * (np + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+    FROM stats
+    """,
+)
+def q_auc(spark, sf_dir):
+    """ROC AUC via the Mann-Whitney rank-sum statistic with exact
+    average-rank tie handling. The only per-row work is one grouped
+    count; ranks are reconstructed as cumulative counts over distinct
+    scores (average rank of a tie group = rows_before + (n+1)/2), so
+    the global sort touches |distinct scores| rows, not the corpus.
+    AUC = (S_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)."""
+    ev = t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grouped = scored.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("n_pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped.select(
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    avg_rank = F.col("cum_before") + (F.col("n") + 1) / F.lit(2.0)
+    stats = ranked.agg(
+        F.sum((F.col("n_pos") * avg_rank).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("s_pos"),
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
+    )
+    return stats.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        (
+            (F.col("s_pos") - F.col("np") * (F.col("np") + F.lit(1.0)) / F.lit(2.0))
+            / (F.col("np").cast("double") * F.col("nn").cast("double"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_id, value AS score, {_LABEL_SQL} AS y FROM events
+    ),
+    binned AS (
+      SELECT y, score,
+             NTILE(10) OVER (ORDER BY score, event_id) AS bin
+      FROM scored
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def q_calibration(spark, sf_dir):
+    """Calibration / reliability table: scores cut into deciles
+    (NTILE with a deterministic (score, event_id) order), per-bin mean
+    score vs observed positive rate — the table behind a reliability
+    diagram. The NTILE pass is the only global-order operation; at
+    corpus scale it becomes approx-quantile bin edges + a map-side
+    bin assignment (the percentile lane already provides the edges)."""
+    ev = t(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy("score", "event_id")
+    return (
+        scored.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("score").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("mean_score"),
+            (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
+        )
+    )
