@@ -88,3 +88,39 @@ def write_mongodb(df: DataFrame, *, database: str, collection: str,
             "(--packages org.mongodb.spark:mongo-spark-connector_2.13). "
             "Use write_predictions() for the parquet-table equivalent."
         ) from exc
+
+
+def compact_parquet(spark, path: str, *, target_file_bytes: int = 128 * 1024 * 1024,
+                    out_path: str | None = None) -> int:
+    """Small-file compaction — the table-maintenance op every parquet
+    lake needs: streaming/append sinks accumulate thousands of tiny
+    files, and scan parallelism + footer overhead degrade until
+    someone rewrites them at a sane target size.
+
+    Sizes the output file count from the ACTUAL on-disk byte size
+    (Hadoop FS metadata — no data read), rewrites with a round-robin
+    ``repartition(n)`` (an explicit shuffle, which is the point: it
+    rebalances skewed tiny files into uniform outputs), and writes to
+    ``out_path`` (default: atomically alongside as ``<path>__compact``
+    — callers swap directories; this helper never deletes the input).
+
+    Returns the number of output files chosen. At cluster scale this
+    is the per-partition maintenance job you schedule after each
+    ingest window (pair with write_partitioned_parquet and run per
+    partition directory).
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_path or f"{path}__compact")
+    )
+    return n_files

@@ -49,3 +49,31 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in text.lower() or "PartitionFilters: [isnotnull(o_orderstatus" in text
     n_f = orders.filter(F.col("o_orderstatus") == "F").count()
     assert joined.count() == n_f
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction sizes outputs from on-disk bytes, preserves content,
+    and never touches the input directory."""
+    import os
+
+    from team_02_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in == 40
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    # target just above half the total → exactly 2 output files
+    n_out = compact_parquet(spark, src, target_file_bytes=(total // 2) + 1)
+    assert n_out == 2
+    out = src + "__compact"
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 2
+    # content identical, input untouched
+    assert spark.read.parquet(out).count() == 10_000
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 40
