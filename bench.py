@@ -37,6 +37,9 @@ HEADLINE = [
     "q_embed",
     "q_lag_features",
     "q_pmi_bigrams",
+    # round-2 lanes: map-only chunking throughput + iterative graph joins
+    "q_chunk_text",
+    "q_pagerank",
 ]
 
 

@@ -241,3 +241,79 @@ def test_funnel_degenerate_all_null_stage(spark):
         row = QUERIES["q_funnel"].fn(spark, d).first()
         assert row["n_users"] == 2 and row["n_signup"] == 2
         assert row["n_signup_then_click"] == 0 and row["n_full_funnel"] == 0
+
+
+# ------------------------------------------------- round-2 lane laws
+
+
+def test_chunk_text_reconstructs_tokens(spark):
+    """Stride-concatenation law: taking the first `stride` tokens of
+    every chunk except the last, plus the whole last chunk, must
+    reproduce each document's token sequence exactly — proves chunks
+    tile the document with the declared overlap and nothing is lost."""
+    from pyspark.sql import Window
+
+    from team_02_spark.queries import QUERIES
+
+    chunks = QUERIES["q_chunk_text"].fn(spark, SF_SMOKE)
+    w_last = F.max("chunk_id").over(Window.partitionBy("doc_id"))
+    rebuilt = (
+        chunks.withColumn("__last", w_last)
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("chunk_id") < F.col("__last"),
+                F.array_join(F.slice(F.split("chunk", " "), 1, 15), " "),
+            ).otherwise(F.col("chunk")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", r"\s+"), lambda x: x != ""), " "
+        ).alias("orig"),
+    )
+    bad = rebuilt.join(docs, "doc_id").filter(F.col("rebuilt") != F.col("orig"))
+    assert bad.count() == 0
+
+
+def test_pagerank_bounds_and_determinism(spark):
+    """Every rank ≥ the damping floor 0.15; two runs are identical."""
+    from team_02_spark.queries import QUERIES
+
+    a = QUERIES["q_pagerank"].fn(spark, SF_SMOKE).collect()
+    b = QUERIES["q_pagerank"].fn(spark, SF_SMOKE).collect()
+    assert a == b
+    assert all(row["pr"] >= 0.15 for row in a)
+    prs = [row["pr"] for row in a]
+    assert prs == sorted(prs, reverse=True)
+
+
+def test_ewma_and_rolling_median_within_user_bounds(spark):
+    """Convexity: EWMA and the rolling median are convex combinations
+    of observed values, so both must lie within each user's global
+    [min, max] value range."""
+    from team_02_spark.queries import QUERIES
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    for key, col in (("q_ewma", "ewma"), ("q_rolling_median", "rolling_med")):
+        df = QUERIES[key].fn(spark, SF_SMOKE)
+        viol = df.join(bounds, "user_id").filter(
+            (F.col(col) < F.col("lo") - 1e-9) | (F.col(col) > F.col("hi") + 1e-9)
+        )
+        assert viol.count() == 0, key
