@@ -132,6 +132,13 @@ def q_pagerank(spark, sf_dir):
     through DECIMAL(38,11) so the iterated double state matches the
     unrolled-CTE oracle bit-for-bit; the top-20 cut is deterministic
     via the (pr DESC, node) tiebreak on both sides."""
+    # The edge list feeds three consumers (degree count + one join per
+    # rank round). Deliberately NOT persisted: the three subplans are
+    # identical, so AQE's ReusedExchange already shares the distinct-
+    # pair shuffle across them within the one job (measured: an
+    # explicit persist broke that sharing and ran 4-8x slower). With
+    # MANY rounds you'd localCheckpoint the edge table instead — the
+    # loop form connected_components (operators/dedup.py) does.
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "src")
