@@ -26,6 +26,7 @@ from team_02_spark.queries import graph  # noqa: E402,F401
 from team_02_spark.queries import timeseries  # noqa: E402,F401
 from team_02_spark.queries import llm_pipeline  # noqa: E402,F401
 from team_02_spark.queries import mlmetrics  # noqa: E402,F401
+from team_02_spark.queries import sql_surface  # noqa: E402,F401
 from team_02_spark.queries import misc  # noqa: E402,F401
 from team_02_spark.queries import behavior  # noqa: E402,F401
 from team_02_spark.queries import retail  # noqa: E402,F401
