@@ -170,3 +170,38 @@ def q_ewma(spark, sf_dir):
     )
     ev = t(spark, sf_dir, "events")
     return ev.select("user_id", "event_id", "value", ewma.alias("ewma"))
+
+
+@query(
+    "q_trailing_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_hour(spark, sf_dir):
+    """Trailing-one-hour per-user activity (count + sum) via a
+    TIME-BASED range frame: the frame key is epoch MICROSECONDS as a
+    long (`unix_micros` ≡ DuckDB `epoch_us` — integer, so the frame
+    boundary comparison is exact; epoch *seconds* would truncate vs
+    DuckDB's fractional epoch()). One hashpartitioning(user_id)
+    exchange; per-row state is the sliding frame only — this is the
+    batch twin of the streaming sliding window (T1)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("sum_trailing_1h"),
+    )

@@ -457,3 +457,53 @@ def q_tpch_q22ish(spark, sf_dir):
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_tpch_q21ish",
+    oracle=f"""
+    WITH os AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             MAX(l_shipdate) AS max_ship
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN os ON l.l_orderkey = os.l_orderkey
+           AND l.l_shipdate = os.max_ship
+           AND os.n_supp > 1
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21ish(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS(another supplier) AND NOT-EXISTS(anyone shipped later)
+    double correlation, decorrelated into ONE per-order aggregate
+    (distinct-supplier count + max shipdate) joined back on the order
+    key — the same key the aggregation shuffled on, so the join adds
+    no new exchange of the fact. Supplier dim broadcasts; top-20 is
+    TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            os_,
+            (F.col("l_orderkey") == F.col("os_orderkey"))
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") > 1),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
