@@ -51,3 +51,40 @@ def upsert(base: DataFrame, updates: DataFrame, key: str, *,
         for c in cols
     ]
     return joined.select(*picked)
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str,
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Version diff between two snapshots of the same table: one
+    full-outer join on the key classifying every row as
+    'added' / 'removed' / 'changed' / 'unchanged' — the audit step
+    before promoting a rewritten partition (the read-side complement
+    of ``upsert``).
+
+    NULL-safe: column comparison uses eqNullSafe, so NULL→value and
+    value→NULL transitions count as changes (the coalesce-trap class
+    of bug this module's upsert already avoids).
+
+    Returns (key, status) — callers aggregate or join back for
+    details. One shuffle per side on the key; with both snapshots
+    bucketed by the key (operators/scale.write_bucketed) it is
+    shuffle-free.
+    """
+    cols = compare_cols or [c for c in old.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same = None
+    for c in cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("status"),
+    )

@@ -279,3 +279,58 @@ def q_incremental_agg(spark, sf_dir):
             F.sum("__s").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH old_v AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new_v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 9 <> 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n
+    FROM diff GROUP BY status
+    """,
+)
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff audit: two deterministic 'versions' of the orders
+    table (a simulated delete set and a simulated price-bump update
+    set) classified added/removed/changed/unchanged in ONE full-outer
+    join, NULL-safe on every compared column — the pre-promotion audit
+    every rewrite job should emit. At scale both snapshots are
+    key-bucketed and the join is shuffle-free."""
+    from team_02_spark.operators.upsert import table_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old_v = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_v = orders.filter(F.col("o_orderkey") % 9 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return (
+        table_diff(old_v, new_v, "o_orderkey")
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
