@@ -1,4 +1,5 @@
 from team_02_spark.sinks.writers import (
+    compact_parquet,
     dataset_fingerprint,
     write_csv,
     write_csv_content_addressed,
@@ -8,6 +9,7 @@ from team_02_spark.sinks.writers import (
 )
 
 __all__ = [
+    "compact_parquet",
     "dataset_fingerprint",
     "write_csv",
     "write_csv_content_addressed",
