@@ -165,11 +165,9 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
     Centroids come from MLlib KMeans (public API, seeded); the corpus
     is assigned once (map-side, broadcast centroids as literals) and at
     production scale that assignment is written into the table layout
-    (partition by cell) so probes are partition-pruned reads.
+    (partition by cell) so probes are partition-pruned reads — that
+    form is ivf_build_layout / ivf_search_layout below.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     # empty-corpus guard (same contract as knn_lsh above): KMeans
     # cannot fit zero rows — return the empty result with the schema
     if corpus.select(c_id).first() is None:
@@ -184,25 +182,10 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
             .limit(0)
         )
 
-    train = corpus.select(array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
-    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+    centroids = fit_ivf_centroids(corpus, c_vec=c_vec, n_cells=n_cells, seed=seed)
 
     def cell_scores(vec_col: str):
-        return F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                ).alias("dot"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ])
+        return _cell_scores(vec_col, centroids)
 
     tagged = corpus.withColumn("__cell", F.array_max(cell_scores(c_vec))["cell"])
     probes = queries.withColumn(
@@ -215,6 +198,93 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
         ),
     ).select(*[F.col(c) for c in queries.columns], F.explode("__cells").alias("__cell"))
     scored = tagged.join(F.broadcast(probes), "__cell").withColumn(
+        "score", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+def fit_ivf_centroids(corpus: DataFrame, *, c_vec: str = "embedding",
+                      n_cells: int = 16, seed: int = 42) -> list[list[float]]:
+    """Fit the IVF cell centroids (MLlib KMeans, seeded, public API).
+    Returns plain python lists — small driver state (n_cells x dim)
+    that broadcasts into expressions as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
+    return [[float(x) for x in c] for c in km.clusterCenters()]
+
+
+def _cell_scores(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """array<struct<dot,cell>> of dot products against every centroid
+    — a pure JVM expression (centroids inlined as literals)."""
+    return F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+
+
+def ivf_build_layout(corpus: DataFrame, path: str, *,
+                     c_vec: str = "embedding", n_cells: int = 16,
+                     seed: int = 42) -> list[list[float]]:
+    """Materialize the IVF index AS TABLE LAYOUT: assign each vector
+    to its nearest centroid and write parquet PARTITIONED BY the cell
+    id. This is the production form of knn_ivf's join: at 100 TB the
+    cell assignment is paid once at write time, and every search
+    afterwards reads ONLY its probed cells via static partition
+    pruning — the scan never touches the other n_cells - n_probe
+    fractions of the corpus. Returns the centroids (persist them next
+    to the index; they ARE the index metadata)."""
+    centroids = fit_ivf_centroids(corpus, c_vec=c_vec, n_cells=n_cells, seed=seed)
+    tagged = corpus.withColumn(
+        "__cell", F.array_max(_cell_scores(c_vec, centroids))["cell"]
+    )
+    tagged.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    return centroids
+
+
+def ivf_search_layout(spark, path: str, centroids: list[list[float]],
+                      queries: DataFrame, k: int, *,
+                      q_id: str = "q_id", c_id: str = "vec_id",
+                      q_vec: str = "q_vec", c_vec: str = "embedding",
+                      n_probe: int = 4) -> DataFrame:
+    """Search an ivf_build_layout index: compute each probe's nearest
+    cells, collect the UNION of probed cell ids (the probe batch is
+    small by contract — same assumption as the broadcast in
+    knn_bruteforce), and read only those partitions. The cell filter
+    is a literal IN-list, so Catalyst prunes partitions at planning
+    time (assert: PartitionFilters in the scan — tests/test_scale.py);
+    exact cosine re-ranks inside the probed cells."""
+    probes = queries.withColumn(
+        "__cells",
+        F.slice(
+            F.transform(
+                F.reverse(F.array_sort(_cell_scores(q_vec, centroids))),
+                lambda s: s["cell"],
+            ),
+            1, n_probe,
+        ),
+    ).select(*[F.col(c) for c in queries.columns], F.explode("__cells").alias("__cell"))
+    cell_ids = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
+    corpus = spark.read.parquet(path).filter(F.col("__cell").isin(cell_ids))
+    scored = corpus.join(F.broadcast(probes), "__cell").withColumn(
         "score", cosine(F.col(q_vec), F.col(c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))

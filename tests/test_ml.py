@@ -182,3 +182,36 @@ def test_bpe_deterministic(spark):
     m1 = train_bpe(docs, n_merges=5)
     m2 = train_bpe(docs, n_merges=5)
     assert m1 == m2
+
+
+def test_ivf_layout_prunes_partitions_and_matches_join_form(spark, tmp_path):
+    """The layout form of IVF must (a) physically partition by cell,
+    (b) plan the probe read with a PartitionFilters entry on __cell —
+    i.e. the scan never lists the unprobed cells — and (c) return
+    exactly what the join-form knn_ivf returns for the same centroids
+    and probes."""
+    import os
+
+    from team_02_spark.operators.similarity import (
+        ivf_build_layout,
+        ivf_search_layout,
+        knn_ivf,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_build_layout(emb, path, n_cells=8, seed=42)
+    cells_on_disk = [d for d in os.listdir(path) if d.startswith("__cell=")]
+    assert len(cells_on_disk) >= 2  # layout is physically partitioned
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ivf_search_layout(spark, path, centroids, probes, 10, n_probe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan
+
+    join_form = knn_ivf(probes, emb, 10, n_cells=8, n_probe=4, seed=42)
+    a = {(r["q_id"], r["vec_id"], r["rank"]) for r in res.collect()}
+    b = {(r["q_id"], r["vec_id"], r["rank"]) for r in join_form.collect()}
+    assert a == b
