@@ -30,13 +30,15 @@ from pyspark.sql import DataFrame, functions as F
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
 
-# Decimal wide enough for summed rank contributions: scale 11 keeps
-# the scaled-integer form of any realistic rank sum below 2^53, so
-# the decimal -> double exit is an EXACT int conversion plus one
-# correctly-rounded division by 10^11 in BOTH engines (scale 18
-# overflowed 2^53 and produced last-ulp divergence).
-_DEC = "decimal(38,11)"
-_DEC_SQL = "DECIMAL(38,11)"
+# PageRank state is FIXED-POINT INTEGER (units of 1e-9): every
+# operation is bigint multiply / integer-DIV / sum, so the iterated
+# state is bit-identical in any engine BY CONSTRUCTION. (The r2
+# decimal formulations both failed at some scale: DECIMAL(38,18)
+# overflowed 2^53 in scaled form; DECIMAL(38,11) exposed the engines'
+# different double->decimal rounding paths once sf0.1 summed ~1e6
+# terms. Integer arithmetic has no rounding mode to disagree on.)
+_ONE = 1_000_000_000  # pr = 1.0
+_FLOOR = 150_000_000  # 0.15
 
 _PAIRS_SQL = """
       SELECT DISTINCT 'c' || o.o_custkey AS c_node, 's' || l.l_suppkey AS s_node
@@ -104,23 +106,20 @@ def q_graph_degree(spark, sf_dir):
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     pr1 AS (
       SELECT e.dst AS node,
-             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
-               CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / d.deg AS {_DEC_SQL})) AS DOUBLE)
-               AS pr
+             {_FLOOR} + (85 * SUM({_ONE} // d.deg)) // 100 AS pr_int
       FROM edges e JOIN deg d ON e.src = d.src
       GROUP BY e.dst
     ),
     pr2 AS (
       SELECT e.dst AS node,
-             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
-               CAST(SUM(CAST(p.pr / d.deg AS {_DEC_SQL})) AS DOUBLE) AS pr
+             {_FLOOR} + (85 * SUM(p.pr_int // d.deg)) // 100 AS pr_int
       FROM edges e
       JOIN deg d ON e.src = d.src
       JOIN pr1 p ON e.src = p.node
       GROUP BY e.dst
     )
-    SELECT node, pr FROM pr2
-    ORDER BY pr DESC, node
+    SELECT node, CAST(pr_int AS DOUBLE) / 1000000000.0 AS pr FROM pr2
+    ORDER BY pr_int DESC, node
     LIMIT 20
     """,
 )
@@ -128,10 +127,15 @@ def q_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, uniform init 1.0), two unrolled rounds
     on the undirected bipartite graph; top-20 nodes. Each round is
     edges ⋈ deg ⋈ prev-rank then a groupBy(dst) — the rank table stays
-    distributed; nothing touches the driver. Contribution sums go
-    through DECIMAL(38,11) so the iterated double state matches the
-    unrolled-CTE oracle bit-for-bit; the top-20 cut is deterministic
-    via the (pr DESC, node) tiebreak on both sides."""
+    distributed; nothing touches the driver.
+
+    Cross-engine exactness: rank state is fixed-point bigint (1e-9
+    units; damping as ×85 //100). Integer DIV and sums are bit-exact
+    in every engine, unlike double→decimal casts whose rounding paths
+    disagreed at sf0.1 term counts — see FIXTURES.md §C. The final
+    /1e9 exit is an exact int→double conversion (< 2^53) plus one
+    correctly-rounded division; the top-20 cut orders by the INTEGER
+    state with a node tiebreak, so it is deterministic too."""
     # The edge list feeds three consumers (degree count + one join per
     # rank round). Deliberately NOT persisted: the three subplans are
     # identical, so AQE's ReusedExchange already shares the distinct-
@@ -149,17 +153,21 @@ def q_pagerank(spark, sf_dir):
             else ed.join(prev.withColumnRenamed("node", "src"), "src")
         )
         term = (
-            (F.lit(1.0) / F.col("deg")) if prev is None
-            else (F.col("pr") / F.col("deg"))
+            F.expr(f"{_ONE} DIV deg") if prev is None
+            else F.expr("pr_int DIV deg")
         )
         return (
-            contrib.withColumn("__t", term.cast(_DEC))
+            contrib.withColumn("__t", term)
             .groupBy(F.col("dst").alias("node"))
             .agg(
-                (F.lit(0.15) + F.lit(0.85) * F.sum("__t").cast("double")).alias("pr")
+                (F.lit(_FLOOR) + F.expr("(85 * sum(__t)) DIV 100")).alias("pr_int")
             )
         )
 
     pr1 = rank_round(None)
     pr2 = rank_round(pr1)
-    return pr2.orderBy(F.desc("pr"), "node").limit(20)
+    return (
+        pr2.orderBy(F.desc("pr_int"), "node")
+        .limit(20)
+        .select("node", (F.col("pr_int").cast("double") / F.lit(1e9)).alias("pr"))
+    )
