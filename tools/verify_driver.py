@@ -1,0 +1,85 @@
+"""Driver-contract verification — simulates EXACTLY what the round
+driver does: vanilla SparkSession (none of our session.py configs),
+DuckDB views over the fixture parquet, and a side-by-side compare of
+every declared query against its oracle.
+
+Usage:
+    python tools/verify_driver.py                    # all keys, sf0.01
+    python tools/verify_driver.py --sf sf0.1         # scale sweep
+    python tools/verify_driver.py q_pagerank q_auc   # subset
+
+Exit code 0 iff every checked key matches (rows-only keys must run).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = f"/root/testdata/{sf}"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from oracle_harness import compare
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for n in TABLES:
+        con.execute(
+            f"CREATE VIEW {n} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{n}.parquet')"
+        )
+    qs, osql = e.queries(), e.oracle_sql()
+    keys = args or sorted(qs)
+    bad = 0
+    for name in keys:
+        if name not in qs:
+            print(f"{name}: UNKNOWN KEY")
+            bad += 1
+            continue
+        try:
+            if name in osql:
+                problems = compare(
+                    qs[name](spark, sf_dir), con.execute(osql[name]).fetchdf()
+                )
+                if problems:
+                    bad += 1
+                    print(f"{name}: {problems}")
+            else:
+                n_rows = qs[name](spark, sf_dir).count()
+                assert n_rows >= 0
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            bad += 1
+            print(f"{name}: EXCEPTION {type(exc).__name__}: {exc}")
+    n_oracle = sum(1 for k in keys if k in osql)
+    print(
+        f"checked {len(keys)} keys ({n_oracle} oracle, "
+        f"{len(keys) - n_oracle} rows-only) at {sf}: {bad} failures"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
