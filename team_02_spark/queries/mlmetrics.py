@@ -140,3 +140,52 @@ def q_calibration(spark, sf_dir):
             (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
         )
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM c
+    WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the weighted
+    quantile by cumulative weight crossing (first value whose running
+    weight reaches half the total). Cumulative and total weights are
+    DECIMAL window sums — exact and order-independent, so the crossing
+    row cannot flip between engines even under tied prices (the answer
+    depends only on which VALUE group crosses, not on intra-tie row
+    order). One hashpartitioning exchange on the group key serves both
+    windows and the final aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(18,4)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            F.sum(wq).over(w_cum).alias("cw"),
+            F.sum(wq).over(w_tot).alias("tw"),
+        )
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
