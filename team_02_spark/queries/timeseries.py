@@ -205,3 +205,39 @@ def q_trailing_hour(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
         .alias("sum_trailing_1h"),
     )
+
+
+@query(
+    "q_cumulative_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day
+    )
+    SELECT first_day, new_users,
+           SUM(new_users) OVER (ORDER BY first_day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+)
+def q_cumulative_users(spark, sf_dir):
+    """User-acquisition curve via the first-touch pattern: a naive
+    cumulative COUNT(DISTINCT user) per day is O(days × users); the
+    scalable identity is cum_distinct(day) = running sum of FIRST-SEEN
+    counts — one user-keyed aggregate, one tiny per-day aggregate, one
+    window over |days| rows. Integer arithmetic throughout."""
+    ev = t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = fs.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "first_day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
