@@ -10,9 +10,10 @@ pair contributes both directions to the edge list.
 The dedup lane already carries the other classic (connected
 components via min-label propagation, operators/dedup.py); this adds
 degree-distribution analytics and a fixed-iteration PageRank whose
-DuckDB oracle is the same computation unrolled as CTEs — every sum
-passes through DECIMAL(38,11) so the iterated floating-point state is
-bit-identical across engines (FIXTURES.md §C discipline).
+DuckDB oracle is the same computation unrolled as CTEs — rank state
+is fixed-point bigint (1e-9 units, integer DIV), so the iterated
+state is bit-identical across engines by construction (FIXTURES.md
+§C discipline; the decimal formulations diverged at volume).
 
 At 100 TB: the edge list is the only shuffled artifact (distinct on
 the pair key), degree and rank updates are map-side-combined
@@ -25,7 +26,7 @@ block.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
@@ -144,8 +145,12 @@ def q_pagerank(spark, sf_dir):
     # MANY rounds you'd localCheckpoint the edge table instead — the
     # loop form connected_components (operators/dedup.py) does.
     edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
+    # degree as a WINDOW count over the same src partitioning the
+    # rank-contribution join needs anyway — one exchange instead of a
+    # separate aggregate + join back
+    ed = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    )
 
     def rank_round(prev: DataFrame | None) -> DataFrame:
         contrib = (

@@ -507,3 +507,42 @@ def q_tpch_q21ish(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q12ish",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12ish(spark, sf_dir):
+    """Q12 shape (shipping priority audit; the fixture has no
+    l_shipmode, so l_linestatus stands in as the grouping): per-class
+    counts of high- vs low-priority order lines — two conditional
+    sums in one pass after a broadcast join, date filter pushed to the
+    fact scan. With Q12 this closes the adaptable TPC-H set at 18/22
+    (Q2/Q9/Q11/Q20 need the absent partsupp table)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            one_if(high).alias("high_line_count"),
+            one_if(~high).alias("low_line_count"),
+        )
+    )
