@@ -68,24 +68,10 @@ def q_chunk_text(spark, sf_dir):
     chunk explosion is map-side (no shuffle at all: chunking is
     embarrassingly parallel); at scale the output is written
     partitioned by source so downstream embedding jobs stream it."""
+    from team_02_spark.operators.chunking import chunk_documents
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _toks(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 1
-    )
-    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(15))
-    return (
-        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
-        .select(
-            "doc_id",
-            F.floor((F.col("start") - 1) / 15).cast("int").alias("chunk_id"),
-            F.array_join(F.slice(F.col("toks"), F.col("start"), 20), " ").alias(
-                "chunk"
-            ),
-            F.least(
-                F.lit(20), F.size("toks") - F.col("start") + 1
-            ).cast("int").alias("n_chunk_tokens"),
-        )
-    )
+    return chunk_documents(docs, chunk_size=20, stride=15)
 
 
 @query(

@@ -306,3 +306,42 @@ def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_chunking_batch_equals_stream(spark, tmp_path):
+    """The chunking stage function is mode-agnostic: running it under
+    readStream (availableNow, file source) yields EXACTLY the batch
+    result — the unified-Dataset-API claim (SURVEY §2.9) proven for a
+    round-2 lane."""
+    import os
+
+    from team_02_spark.operators.chunking import chunk_documents
+
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    stream_dir = str(tmp_path / "docs_landing")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+
+    batch = chunk_documents(load_table(spark, SF_SMOKE, "documents"))
+    out = str(tmp_path / "chunks_out")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        chunk_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk"], r["n_chunk_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk"], r["n_chunk_tokens"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
