@@ -64,3 +64,50 @@ def co_located_join(spark, left_table: str, right_table: str, key: str,
     matching hash-bucket layout and plans a SortMergeJoin with ZERO
     Exchange operators (verify: plans.shuffle_count == 0)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zorder_layout(df: DataFrame, cols: list[str], path: str, *,
+                  n_files: int = 16, bits: int = 16) -> None:
+    """Write ``df`` clustered on the Z-order (Morton) curve of two or
+    more numeric columns — the multi-dimensional data-skipping layout:
+    parquet min/max footer stats become tight on EVERY interleaved
+    dimension at once, so a range predicate on ANY of them prunes row
+    groups, not just the leading sort key (the limitation of a plain
+    ORDER BY layout).
+
+    Mechanics: each column is min-max normalized to ``bits`` bits
+    (two tiny global aggregates — scalars, not data), the bit strings
+    are interleaved with JVM shift/or expressions (pure codegen, no
+    UDF), and the write is range-partitioned + sorted by the z-value.
+    At 100 TB you apply this per partition directory as a maintenance
+    job, same cadence as compact_parquet.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                * F.lit((1 << bits) - 1)
+            ).cast("long"),
+        )
+        scaled.append(q)
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for i, q in enumerate(scaled):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

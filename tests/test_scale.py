@@ -81,3 +81,51 @@ def test_salted_join_rejects_outer_how(spark):
     fact2 = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
     out = salted_join(fact2, dim, "k", how="left")
     assert out.count() == 2
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering must let a range predicate on the
+    NON-LEADING dimension prune files — the thing a plain ORDER BY
+    layout cannot do (its trailing dimension spans ~the full range in
+    every file). Measured as footer-stat file hits for a y-only
+    range."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.scale import zorder_layout
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        F.floor(F.col("id") / 200).alias("y"),
+    )
+
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    zorder_layout(df, ["x", "y"], z_path, n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+
+    def files_hit_by_y_range(path, lo, hi):
+        """Files whose y min/max stats intersect [lo, hi] — the
+        footer-stats pruning a y-only predicate gets."""
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min("y").alias("mn"), F.max("y").alias("mx"))
+        )
+        return per_file.filter(
+            (F.col("mx") >= lo) & (F.col("mn") <= hi)
+        ).count()
+
+    # the z-order pitch: a predicate on the NON-leading dimension
+    # prunes files too. Linear x-sort leaves every file spanning the
+    # full y range (all 16 hit); z-order confines y per file.
+    hit_z = files_hit_by_y_range(z_path, 0, 12)
+    hit_lin = files_hit_by_y_range(lin_path, 0, 12)
+    assert hit_lin >= 12, hit_lin
+    assert hit_z <= hit_lin / 2, (hit_z, hit_lin)
