@@ -241,3 +241,37 @@ def q_cumulative_users(spark, sf_dir):
     return daily.select(
         "first_day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@query(
+    "q_locf",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM events
+    """,
+)
+def q_locf(spark, sf_dir):
+    """Last-observation-carried-forward imputation: error events'
+    readings are treated as missing and forward-filled from the
+    user's most recent healthy reading (NULL until one exists — the
+    leading-edge semantics both engines share). IGNORE NULLS +
+    running frame is the one-pass distributed form of the classic
+    time-series ffill; same single user_id exchange as the other
+    rolling lanes."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    healthy = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(healthy, ignorenulls=True).over(w).alias("filled"),
+    )
