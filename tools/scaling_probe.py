@@ -196,6 +196,72 @@ def pairs_probe(replication: int) -> None:
     print(__import__("json").dumps(res))
     spark.stop()
 
+
+def graph_probe(replication: int) -> None:
+    """Data-scaling sweep for the graph lane: lineitem replicated N×
+    under fresh order keys (orders replicated to match), PageRank over
+    the induced bipartite graph. Edge count grows ~linearly with the
+    fact table; the fear is the rank-contribution join degenerating —
+    this records wall-clock and edge count to show it doesn't."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-graph-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    out = os.path.join(tempfile.gettempdir(), f"scaling_graph_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        li = spark.read.parquet(f"{src}/lineitem.parquet")
+        orders = spark.read.parquet(f"{src}/orders.parquet")
+        n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        n_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+        li_c, ord_c = [], []
+        for i in range(replication):
+            li_c.append(li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)))
+            # custkeys offset per copy: the CUSTOMER side grows N x
+            # while suppliers stay fixed - hub degrees inflate N x,
+            # the adversarial direction for the contribution join
+            ord_c.append(
+                orders.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * n_ord)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(i * n_cust)
+                ))
+        li_all, ord_all = li_c[0], ord_c[0]
+        for a, b in zip(li_c[1:], ord_c[1:]):
+            li_all, ord_all = li_all.unionByName(a), ord_all.unionByName(b)
+        li_all.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+        ord_all.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+        for t_name in ("region nation customer supplier part events "
+                       "documents embeddings").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f"{t_name}.parquet"), link)
+        open(os.path.join(out, ".done"), "w").close()
+
+    spark.read.parquet(os.path.join(out, "lineitem.parquet")).write.format(
+        "noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    QUERIES["q_pagerank"].fn(spark, out).write.format("noop").mode(
+        "overwrite").save()
+    pr_s = time.perf_counter() - t0
+    from team_02_spark.queries.graph import _edges
+
+    n_edges = _edges(spark, out).count()
+    print(json.dumps({
+        "mode": "graph", "replication": replication,
+        "n_edges": n_edges, "pagerank_sec": round(pr_s, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
@@ -206,6 +272,9 @@ def main() -> None:
         return
     if mode == "pairs":
         pairs_probe(arg)
+        return
+    if mode == "graph":
+        graph_probe(arg)
         return
     from team_02_spark import get_spark
 
