@@ -317,3 +317,27 @@ def test_ewma_and_rolling_median_within_user_bounds(spark):
             (F.col(col) < F.col("lo") - 1e-9) | (F.col(col) > F.col("hi") + 1e-9)
         )
         assert viol.count() == 0, key
+
+
+def test_chunking_no_overlap_partitions_tokens(spark):
+    """With stride == chunk_size the chunks tile WITHOUT overlap, so
+    per-doc chunk token counts must sum exactly to the doc's token
+    count — conservation under the non-default parameterization."""
+    from team_02_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = chunk_documents(docs, chunk_size=8, stride=8)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("chunk_toks")
+    )
+    orig = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "n_toks"
+        ),
+    ).filter(F.col("n_toks") >= 1)
+    bad = per_doc.join(orig, "doc_id").filter(
+        F.col("chunk_toks") != F.col("n_toks")
+    )
+    assert bad.count() == 0
+    assert per_doc.count() == orig.count()
