@@ -546,3 +546,53 @@ def q_tpch_q12ish(spark, sf_dir):
             one_if(~high).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+             o_totalprice
+      FROM orders
+    )
+    SELECT order_year, order_quarter, order_month,
+           CAST(GROUPING(order_year) AS INT) AS g_y,
+           CAST(GROUPING(order_quarter) AS INT) AS g_q,
+           CAST(GROUPING(order_month) AS INT) AS g_m,
+           {dsum_sql('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM d
+    GROUP BY ROLLUP (order_year, order_quarter, order_month)
+    """,
+)
+def q_time_rollup(spark, sf_dir):
+    """Calendar-hierarchy subtotals: revenue at month, quarter, year,
+    and grand-total levels in ONE pass (ROLLUP over derived calendar
+    columns — Catalyst expands to grouping sets with partial aggs
+    below the single Exchange). GROUPING() flags disambiguate
+    subtotal NULLs; the month under a quarter under a year makes this
+    the reporting cube every time-partitioned lake serves."""
+    orders = t(spark, sf_dir, "orders")
+    derived = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        "o_totalprice",
+    )
+    return (
+        derived.rollup("order_year", "order_quarter", "order_month")
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_y"),
+            F.grouping("order_quarter").cast("int").alias("g_q"),
+            F.grouping("order_month").cast("int").alias("g_m"),
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "order_year", "order_quarter", "order_month",
+            "g_y", "g_q", "g_m", "revenue", "n_orders",
+        )
+    )
