@@ -168,22 +168,30 @@ def q_weighted_median(spark, sf_dir):
     DECIMAL window sums — exact and order-independent, so the crossing
     row cannot flip between engines even under tied prices (the answer
     depends only on which VALUE group crosses, not on intra-tie row
-    order). One hashpartitioning exchange on the group key serves both
-    windows and the final aggregate."""
+    order).
+
+    Scale shape (same trick as q_auc): weights are PRE-AGGREGATED per
+    distinct value (one map-side-combined shuffle), and the cumulative
+    window runs over the distinct-value table — the per-group sorted
+    set is |distinct prices|, not |lineitem|. The oracle is the
+    row-level formulation; collapsing equal values first is exactly
+    equivalent for a crossing test."""
     li = t(spark, sf_dir, "lineitem")
-    wq = F.col("l_quantity").cast("decimal(18,4)")
+    per_value = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("w"))
     w_cum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
+        .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy("l_returnflag")
     return (
-        li.select(
+        per_value.select(
             "l_returnflag",
-            F.col("l_extendedprice").alias("v"),
-            F.sum(wq).over(w_cum).alias("cw"),
-            F.sum(wq).over(w_tot).alias("tw"),
+            "v",
+            F.sum("w").over(w_cum).alias("cw"),
+            F.sum("w").over(w_tot).alias("tw"),
         )
         .filter(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
