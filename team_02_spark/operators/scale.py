@@ -46,6 +46,54 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, *,
     return out.drop("__salt")
 
 
+def binned_range_join(intervals: DataFrame, points: DataFrame,
+                      lo: str, hi: str, point: str, *,
+                      bin_width: int) -> DataFrame:
+    """Pure range join (NO equi key): pair every interval ``[lo, hi]``
+    with every point value inside it. Spark's planner can only run a
+    bare ``lo <= p AND p <= hi`` condition as BroadcastNestedLoopJoin —
+    O(|intervals| x |points|) compared pairs, the classic 100 TB
+    killer. This is the bucketed rewrite every production range join
+    uses: quantize the axis into ``bin_width`` bins, explode each
+    interval to the bins it overlaps, map each point to its single
+    containing bin, equi-join on the bin id, keep the exact range
+    predicate as the residual filter.
+
+    Each matching (interval, point) pair meets in EXACTLY one bin (the
+    point's), so no post-join dedup is needed. Cost: the interval side
+    inflates by ~(hi-lo)/bin_width + 1 replicas — pick bin_width on
+    the order of the typical interval length so the factor stays ~2 —
+    and the join becomes a plain hash/sort-merge join that shuffles by
+    bin, i.e. partitions the TIME AXIS across the cluster instead of
+    comparing everything with everything.
+
+    ``lo``/``hi``/``point`` must be integral columns on one shared
+    axis (for timestamps: convert with unix_micros first — integer
+    microseconds compare exactly; see FIXTURES.md on epoch_us parity).
+    Inner join only: outer flavors would surface unmatched interval
+    rows once per bin replica.
+    """
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "__bin", F.floor(F.col(point) / F.lit(bin_width)).cast("long")
+    )
+    out = iv.join(
+        pts,
+        (iv["__bin"] == pts["__bin"])
+        & (F.col(point) >= F.col(lo))
+        & (F.col(point) <= F.col(hi)),
+    )
+    return out.drop("__bin")
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, *,
                    num_buckets: int = 32, sort_by: str | None = None) -> None:
     """Persist a table bucketed (and optionally sorted) by its join

@@ -30,5 +30,6 @@ from team_02_spark.queries import sql_surface  # noqa: E402,F401
 from team_02_spark.queries import misc  # noqa: E402,F401
 from team_02_spark.queries import behavior  # noqa: E402,F401
 from team_02_spark.queries import retail  # noqa: E402,F401
+from team_02_spark.queries import hybrid  # noqa: E402,F401
 
 __all__ = ["QUERIES", "query", "queries_map", "oracle_sql_map"]

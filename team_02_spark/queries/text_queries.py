@@ -510,10 +510,10 @@ _BM25_TERMS = ["spark", "join", "vector"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-    WITH toks AS (
+# The BM25 pipeline as named CTEs, shared by the q_bm25 oracle and the
+# hybrid-retrieval (RRF) oracle in queries/hybrid.py.
+BM25_CTES_SQL = f"""
+    toks AS (
         SELECT doc_id, unnest({_CLEAN_TOKENS_SQL}) AS token FROM documents
     ),
     doclen AS (
@@ -531,19 +531,29 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     ),
     docfreq AS (
         SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ),
+    bm25 AS (
+        SELECT t.doc_id,
+               ROUND(SUM(
+                   ROUND(LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                   * (t.tf * ({_BM25_K1} + 1.0))
+                   / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+               ), 4) AS bm25,
+               CAST(COUNT(*) AS INT) AS n_terms_hit
+        FROM tf t
+        JOIN docfreq f ON t.token = f.token
+        JOIN doclen d ON t.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           ROUND(SUM(
-               ROUND(LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
-               * (t.tf * ({_BM25_K1} + 1.0))
-               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
-           ), 4) AS bm25,
-           CAST(COUNT(*) AS INT) AS n_terms_hit
-    FROM tf t
-    JOIN docfreq f ON t.token = f.token
-    JOIN doclen d ON t.doc_id = d.doc_id
-    CROSS JOIN stats s
-    GROUP BY t.doc_id
+"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {BM25_CTES_SQL}
+    SELECT doc_id, bm25, n_terms_hit FROM bm25
     """,
 )
 def q_bm25(spark, sf_dir):
@@ -553,6 +563,12 @@ def q_bm25(spark, sf_dir):
     token lists never leave the executors; corpus-level scalars
     (N, avgdl) ride a broadcast. idf is rounded to 6dp on both engines
     (LN is libm, last-ulp divergent), the final score to 4dp."""
+    return bm25_scores(spark, sf_dir)
+
+
+def bm25_scores(spark, sf_dir, terms=tuple(_BM25_TERMS)):
+    """The q_bm25 body as a reusable lane (hybrid retrieval fuses it
+    with the vector lane in queries/hybrid.py)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(clean_tokens(F.col("text"))).alias("token")
@@ -563,7 +579,7 @@ def q_bm25(spark, sf_dir):
         F.count("*").alias("n_docs"),
     )
     tf = (
-        toks.filter(F.col("token").isin(_BM25_TERMS))
+        toks.filter(F.col("token").isin(*terms))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )

@@ -236,3 +236,27 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     df = _q(spark, "q_vocab_coverage")
     assert has_broadcast_join(df)
     assert not uses_python_udf(df)
+
+
+def test_hybrid_lane_plans(spark):
+    """RRF fusion: each lane's top-k must be TakeOrderedAndProject
+    (never a global sort of the full corpus), everything JVM-side.
+    The attribution range join must never be a nested-loop/cartesian
+    (that's the entire point of binned_range_join)."""
+    from team_02_spark.plans import explain_str
+
+    rrf = _q(spark, "q_rrf_hybrid")
+    assert "TakeOrderedAndProject" in explain_str(rrf)
+    assert not uses_python_udf(rrf)
+
+    attr = _q(spark, "q_window_attribution")
+    plan = explain_str(attr)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not uses_python_udf(attr)
+
+    # expectations: per-table rules share one aggregate pass — the
+    # lineitem branch contributes exactly one scan of lineitem
+    exp = explain_str(_q(spark, "q_expectations"))
+    assert exp.count("lineitem.parquet") <= 1 or exp.count("lineitem") <= 2
+    assert not uses_python_udf(_q(spark, "q_expectations"))

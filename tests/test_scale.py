@@ -83,6 +83,60 @@ def test_salted_join_rejects_outer_how(spark):
     assert out.count() == 2
 
 
+def test_binned_range_join_matches_naive_theta_join(spark):
+    """The bucketed rewrite must produce EXACTLY the naive theta-join
+    pair set — including intervals spanning multiple bins and points
+    on inclusive edges — with no duplicate pairs (each pair meets only
+    in the point's bin)."""
+    from team_02_spark.operators.scale import binned_range_join
+
+    iv = spark.range(30).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 70).alias("lo"),
+        (F.col("id") * 70 + 150).alias("hi"),  # overlaps neighbours, spans >2 bins
+    )
+    pts = spark.range(2500).select(F.col("id").alias("pt_id"), F.col("id").alias("p"))
+    binned = binned_range_join(iv, pts, "lo", "hi", "p", bin_width=100).select(
+        "iv_id", "pt_id"
+    )
+    naive = iv.join(
+        pts, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    ).select("iv_id", "pt_id")
+    assert binned.count() == naive.count()  # count equality catches dup pairs
+    assert binned.subtract(naive).count() == 0
+    assert naive.subtract(binned).count() == 0
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The whole point of the operator: with broadcast off (both sides
+    'big'), the naive theta join is a BroadcastNestedLoopJoin /
+    cartesian, the binned form a shuffled equi-join on the bin key."""
+    from team_02_spark.operators.scale import binned_range_join
+    from team_02_spark.plans import explain_str
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        iv = spark.range(1000).select(
+            (F.col("id") * 10).alias("lo"), (F.col("id") * 10 + 15).alias("hi")
+        )
+        pts = spark.range(10000).select(F.col("id").alias("p"))
+        binned = binned_range_join(iv, pts, "lo", "hi", "p", bin_width=10)
+        plan = explain_str(binned)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        naive_plan = explain_str(
+            iv.join(pts, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")))
+        )
+        assert (
+            "BroadcastNestedLoopJoin" in naive_plan
+            or "CartesianProduct" in naive_plan
+        ), naive_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     """Z-order clustering must let a range predicate on the
     NON-LEADING dimension prune files — the thing a plain ORDER BY
