@@ -262,10 +262,74 @@ def graph_probe(replication: int) -> None:
     spark.stop()
 
 
+def rangejoin_probe(replication: int) -> None:
+    """Data-scaling sweep for binned_range_join vs the naive theta
+    join (broadcast disabled — both sides 'big'). Synthetic axis:
+    N×1k overlapping intervals of width 1500, N×100k points spread
+    over the same span, bin_width 1500 — matched pairs grow linearly.
+    The binned form should scale ~linearly in N; the naive
+    BroadcastNestedLoopJoin compares |iv|×|pts| pairs (quadratic in
+    N), so it is only measured at small N to anchor the contrast."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.scale import binned_range_join
+
+    spark = get_spark(f"scaling-rangejoin-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    n_iv = 1_000 * replication
+    n_pt = 100_000 * replication
+    span = n_iv * 997 + 1500
+    iv = (
+        spark.range(n_iv)
+        .select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") * 997).alias("lo"),
+            (F.col("id") * 997 + 1500).alias("hi"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    pts = (
+        spark.range(n_pt)
+        .select(
+            F.col("id").alias("pt_id"),
+            F.floor(F.col("id") * float(span) / n_pt).cast("long").alias("p"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    iv.count(), pts.count()  # warm
+
+    res = {
+        "mode": "rangejoin", "replication": replication,
+        "n_intervals": n_iv, "n_points": n_pt,
+    }
+    t0 = time.perf_counter()
+    res["n_pairs"] = binned_range_join(
+        iv, pts, "lo", "hi", "p", bin_width=1500
+    ).count()
+    res["binned_sec"] = round(time.perf_counter() - t0, 2)
+
+    if replication <= 4:  # naive is quadratic — anchor only
+        t0 = time.perf_counter()
+        naive_pairs = iv.join(
+            pts, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+        ).count()
+        res["naive_sec"] = round(time.perf_counter() - t0, 2)
+        assert naive_pairs == res["n_pairs"], (naive_pairs, res["n_pairs"])
+    print(json.dumps(res))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
         relational_probe(arg)
+        return
+    if mode == "rangejoin":
+        rangejoin_probe(arg)
         return
     if mode == "embedding":
         embedding_probe(arg)
