@@ -52,7 +52,7 @@ def empty_duck(empty_sf):
 # Documented engine divergence: on EMPTY input, ANSI (and DuckDB) emit
 # the grand-total grouping set as one row; Spark's ROLLUP/CUBE/GROUPING
 # SETS emit zero rows. Only observable on fully-empty relations.
-GRAND_TOTAL_DIVERGENT = {"q_rollup", "q_cube", "q_grouping_sets"}
+GRAND_TOTAL_DIVERGENT = {"q_rollup", "q_cube", "q_grouping_sets", "q_time_rollup"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
