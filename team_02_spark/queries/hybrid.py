@@ -257,3 +257,82 @@ def q_expectations(spark, sf_dir):
     return li_rules.unionByName(status_rule).unionByName(orphan_rule).unionByName(
         dup_rule
     ).unionByName(short_rule)
+
+
+@query(
+    "q_column_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-TABLE-style column profile in ONE table pass: per
+    column, null count, exact NDV, and numeric min/max (strings emit
+    NULL bounds — cross-engine double↔string formatting is not
+    portable, so bounds stay typed). The multi-column COUNT(DISTINCT)
+    plans as Catalyst's expand (rows × #distinct-aggs with map-side
+    partials) — the standard exact-ANALYZE trade; at 100 TB swap in
+    approx_count_distinct per column and the pass becomes a plain
+    single-agg scan. The stack() unpivot keeps one row per column in
+    the report, same shape as q_expectations."""
+    orders = t(spark, sf_dir, "orders")
+
+    def nn(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+
+    stats = orders.agg(
+        *[nn(c).alias(f"nn_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority",
+        )],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority",
+        )],
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+        )],
+    )
+    return stats.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', nn_o_orderkey, nd_o_orderkey, mn_o_orderkey, mx_o_orderkey, "
+            "'o_custkey', nn_o_custkey, nd_o_custkey, mn_o_custkey, mx_o_custkey, "
+            "'o_totalprice', nn_o_totalprice, nd_o_totalprice, mn_o_totalprice, mx_o_totalprice, "
+            "'o_orderstatus', nn_o_orderstatus, nd_o_orderstatus, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "'o_orderpriority', nn_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
