@@ -40,6 +40,9 @@ HEADLINE = [
     # round-2 lanes: map-only chunking throughput + iterative graph joins
     "q_chunk_text",
     "q_pagerank",
+    # round-2 tail: two-lane fusion + bucketed pure range join
+    "q_rrf_hybrid",
+    "q_window_attribution",
 ]
 
 

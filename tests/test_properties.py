@@ -341,3 +341,32 @@ def test_chunking_no_overlap_partitions_tokens(spark):
     )
     assert bad.count() == 0
     assert per_doc.count() == orig.count()
+
+
+def test_binned_range_join_negative_axis_and_widths(spark):
+    """Property: binned ≡ naive for ANY axis placement — including
+    negative values, where the bin id must use FLOOR division (a
+    truncating division would put [-1, 1] intervals in the wrong bin)
+    — and for bin widths smaller/larger than the interval length."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.scale import binned_range_join
+
+    iv = spark.range(40).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 13 - 260).alias("lo"),       # spans negative→positive
+        (F.col("id") * 13 - 260 + 21).alias("hi"),
+    )
+    pts = spark.range(700).select(
+        F.col("id").alias("pt_id"), (F.col("id") - 350).alias("p")
+    )
+    naive = iv.join(
+        pts, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    ).select("iv_id", "pt_id")
+    for bw in (7, 21, 100):  # < interval, == interval, >> interval
+        binned = binned_range_join(iv, pts, "lo", "hi", "p", bin_width=bw).select(
+            "iv_id", "pt_id"
+        )
+        assert binned.count() == naive.count(), bw
+        assert binned.subtract(naive).count() == 0, bw
+        assert naive.subtract(binned).count() == 0, bw
