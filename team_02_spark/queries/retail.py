@@ -202,3 +202,71 @@ def q_lead_time(spark, sf_dir):
             F.max(days).alias("max_days"),
         )
     )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               SUM(CAST(o.o_totalprice / 1e6 AS DECIMAL(18,6))) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY segment, custkey
+    ),
+    ranked AS (
+        SELECT segment, revenue,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY revenue, custkey) AS i
+        FROM rev
+    )
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           (2.0 * CAST(SUM(i * revenue) AS DOUBLE)
+            - (COUNT(*) + 1) * CAST(SUM(revenue) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(revenue) AS DOUBLE)) AS gini
+    FROM ranked
+    GROUP BY segment
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue per market segment — the
+    integral form of q_pareto's 80/20 concentration (rank-weighted
+    formula: G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx), ranks ascending).
+
+    Cross-engine exactness: revenue is pre-scaled to millions and
+    summed in DECIMAL(18,6), so the rank-weighted sum stays under the
+    2^53 scaled-integer bound (FIXTURES.md) through sf1 — the decimal
+    → double exit is exact and the final ratio is the same IEEE
+    arithmetic on both engines. Ties in revenue are rank-order
+    invariant (equal x across adjacent ranks contribute the same
+    Σ i·x under any permutation), so the custkey tiebreak is for
+    determinism hygiene only. Fact table shuffles once into the
+    per-(segment, customer) aggregate; the ranking window and final
+    agg run on the dimension-sized relation."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") / 1e6).cast("decimal(18,6)")).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("revenue", "custkey")
+    ranked = rev.select(
+        "segment", "revenue", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    n = F.count("*")
+    s = F.sum("revenue").cast("double")
+    si = F.sum(F.col("i") * F.col("revenue")).cast("double")
+    return ranked.groupBy("segment").agg(
+        n.alias("n_customers"),
+        ((F.lit(2.0) * si - (n + 1) * s) / (n * s)).alias("gini"),
+    )
