@@ -336,3 +336,67 @@ def q_column_stats(spark, sf_dir):
             ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"
         )
     )
+
+
+@query(
+    "q_join_health",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY k
+    ),
+    orphans AS (
+        SELECT COUNT(*) AS line_orphan_keys
+        FROM l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.k
+        )
+    )
+    SELECT COUNT(*) AS n_orders,
+           SUM(COALESCE(l.n, 0)) AS n_matched_lines,
+           SUM(CASE WHEN l.n IS NULL THEN 1 ELSE 0 END) AS orders_without_lines,
+           MAX(COALESCE(l.n, 0)) AS max_fanout,
+           CAST(SUM(COALESCE(l.n, 0)) AS DOUBLE) / COUNT(*) AS avg_fanout,
+           (SELECT line_orphan_keys FROM orphans) AS line_orphan_keys
+    FROM orders o LEFT JOIN l ON o.o_orderkey = l.k
+    """,
+)
+def q_join_health(spark, sf_dir):
+    """Join-health profile for the orders↔lineitem key: per-key
+    fan-out distribution (max/avg), orders with no lines, and lineitem
+    keys with no order — the diagnosis run BEFORE a 100 TB join to
+    predict output volume and catch referential rot (complements
+    q_key_skew's hot-key view and q_expectations' pass/fail gate).
+
+    One pass over lineitem collapses it to per-key counts (map-side
+    combined); orders left-joins that dimension-sized relation; the
+    orphan count is an anti-join on the same aggregate, and the two
+    scalar rows meet in a broadcast cross join — the fact tables are
+    each scanned exactly once."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    l_counts = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    main = (
+        orders.join(l_counts, orders["o_orderkey"] == l_counts["k"], "left")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_matched_lines"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias(
+                "orders_without_lines"
+            ),
+            F.max(F.coalesce(F.col("n"), F.lit(0))).alias("max_fanout"),
+            (
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("avg_fanout"),
+        )
+    )
+    orphans = (
+        l_counts.join(
+            orders.select("o_orderkey"),
+            l_counts["k"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("line_orphan_keys"))
+    )
+    return main.crossJoin(F.broadcast(orphans))
