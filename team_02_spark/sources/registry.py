@@ -54,19 +54,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     push down to the parquet scan (verify with .explain: PushedFilters,
     ReadSchema).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which vanilla Spark 4
-    rejects ([PARQUET_TYPE_ILLEGAL]); we read it via the public
-    ``spark.sql.legacy.parquet.nanosAsLong`` session conf (long
-    nanoseconds) and truncate to a microsecond timestamp — the same
-    value DuckDB sees modulo sub-µs digits."""
+    ``events.ts`` normalization: fixture encodings of the event-time
+    column have varied across harness generations, so both are handled:
+
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 reads this as
+      ``timestamp_ntz``. Cast to ``timestamp``: the session timezone is
+      pinned UTC (session.py), so the cast is value-preserving and
+      agrees with DuckDB's ``epoch_us`` view of the same file.
+    * TIMESTAMP(NANOS) — vanilla Spark 4 rejects it
+      ([PARQUET_TYPE_ILLEGAL]); read via the public
+      ``spark.sql.legacy.parquet.nanosAsLong`` conf (long nanoseconds)
+      and truncate to a microsecond timestamp.
+
+    Downstream event-time code (watermarks, ``unix_micros``, time-RANGE
+    frames) requires a true ``timestamp``, so the invariant here is:
+    ``load_table(..., 'events')`` always yields ``ts: timestamp``."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -105,7 +105,11 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # same ns→µs truncation as sources.registry.load_table
+    # same ts normalization invariant as sources.registry.load_table:
+    # event-time consumers need a true `timestamp` column
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
