@@ -1,5 +1,6 @@
 from team_02_spark.plans.inspect import (
     explain_str,
+    forced_broadcast_hint_count,
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -10,6 +11,7 @@ from team_02_spark.plans.inspect import (
 
 __all__ = [
     "explain_str",
+    "forced_broadcast_hint_count",
     "has_broadcast_join",
     "pushed_filters",
     "read_schema_columns",

@@ -50,6 +50,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 
 
+def forced_broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan
+    (ResolvedHint nodes — present only when the query author forced the
+    strategy with F.broadcast / a SQL hint; joins whose broadcast was
+    CHOSEN by size stats or AQE carry none).
+
+    The 100 TB rule this backs: a hint on an SF-scaling side overrides
+    Catalyst/AQE and turns a would-be sort-merge fallback into an OOM,
+    so hints are reserved for fixed-cardinality sides."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
     exchanges excluded — they move only the small side)."""

@@ -49,12 +49,13 @@ _PAIRS_SQL = """
 
 
 def _pairs(spark, sf_dir) -> DataFrame:
-    """Distinct customer↔supplier co-occurrence pairs. One fact pass,
-    orders broadcast, one distinct-shuffle on the pair."""
+    """Distinct customer↔supplier co-occurrence pairs. One fact pass
+    (orders scales with SF — join strategy left to AQE), one
+    distinct-shuffle on the pair."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),

@@ -231,7 +231,10 @@ def q_expectations(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orphan_rule = (
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            # referential-integrity probe: key-only projection of
+            # customer; customer scales with SF, so no forced
+            # broadcast — AQE picks one while the projection is small
+            cust.select("c_custkey"),
             orders["o_custkey"] == F.col("c_custkey"),
             "left",
         )

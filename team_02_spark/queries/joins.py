@@ -1,11 +1,14 @@
 """Join queries (SURVEY.md §2.4): inner/left/multi/semi/anti/range.
 
-Scale posture: dimension sides (customer at this schema's scale;
-nation/region/supplier always) get explicit ``F.broadcast`` hints so
-the fact table never shuffles for the join; the 3-way query is written
-dim-last so Catalyst folds both broadcasts into one fact-scan stage.
-AQE re-plans to broadcast automatically when runtime stats allow, and
-splits skewed shuffle joins.
+Scale posture: explicit ``F.broadcast`` hints are reserved for sides
+whose cardinality is FIXED regardless of data volume (nation/region,
+in-plan literal frames, tiny aggregates). Tables that grow with the
+dataset — orders, customer, lineitem — carry NO hint: an explicit
+hint overrides Catalyst/AQE, which at 100x scale forces an OOM
+instead of degrading to sort-merge. Un-hinted, AQE still broadcasts
+them whenever runtime stats come in under autoBroadcastJoinThreshold
+(so small-SF plans are identical), and falls back to shuffle joins —
+with skew splitting — when they don't.
 """
 
 from __future__ import annotations
@@ -25,12 +28,14 @@ from team_02_spark.queries._util import dsum, dsum_sql, t
     """,
 )
 def q_join_inner(spark, sf_dir):
-    """J1/J2: equi inner join, dim side broadcast. The filter on
-    orders is pushed below the join by Catalyst."""
+    """J1/J2: equi inner join. The filter on orders is pushed below
+    the join by Catalyst. customer scales with SF, so join strategy is
+    left to AQE (broadcast when its runtime size allows, sort-merge
+    when it doesn't) rather than forced."""
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
 
@@ -68,16 +73,19 @@ def q_join_left(spark, sf_dir):
     """,
 )
 def q_join_multi(spark, sf_dir):
-    """J2: 3-way fact→dim join (TPC-H Q3 flavor). Both dims broadcast →
-    the whole query is one fact-scan stage plus one agg shuffle on
-    c_mktsegment (5 groups). Revenue uses the decimal-sum-as-double
-    discipline so partial-aggregation order can't change the result."""
+    """J2: 3-way fact→dim join (TPC-H Q3 flavor). orders and customer
+    both scale with SF so neither is hint-broadcast: AQE broadcasts
+    them at small SF (runtime stats under the threshold — same plan as
+    a forced hint) and shifts to shuffle joins at scale. The final agg
+    is one shuffle on c_mktsegment (5 groups). Revenue uses the
+    decimal-sum-as-double discipline so partial-aggregation order
+    can't change the result."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),

@@ -185,15 +185,16 @@ def q_pareto(spark, sf_dir):
 def q_lead_time(spark, sf_dir):
     """Order-to-ship lead time by priority class — the fulfillment
     SLA report. Integer day arithmetic end-to-end (exact sums, one
-    double division at exit); the orders side broadcasts into the
-    lineitem scan, one priority-keyed aggregate shuffle."""
+    double division at exit); orders scales with SF so the join
+    strategy is AQE's call (no forced broadcast), then one
+    priority-keyed aggregate shuffle."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     days = F.date_diff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
@@ -246,9 +247,7 @@ def q_gini(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     rev = (
-        orders.join(
-            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-        )
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_custkey").alias("custkey"),

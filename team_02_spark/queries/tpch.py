@@ -31,9 +31,11 @@ from team_02_spark.queries._util import dsum, dsum_sql, t
 )
 def q_tpch_q5ish(spark, sf_dir):
     """Q5 shape: revenue per nation within one region — a 5-table
-    dimension chain. region filter prunes FIRST (5→1 rows), then the
-    whole chain broadcasts: the fact table is scanned once, never
-    shuffled until the final tiny agg."""
+    dimension chain. region filter prunes FIRST (5→1 rows); only the
+    fixed-cardinality nation/region sides are hint-broadcast. orders
+    and the customer-derived dims frame scale with SF, so their join
+    strategy is AQE's call (broadcast at small SF, shuffle at scale
+    — a forced hint here would OOM at 100x instead of degrading)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -45,8 +47,8 @@ def q_tpch_q5ish(spark, sf_dir):
         .select("c_custkey", "n_name")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -155,8 +157,8 @@ def q_returned_revenue(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
     )
@@ -182,10 +184,10 @@ def q_returned_revenue(spark, sf_dir):
 )
 def q_tpch_q3ish(spark, sf_dir):
     """TPC-H Q3 shape (shipping priority): segment-filtered customers
-    and date-filtered orders both reach the scan as pushed predicates,
-    the customer and orders sides broadcast into the lineitem pass,
-    and the top-10 is TakeOrderedAndProject — one agg shuffle, no
-    global sort. Revenue sums via DECIMAL(18,4) (FIXTURES.md §C)."""
+    and date-filtered orders both reach the scan as pushed predicates
+    (orders/customer scale with SF — join strategy is AQE's call), and
+    the top-10 is TakeOrderedAndProject — one agg shuffle, no global
+    sort. Revenue sums via DECIMAL(18,4) (FIXTURES.md §C)."""
     cust = t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -196,8 +198,8 @@ def q_tpch_q3ish(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("order_date"),

@@ -12,7 +12,10 @@ to the columns that exist (reference parity: the reference engine's
 relational surface is eager pandas — src/main.py:29-75 — so these
 shapes all exceed it; they exist to prove the Spark plans).
 
-Plan discipline (same as tpch.py): dims broadcast, facts scanned
+Plan discipline (same as tpch.py): fixed-cardinality dims
+(nation/region/part/supplier chains, tiny aggregates) broadcast by
+hint; SF-scaling sides (orders/customer) are left to AQE so the plan
+degrades to sort-merge instead of OOM at 100x scale; facts scanned
 once, predicates pushed, money sums through DECIMAL(18,4)
 (FIXTURES.md §C) so hashes match DuckDB bit-for-bit.
 """
@@ -83,9 +86,11 @@ def q_tpch_q4ish(spark, sf_dir):
 def q_tpch_q7ish(spark, sf_dir):
     """Q7 shape (volume shipping): both arms of the snowflake at once —
     supplier→nation and customer→nation — restricted to a nation pair.
-    Both dimension chains broadcast; the fact passes once; the
+    The fixed-cardinality nation side and the supplier chain are
+    hint-broadcast; orders and the customer chain scale with SF, so
+    their join strategy is AQE's call. The fact passes once; the
     cross-filter (ns <> nc) is evaluated post-join on two tiny
-    broadcast columns."""
+    dimension columns."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     nations = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
@@ -110,8 +115,8 @@ def q_tpch_q7ish(spark, sf_dir):
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -159,7 +164,7 @@ def q_tpch_q8ish(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -352,8 +357,8 @@ def q_tpch_q18ish(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     return (
-        big.join(F.broadcast(orders), big["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -528,7 +533,8 @@ def q_tpch_q12ish(spark, sf_dir):
     """Q12 shape (shipping priority audit; the fixture has no
     l_shipmode, so l_linestatus stands in as the grouping): per-class
     counts of high- vs low-priority order lines — two conditional
-    sums in one pass after a broadcast join, date filter pushed to the
+    sums in one pass after the orders join (strategy AQE-chosen:
+    orders scales with SF), date filter pushed to the
     fact scan. With Q12 this closes the adaptable TPC-H set at 18/22
     (Q2/Q9/Q11/Q20 need the absent partsupp table)."""
     li = t(spark, sf_dir, "lineitem").filter(
@@ -539,7 +545,7 @@ def q_tpch_q12ish(spark, sf_dir):
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             one_if(high).alias("high_line_count"),

@@ -43,8 +43,50 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_dim_joins_are_broadcast(spark):
+    # Broadcast must still HAPPEN at this SF — but for q_join_inner /
+    # q_join_multi it must be chosen by size stats / AQE, not forced
+    # (see test_no_forced_broadcast_on_scaling_tables).
     for name in ("q_join_inner", "q_join_multi", "q_knn_topk", "q_join_range"):
         assert has_broadcast_join(_q(spark, name)), f"{name} lost its broadcast"
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    """100x-scale guard: queries joining SF-scaling tables (orders,
+    customer, lineitem-derived frames of fact cardinality) must not
+    carry an explicit broadcast hint — a hint overrides Catalyst/AQE
+    and forces an OOM at scale instead of degrading to sort-merge.
+    At smoke SF the planner still picks broadcast from size stats
+    (asserted above), so dropping the hints costs nothing locally.
+
+    Queries whose hints are LEGITIMATE (fixed-cardinality sides only:
+    nation/region/part/supplier chains, literal band frames, tiny
+    aggregates) are allowed a nonzero count — listed with their
+    expected hint budget so a new unexpected hint still fails."""
+    from team_02_spark.plans import forced_broadcast_hint_count
+
+    # (query, max allowed hints, reason-for-allowed)
+    specs = [
+        ("q_join_inner", 0, "customer scales"),
+        ("q_join_left", 0, "orders scales"),
+        ("q_join_multi", 0, "orders+customer scale"),
+        ("q_tpch_q5ish", 2, "nation+region only"),
+        ("q_tpch_q3ish", 0, "orders+customer scale"),
+        ("q_returned_revenue", 0, "orders+customer scale"),
+        ("q_tpch_q7ish", 3, "nation x2 + supplier chain only"),
+        ("q_tpch_q8ish", 2, "nation + supplier chain only"),
+        ("q_tpch_q18ish", 0, "join-back of orders/customer"),
+        ("q_tpch_q12ish", 0, "orders scales"),
+        ("q_lead_time", 0, "orders scales"),
+        ("q_gini", 0, "customer scales"),
+        ("q_graph_degree", 0, "orders scales"),
+        ("q_pagerank", 0, "orders scales"),
+        ("q_expectations", 0, "customer RI probe scales"),
+    ]
+    for name, budget, why in specs:
+        n = forced_broadcast_hint_count(_q(spark, name))
+        assert n <= budget, (
+            f"{name}: {n} forced broadcast hints (budget {budget}: {why})"
+        )
 
 
 def test_join_multi_is_single_fact_pass(spark):
