@@ -61,6 +61,21 @@ def main() -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
     QUERIES["q_topk"].fn(spark, sf_dir).collect()
+    # Python-worker warmup: the first Arrow pandas_udf in a session
+    # pays daemon + worker-pool spin-up and numpy/pandas import on
+    # every executor thread; one trivial vectorized UDF pass moves
+    # that one-time cost out of the per-query timings (same rationale
+    # as the JVM/codegen warmup above).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(1024).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

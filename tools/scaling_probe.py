@@ -323,6 +323,69 @@ def rangejoin_probe(replication: int) -> None:
     spark.stop()
 
 
+def hybrid_probe(replication: int) -> None:
+    """Data-scaling sweep for the hybrid-retrieval lane (q_rrf_hybrid):
+    documents AND embeddings replicated N× under fresh ids. The scale
+    claim under test: each lane reduces to its top-50 candidates via
+    TakeOrderedAndProject — the BM25 side is a token-keyed aggregate
+    over the corpus and the cosine side one broadcast-probe scan, so
+    wall-clock should track corpus size ~linearly with NO global-sort
+    or window-over-everything term appearing as corpus grows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-hybrid-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    out = os.path.join(tempfile.gettempdir(), f"scaling_hybrid_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+        n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+        n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+        d_all, e_all = docs, emb
+        for i in range(1, replication):
+            d_all = d_all.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_doc))
+            )
+            # vec_id 0 is the probe vector; replicas keep fresh ids so
+            # only the original probe row drives the semantic lane
+            e_all = e_all.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
+            )
+        d_all.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+        e_all.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet"))
+        for t_name in ("region nation customer supplier part orders "
+                       "lineitem events").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f"{t_name}.parquet"), link)
+        open(os.path.join(out, ".done"), "w").close()
+
+    for t_name in ("documents", "embeddings"):
+        spark.read.parquet(os.path.join(out, f"{t_name}.parquet")).write.format(
+            "noop").mode("overwrite").save()  # warm
+    n_docs = spark.read.parquet(os.path.join(out, "documents.parquet")).count()
+
+    t0 = time.perf_counter()
+    QUERIES["q_rrf_hybrid"].fn(spark, out).write.format("noop").mode(
+        "overwrite").save()
+    rrf_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "hybrid", "replication": replication,
+        "n_docs": n_docs, "rrf_sec": round(rrf_s, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
@@ -330,6 +393,9 @@ def main() -> None:
         return
     if mode == "rangejoin":
         rangejoin_probe(arg)
+        return
+    if mode == "hybrid":
+        hybrid_probe(arg)
         return
     if mode == "embedding":
         embedding_probe(arg)
