@@ -29,14 +29,20 @@ from team_02_spark.functions.vectors import cosine, hyperplane_bucket
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                    q_id: str = "q_id", c_id: str = "vec_id",
-                   q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+                   q_vec: str = "q_vec", c_vec: str = "embedding",
+                   round_decimals: int | None = None) -> DataFrame:
     """Exact cosine top-k. ``queries`` is broadcast (it is the small
     side by contract — a batch of probe vectors); the corpus streams
     through map-side, each partition scoring locally, then a window
-    keeps k per query. Returns (q_id, c_id, score, rank)."""
-    scored = corpus.join(F.broadcast(queries)).withColumn(
-        "score", cosine(F.col(q_vec), F.col(c_vec))
-    )
+    keeps k per query. Returns (q_id, c_id, score, rank).
+
+    ``round_decimals`` rounds the cosine BEFORE ranking — required for
+    cross-engine determinism (oracle checks): rank order must not
+    depend on the last ulp of two engines' float accumulation."""
+    score = cosine(F.col(q_vec), F.col(c_vec))
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+    scored = corpus.join(F.broadcast(queries)).withColumn("score", score)
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -139,11 +145,14 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
 def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5, *,
                  label_col: str = "label", q_id: str = "q_id",
                  c_id: str = "vec_id", q_vec: str = "q_vec",
-                 c_vec: str = "embedding") -> DataFrame:
+                 c_vec: str = "embedding",
+                 round_decimals: int | None = None) -> DataFrame:
     """U6: k-NN majority vote (ties broken by smaller label for
-    determinism). Returns (q_id, prediction)."""
+    determinism). Returns (q_id, prediction). ``round_decimals``
+    makes the neighbor ranking engine-portable (see knn_bruteforce)."""
     nn = knn_bruteforce(queries, corpus, k, q_id=q_id, c_id=c_id,
-                        q_vec=q_vec, c_vec=c_vec)
+                        q_vec=q_vec, c_vec=c_vec,
+                        round_decimals=round_decimals)
     labeled = nn.join(corpus.select(F.col(c_id), F.col(label_col)), c_id)
     votes = labeled.groupBy(q_id, label_col).agg(F.count("*").alias("votes"))
     w = Window.partitionBy(q_id).orderBy(F.desc("votes"), F.col(label_col))

@@ -83,17 +83,51 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(probes, emb, 10, dim=64)
 
 
-@query("q_knn_classify")  # rows-only: composite ML op
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+               WHERE vec_id < 20),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= 20),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id, ROUND({_COS_SQL}, 6) AS score
+        FROM c, q
+    ),
+    top5 AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, c_id) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 5
+    ),
+    votes AS (
+        SELECT t.q_id, c.label, COUNT(*) AS votes
+        FROM top5 t JOIN c ON t.c_id = c.vec_id
+        GROUP BY t.q_id, c.label
+    )
+    SELECT q_id, label AS prediction FROM (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY votes DESC, label) AS r
+        FROM votes
+    ) v WHERE r = 1
+    """,
+)
 def q_knn_classify(spark, sf_dir):
     """U6: KNN classifier (k=5, majority vote) — the engine's
     distributed stand-in for the reference's KNeighborsClassifier
-    (reference src/main.py:106-109)."""
+    (reference src/main.py:106-109). Oracle-checked (was rows-only):
+    the neighbor ranking rounds cosine to 6dp with an id tiebreak and
+    the vote breaks ties toward the smaller label, so every step is
+    engine-portable."""
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 20)
-    return knn_classify(probes, corpus, k=5)
+    return knn_classify(probes, corpus, k=5, round_decimals=6)
 
 
 @query(
@@ -125,10 +159,39 @@ def q_vector_norms(spark, sf_dir):
     )
 
 
-@query("q_dedup_embedding")  # rows-only: LSH bucket recall is probabilistic
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)))
+              / (SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(a.embedding[i] AS DOUBLE))))
+               * SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))))
+              >= 0.95
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
 def q_dedup_embedding(spark, sf_dir):
     """M4 embedding form: cosine ≥ 0.95 near-dup removal via
-    random-hyperplane buckets + exact verify."""
+    random-hyperplane buckets + exact verify, keep-first.
+
+    Oracle-checked against the exact all-pairs threshold dedup (was
+    rows-only): candidates are verified with an exact cosine, so the
+    survivor set equals the exact answer whenever LSH recall is
+    complete — and the fixtures have NO pair in [0.90, 0.999), so the
+    threshold boundary cannot flip between the numpy dot (Spark side)
+    and DuckDB's list arithmetic. The oracle's quadratic self-join is
+    oracle-side only (sf<=0.1, seconds in DuckDB); the engine path
+    stays bucketed."""
     emb = t(spark, sf_dir, "embeddings")
     return near_dedup_embedding(emb.select("vec_id", "embedding")).select("vec_id")
 
