@@ -320,3 +320,142 @@ def q_table_diff(spark, sf_dir):
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ------------------------------------------------- round-3 additions
+
+@query(
+    "q_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[i], toks[i + 1]])) AS bg
+        FROM tok WHERE len(toks) >= 2
+    ),
+    inst AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+    hist AS (SELECT w1, COUNT(*) AS c_hist FROM inst GROUP BY w1),
+    pair AS (SELECT w1, w2, COUNT(*) AS c_pair FROM inst GROUP BY w1, w2),
+    voc AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM tok)
+    )
+    SELECT i.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(-LN(CAST(p.c_pair + 1 AS DOUBLE)
+                         / (h.c_hist + voc.v))) / COUNT(*), 4) AS avg_nll
+    FROM inst i
+    JOIN pair p ON i.w1 = p.w1 AND i.w2 = p.w2
+    JOIN hist h ON i.w1 = h.w1
+    CROSS JOIN voc
+    GROUP BY i.doc_id
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """Count-based bigram language-model scoring — the KenLM-style
+    quality filter of LLM data pipelines, fully relational: train the
+    LM (bigram + history counts, one exploded pass) and score every
+    document (average negative log-likelihood under add-1 smoothing,
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+|V|)) in the same job. High
+    avg_nll = improbable text = quality-filter candidate.
+
+    Scale: counts tables are vocabulary-sized and shuffle by token
+    key (never all-pairs); the scoring joins are plain distributed
+    equi-joins on w1/(w1,w2); |V| rides in as a 1-row broadcast cross
+    join. Cross-engine: the LN family differs in the last ulp between
+    engines, so avg_nll is rounded to 4dp AFTER the per-doc average
+    (accumulated ulp error ~1e-13 << the 5e-5 rounding boundary)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    inst = (
+        tok.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    hist = inst.groupBy("w1").agg(F.count("*").alias("c_hist"))
+    pair = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    voc = tok.select(F.explode("toks").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    nll = -F.log(
+        (F.col("c_pair") + 1).cast("double") / (F.col("c_hist") + F.col("v"))
+    )
+    return (
+        inst.join(pair, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count("*"), 4).alias("avg_nll"),
+        )
+    )
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(SQRT(CAST(n_s AS DOUBLE))) AS z,
+               SUM(n_s) AS n FROM counts
+    ),
+    rates AS (
+        SELECT c.source,
+               LEAST(1.0, (0.5 * t.n) * (SQRT(CAST(c.n_s AS DOUBLE)) / t.z)
+                          / c.n_s) AS f_s
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_U_SQL} < r.f_s
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (T=2, i.e. sqrt weighting):
+    target mixture w_s ∝ sqrt(n_s) up-weights tail sources and
+    down-weights dominant ones — the standard multilingual/multi-domain
+    rebalancing move — at a fixed total budget of half the corpus.
+    Per-source keep rate f_s = min(1, M·w_s/n_s); the per-row decision
+    is the same deterministic Knuth-hash gate as q_source_mix, so the
+    sample is reproducible across runs, engines, and retries.
+
+    Scale: one tiny per-source count aggregate (broadcast back), then
+    a pure map gate next to the scan. sqrt (not pow) on purpose:
+    engines agree on sqrt bit-for-bit, while pow/LN differ in the
+    last ulp (FIXTURES.md §C discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+        F.sum("n_s").alias("n"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (0.5 * F.col("n"))
+            * (F.sqrt(F.col("n_s").cast("double")) / F.col("z"))
+            / F.col("n_s"),
+        ).alias("f_s"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_u("doc_id") < F.col("f_s"))
+        .select("doc_id", "source")
+    )

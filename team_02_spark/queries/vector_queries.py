@@ -314,3 +314,119 @@ def q_knn_ivf(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") >= 5)
     from team_02_spark.operators.similarity import knn_ivf
     return knn_ivf(probes, corpus, k=10, n_cells=8, n_probe=4)
+
+
+@query(
+    "q_retrieval_metrics",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding, label FROM embeddings
+               WHERE vec_id < 20),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= 20),
+    scored AS (
+        SELECT q.q_id, q.label AS q_label, c.vec_id AS c_id,
+               c.label AS c_label, ROUND({_COS_SQL}, 6) AS score
+        FROM c, q
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, c_id) AS rnk
+        FROM scored
+    ),
+    rel_tot AS (
+        SELECT q.q_id, COUNT(*) AS n_rel
+        FROM q JOIN c ON c.label = q.label
+        GROUP BY q.q_id
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10)
+    SELECT t.q_id,
+           CAST(SUM(CASE WHEN t.c_label = t.q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_at_10,
+           ROUND(CAST(SUM(CASE WHEN t.c_label = t.q_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / LEAST(10, ANY_VALUE(r.n_rel)), 4)
+             AS recall_at_10,
+           ROUND(COALESCE(MAX(CASE WHEN t.c_label = t.q_label
+                                   THEN 1.0 / t.rnk END), 0.0), 4)
+             AS mrr_at_10,
+           ROUND(SUM(CASE WHEN t.c_label = t.q_label
+                          THEN 1.0 / (LN(t.rnk + 1) / LN(2)) ELSE 0 END)
+                 / (SELECT SUM(1.0 / (LN(i + 1) / LN(2)))
+                    FROM range(1, 11) s(i)
+                    WHERE i <= LEAST(10, ANY_VALUE(r.n_rel))), 4)
+             AS ndcg_at_10
+    FROM top10 t JOIN rel_tot r ON t.q_id = r.q_id
+    GROUP BY t.q_id
+    """,
+)
+def q_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality metrics for the vector lane — recall@10,
+    MRR@10, NDCG@10 per probe, with "relevant" = same class label as
+    the probe (the standard label-as-relevance eval when no judgment
+    set exists). This is the measurement half of the ANN lanes: the
+    exact ranking scored here is the ground truth the LSH/IVF recall
+    tests compare against.
+
+    Ranking is engine-portable (cosine rounded to 6dp, id tiebreak).
+    recall's denominator is min(10, |relevant|) (bounded recall);
+    NDCG's ideal DCG likewise truncates at min(10, |relevant|).
+    log2 comes from the LN family, so all three metrics round to 4dp
+    at exit (FIXTURES.md §C). Scale: top-10 per probe is a broadcast
+    probe scan + per-probe window over <=10 rows; every aggregate is
+    probe-cardinality-sized."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    scored = corpus.join(F.broadcast(probes)).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    top10 = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    rel_tot = (
+        corpus.join(F.broadcast(probes), corpus["label"] == probes["q_label"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    hit = F.col("c_label") == F.col("q_label")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    denom_k = F.least(F.lit(10), F.any_value("n_rel"))
+    # ideal DCG of k hits: sum_{i=1..k} 1/log2(i+1), as a SQL-free
+    # column expression over a literal 1..10 array
+    idcg = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(10)), lambda i: i <= denom_k
+        ),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.lit(1.0) / (F.log(i.cast("double") + 1) / F.log(F.lit(2.0))),
+    )
+    dcg = F.sum(
+        F.when(
+            hit, F.lit(1.0) / (F.log(F.col("rnk").cast("double") + 1) / F.log(F.lit(2.0)))
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        top10.join(rel_tot, "q_id")
+        .groupBy("q_id")
+        .agg(
+            one_if(hit).cast("bigint").alias("hits_at_10"),
+            F.round(one_if(hit).cast("double") / denom_k, 4).alias("recall_at_10"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(hit, F.lit(1.0) / F.col("rnk"))), F.lit(0.0)
+                ),
+                4,
+            ).alias("mrr_at_10"),
+            F.round(dcg / idcg, 4).alias("ndcg_at_10"),
+        )
+    )
