@@ -430,3 +430,29 @@ def q_retrieval_metrics(spark, sf_dir):
             F.round(dcg / idcg, 4).alias("ndcg_at_10"),
         )
     )
+
+
+@query("q_pq_search")  # rows-only: KMeans codebooks are impl-specific
+def q_pq_search(spark, sf_dir):
+    """J5 scale path #3: product-quantization ANN — per-subspace
+    KMeans codebooks compress each vector to m=8 small ints (32x vs
+    float32 at dim 64), and search scores corpus rows by summing m
+    lookup-table entries (asymmetric distance, Jegou et al. 2011)
+    without ever decoding. Recall vs brute force is pinned by
+    tests/test_ml.py::test_pq_recall; at production scale PQ composes
+    with IVF (ivf_build_layout partitions, PQ codes inside each cell)
+    so a probe reads only probed cells AND only bytes, not vectors."""
+    from team_02_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    books = fit_pq_codebooks(corpus, m=8, n_codes=16)
+    encoded = pq_encode(corpus, books).select("vec_id", "pq_codes")
+    return pq_search_rerank(probes, encoded, corpus, books, k=10)

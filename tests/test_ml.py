@@ -215,3 +215,59 @@ def test_ivf_layout_prunes_partitions_and_matches_join_form(spark, tmp_path):
     a = {(r["q_id"], r["vec_id"], r["rank"]) for r in res.collect()}
     b = {(r["q_id"], r["vec_id"], r["rank"]) for r in join_form.collect()}
     assert a == b
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """PQ codes: length m, every code < n_codes, and the encoding is
+    deterministic under repartition (seeded KMeans + smallest-code
+    tiebreak)."""
+    from team_02_spark.operators.similarity import fit_pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # dim 64 / m 8
+
+    enc = pq_encode(emb, books).select("vec_id", "pq_codes")
+    rows = {r["vec_id"]: r["pq_codes"] for r in enc.collect()}
+    assert all(len(v) == 8 and all(0 <= c < 16 for c in v) for v in rows.values())
+
+    again = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_encode(emb.repartition(7), books)
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    assert rows == again
+
+
+def test_pq_recall(spark):
+    """PQ shortlist + exact re-rank must recover most of the exact
+    top-k. The fixture vectors are random (no subspace structure —
+    PQ's worst case), so raw ADC ranking is quantization-noise-
+    limited (measured ~0.34 recall@10); the deployed shortlist(5k) +
+    re-rank form is what carries the accuracy and is what q_pq_search
+    ships. Floor set below the measured 0.56 to absorb KMeans
+    initialization drift across library versions (seeded, so stable
+    within one environment)."""
+    from team_02_spark.operators.similarity import (
+        fit_pq_codebooks,
+        knn_bruteforce,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = knn_bruteforce(probes, corpus, 10)
+    books = fit_pq_codebooks(corpus, m=8, n_codes=16)
+    encoded = pq_encode(corpus, books).select("vec_id", "pq_codes")
+    approx = pq_search_rerank(probes, encoded, corpus, books, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"PQ rerank recall collapsed: {recall}"
+    assert approx.groupBy("q_id").count().filter("count > 10").count() == 0
