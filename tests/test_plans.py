@@ -302,3 +302,29 @@ def test_hybrid_lane_plans(spark):
     exp = explain_str(_q(spark, "q_expectations"))
     assert exp.count("lineitem.parquet") <= 1 or exp.count("lineitem") <= 2
     assert not uses_python_udf(_q(spark, "q_expectations"))
+
+
+# ------------------------------------------------- round-3 lanes
+
+
+def test_round3_lane_plans(spark):
+    """LM scoring: everything JVM-side, bounded shuffle budget (count
+    aggregates + scoring joins + final doc agg). Temperature mix: the
+    only shuffles are the tiny per-source aggregates — the row gate
+    itself is a map. Retrieval metrics: probe-window only. All hints
+    are on fixed-size frames (1-row totals, per-source rates, probe
+    batches), never on the corpus."""
+    from team_02_spark.plans import forced_broadcast_hint_count
+
+    lm = _q(spark, "q_lm_perplexity")
+    assert not uses_python_udf(lm)
+    assert shuffle_count(lm) <= 5
+
+    mix = _q(spark, "q_temperature_mix")
+    assert not uses_python_udf(mix)
+    assert shuffle_count(mix) <= 3
+    assert forced_broadcast_hint_count(mix) <= 2  # 1-row tot + rates
+
+    met = _q(spark, "q_retrieval_metrics")
+    assert not uses_python_udf(met)
+    assert shuffle_count(met) <= 3
