@@ -400,18 +400,104 @@ def q_curation(spark, sf_dir):
     return out.select("doc_id")
 
 
-@query("q_curation_full")  # rows-only: includes probabilistic near-dedup
+@query(
+    "q_curation_full",
+    oracle=f"""
+    WITH annotated AS (
+        SELECT doc_id, text, lang,
+            CASE WHEN GREATEST(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+                 WHEN s_zh = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+                 WHEN s_fr = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+                 WHEN s_es = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+                 WHEN s_en = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+                 ELSE 'de' END AS lang_pred,
+            (LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+             + CAST(LENGTH(text)
+                    - LENGTH(regexp_replace(text, '[A-Za-z\\s]', '', 'g'))
+                    AS DOUBLE) / GREATEST(LENGTH(text), 1)
+             + LEAST(CAST(n_stop AS DOUBLE) / 5.0, 1.0)) / 3.0 AS quality,
+            n_tokens
+        FROM (
+            SELECT doc_id, text, lang,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('the','and','of','to','is','in','that','it','for','with')))) AS s_en,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('le','la','les','et','de','un','une','est','pour','que')))) AS s_fr,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('el','los','las','y','es','en','por','para','con','una')))) AS s_es,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('der','die','das','und','ist','nicht','mit','ein','für','auf')))) AS s_de,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ('的','是','在','了','和','有','我','不','这','中')))) AS s_zh,
+                len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x IN ({_sql_str_list(NLTK_STOPWORDS[:50])})))) AS n_stop,
+                CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS INT) AS n_tokens
+            FROM documents
+        )
+    ),
+    filtered AS (
+        SELECT doc_id, text, lang, n_tokens FROM annotated
+        WHERE (lang IN ('en','fr') OR lang_pred IN ('en','fr'))
+          AND quality >= 0.2 AND n_tokens >= 5
+    ),
+    exact AS (
+        SELECT doc_id, text, lang, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM filtered
+        ) x WHERE rn = 1
+    ),
+    sets AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) < 3
+                    THEN [text]
+                    ELSE list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+               END AS sh
+        FROM exact
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+        SELECT DISTINCT c.idb AS doc_id
+        FROM cand c
+        JOIN sizes x ON c.ida = x.doc_id
+        JOIN sizes y ON c.idb = y.doc_id
+        WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
+    )
+    SELECT e.doc_id, e.lang, e.n_tokens FROM exact e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
 def q_curation_full(spark, sf_dir):
     """The complete curation composite incl. MinHash near-dedup —
     filters first, exact dedup second, pairwise near-dedup last on the
-    shrunk set (the composition order that matters at 100 TB)."""
+    shrunk set (the composition order that matters at 100 TB).
+
+    Oracle-checked (was rows-only): every stage is engine-portable —
+    the lang/quality/token annotations reuse the proven q_lang_id /
+    q_quality_score / q_token_count arithmetic (the quality FILTER
+    compares the unrounded expression, which is identical IEEE
+    arithmetic on both engines — no libm, no rounding boundary), the
+    exact dedup is min-id-per-md5, and the near-dedup stage shares
+    the exact-threshold keep-first semantics of _EXACT_DEDUP_ORACLE,
+    applied to the curated survivor set (LSH recall complete at the
+    fixtures' >=0.8-jaccard duplicates)."""
     from team_02_spark.pipeline_data import curate
 
     docs = t(spark, sf_dir, "documents")
-    return curate(docs, languages=("en", "fr"), min_quality=0.2,
-                  min_tokens=5, dedup_threshold=0.6).select(
-        "doc_id", "lang", "n_tokens"
+    out = curate(docs, languages=("en", "fr"), min_quality=0.2,
+                 min_tokens=5, dedup_threshold=0.6).select(
+        "doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens")
     )
+    return out
 
 
 @query(
