@@ -939,28 +939,41 @@ def q_pmi_bigrams(spark, sf_dir):
     """Pointwise-mutual-information collocation mining: which token
     bigrams co-occur far above chance — the phrase-detection pass a
     corpus pipeline runs before vocabulary building (cf. BM25/inverted
-    index above). Token arrays are built once per document; bigram and
-    unigram counts are two partial-agg shuffles over exploded tokens;
-    the corpus totals broadcast as scalars. ln() is libm, so PMI is
-    snapped to DECIMAL(18,8) before exiting (FIXTURES.md §C)."""
+    index above).
+
+    ONE corpus pass: each token explodes as a (token, next-token)
+    pair (next NULL for a document's last token) and a single
+    pair-count aggregate is the only corpus-scale shuffle. Unigram
+    counts, bigram counts, and both corpus totals are then exact
+    folds of that vocabulary-sized table — count(w) = Σ pairs
+    starting with w (every occurrence starts exactly one pair),
+    bigram counts are the non-NULL rows. The r2 form scanned and
+    regex-cleaned the corpus twice (uni + bigram lanes); this halves
+    the expensive tokenization work at any scale. ln() is libm, so
+    PMI is snapped to DECIMAL(18,8) before exiting (FIXTURES.md §C)."""
     docs = ensure_parallelism(
         t(spark, sf_dir, "documents").select("text")
     ).select(clean_tokens(F.col("text")).alias("tk"))
-    bg_expr = F.expr(
-        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
-        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+    # (w, nxt) per token occurrence; nxt NULL terminates each doc
+    pair_expr = F.expr(
+        "CASE WHEN size(tk) >= 1 THEN transform(sequence(1, size(tk)), "
+        "i -> struct(element_at(tk, i) AS w, "
+        "            CASE WHEN i < size(tk) THEN element_at(tk, i + 1) END AS nxt)) "
         "ELSE array() END"
     )
-    bigrams = docs.select(F.explode(bg_expr).alias("bg"))
-    uni = docs.select(F.explode("tk").alias("w"))
-    bg_all = bigrams.groupBy("bg").agg(F.count("*").alias("n_xy"))
+    pairs = docs.select(F.explode(pair_expr).alias("p")).select("p.w", "p.nxt")
+    pc = pairs.groupBy("w", "nxt").agg(F.count("*").alias("n"))
+    uni_counts = pc.groupBy("w").agg(F.sum("n").alias("n_w"))
+    # (w, nxt) is the aggregate's key and tokens are \W+-free, so the
+    # joined bigram string is already unique — no regroup needed
+    bg_all = pc.filter(F.col("nxt").isNotNull()).select(
+        F.concat_ws(" ", "w", "nxt").alias("bg"), F.col("n").alias("n_xy")
+    )
     bg_counts = bg_all.filter(F.col("n_xy") >= 5)
-    uni_counts = uni.groupBy("w").agg(F.count("*").alias("n_w"))
-    # corpus totals fold the (vocab-sized) count tables, NOT the
-    # corpus — documents are scanned exactly twice (uni + bigram)
     tot = F.broadcast(
-        uni_counts.agg(F.sum("n_w").alias("t_uni")).crossJoin(
-            bg_all.agg(F.sum("n_xy").alias("t_bg"))
+        pc.agg(
+            F.sum("n").alias("t_uni"),
+            F.sum(F.when(F.col("nxt").isNotNull(), F.col("n"))).alias("t_bg"),
         )
     )
     w1 = F.expr("split_part(bg, ' ', 1)")
