@@ -681,41 +681,63 @@ def q_bm25(spark, sf_dir):
 
 def bm25_scores(spark, sf_dir, terms=tuple(_BM25_TERMS)):
     """The q_bm25 body as a reusable lane (hybrid retrieval fuses it
-    with the vector lane in queries/hybrid.py)."""
+    with the vector lane in queries/hybrid.py).
+
+    For a FIXED query term set the whole statistics side collapses to
+    one pass: tokenize once (the explode is a generator barrier, so
+    Catalyst cannot re-inline the regex pipeline per consumer — the
+    same trick as minhash_signature), fold per-doc length and every
+    term's frequency in a SINGLE map-side-combined aggregate, then
+    fold THAT into one broadcast row carrying n_docs, avgdl, and all
+    document frequencies. Scoring is a pure map under the broadcast.
+    The r2 form paid two corpus explode-shuffles (doclen + tf); this
+    form pays one, which is also why the hybrid lane's lexical top-50
+    reduces to TakeOrderedAndProject over the aggregate."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(clean_tokens(F.col("text"))).alias("token")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = doclen.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
+    one_if_tok = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            one_if_tok(F.col("token") == term).alias(f"__tf_{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    tf = (
-        toks.filter(F.col("token").isin(*terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    docfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.round(
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ),
-        6,
-    )
-    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    return (
-        tf.join(F.broadcast(docfreq), "token")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(term_score), 4).alias("bm25"),
-            F.count("*").cast("int").alias("n_terms_hit"),
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    glob = F.broadcast(
+        per_doc.agg(
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+            F.count("*").alias("n_docs"),
+            *[
+                one_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}")
+                for i in range(len(terms))
+            ],
         )
+    )
+    def term_score(i: int):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df = F.col(f"__df_{i}")
+        idf = F.round(
+            F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0), 6
+        )
+        s = idf * (tf * (_BM25_K1 + 1.0)) / (
+            tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"__tf_{i}") > 0, s).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    hits = F.lit(0)
+    for i in range(len(terms)):
+        hits = hits + F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)
+    return (
+        per_doc.crossJoin(glob)
+        .withColumn("n_terms_hit", hits.cast("int"))
+        .filter(F.col("n_terms_hit") >= 1)
+        .select("doc_id", F.round(score, 4).alias("bm25"), "n_terms_hit")
     )
 
 
