@@ -459,3 +459,45 @@ def q_temperature_mix(spark, sf_dir):
         .filter(_u("doc_id") < F.col("f_s"))
         .select("doc_id", "source")
     )
+
+
+@query(
+    "q_shard_plan",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST(FLOOR({_U_SQL} * 16) AS INT) AS shard,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def q_shard_plan(spark, sf_dir):
+    """Training-data export sharding: assign every document to one of
+    16 shards by the deterministic Knuth-hash uniform (reproducible in
+    any engine — the same gate family as q_source_mix), and report the
+    per-shard manifest (doc count, token budget, id bounds) that a
+    shard-balanced writer needs BEFORE writing anything. At 100 TB
+    this report is the cheap dry-run that catches shard skew; the
+    write itself is df.repartition(shard).write.partitionBy(shard) —
+    one shuffle keyed exactly like this aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    shard = F.floor(_u("doc_id") * 16).cast("int")
+    n_tok = F.size(_toks(F.col("text")))
+    return (
+        docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
