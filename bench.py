@@ -43,6 +43,8 @@ HEADLINE = [
     # round-2 tail: two-lane fusion + bucketed pure range join
     "q_rrf_hybrid",
     "q_window_attribution",
+    # round 3: LM train+score in one job (the heaviest new text lane)
+    "q_lm_perplexity",
 ]
 
 
