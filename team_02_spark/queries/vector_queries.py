@@ -453,6 +453,15 @@ def q_pq_search(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
+    # empty-corpus guard (same contract as knn_ivf): KMeans cannot fit
+    # zero rows — return the empty result with the stable schema
+    if corpus.select("vec_id").first() is None:
+        return probes.select(
+            "q_id",
+            F.col("q_id").alias("vec_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     books = fit_pq_codebooks(corpus, m=8, n_codes=16)
     encoded = pq_encode(corpus, books).select("vec_id", "pq_codes")
     return pq_search_rerank(probes, encoded, corpus, books, k=10)
