@@ -73,9 +73,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 
 def _ordered_names() -> list[str]:
+    """Unchecked keys first, and among those, oracle-checkable keys
+    before rows-only ones: a driver slot spent on an oracle key buys a
+    hash-match row, a rows-only slot only a ran-clean row."""
     names = list(QUERIES)
-    return ([n for n in names if n not in DRIVER_VERIFIED]
-            + [n for n in names if n in DRIVER_VERIFIED])
+    unchecked = [n for n in names if n not in DRIVER_VERIFIED]
+    return (
+        [n for n in unchecked if QUERIES[n].oracle is not None]
+        + [n for n in unchecked if QUERIES[n].oracle is None]
+        + [n for n in names if n in DRIVER_VERIFIED]
+    )
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
