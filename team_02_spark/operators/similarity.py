@@ -445,3 +445,70 @@ def pq_search_rerank(queries: DataFrame, encoded: DataFrame,
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "score", "rank")
     )
+
+
+def ivf_pq_build_layout(corpus: DataFrame, path: str, *,
+                        c_vec: str = "embedding", n_cells: int = 8,
+                        m: int = 8, n_codes: int = 16, seed: int = 42):
+    """IVF-PQ index as table layout: IVF cells become parquet
+    partitions (probes are partition-pruned reads — ivf_build_layout's
+    trick) and inside each cell rows carry their PQ codes next to the
+    raw vector. A probe therefore reads only its cells, scores them
+    from the codes (ADC), and re-ranks only its shortlist against the
+    raw vectors it already read — the full billion-scale serving
+    layout (IVFADC, Jegou et al. 2011) expressed as plain partitioned
+    parquet + JVM expressions. Returns (centroids, codebooks) — the
+    index metadata to persist beside the path."""
+    centroids = fit_ivf_centroids(corpus, c_vec=c_vec, n_cells=n_cells,
+                                  seed=seed)
+    books = fit_pq_codebooks(corpus, c_vec=c_vec, m=m, n_codes=n_codes,
+                             seed=seed)
+    tagged = pq_encode(
+        corpus.withColumn(
+            "__cell", F.array_max(_cell_scores(c_vec, centroids))["cell"]
+        ),
+        books, c_vec=c_vec,
+    )
+    tagged.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    return centroids, books
+
+
+def ivf_pq_search(spark, path: str, centroids, books, queries: DataFrame,
+                  k: int, *, q_id: str = "q_id", c_id: str = "vec_id",
+                  q_vec: str = "q_vec", c_vec: str = "embedding",
+                  n_probe: int = 4, shortlist: int | None = None) -> DataFrame:
+    """Search an ivf_pq_build_layout index: partition-pruned read of
+    the probed cells (literal IN-list — Catalyst prunes at planning
+    time), ADC scoring from the codes, exact re-rank of the shortlist
+    against the raw vectors already in the pruned read. No full-corpus
+    scan, no full-vector math outside the shortlist."""
+    shortlist = shortlist or 5 * k
+    probes = queries.withColumn(
+        "__cells",
+        F.slice(
+            F.transform(
+                F.reverse(F.array_sort(_cell_scores(q_vec, centroids))),
+                lambda s: s["cell"],
+            ),
+            1, n_probe,
+        ),
+    ).select(*[F.col(c) for c in queries.columns], F.explode("__cells").alias("__cell"))
+    cell_ids = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
+    cells = spark.read.parquet(path).filter(F.col("__cell").isin(cell_ids))
+    sl = pq_search_adc(
+        probes.drop("__cell").dropDuplicates([q_id]),
+        cells.select(c_id, "pq_codes"),
+        books, shortlist, q_id=q_id, c_id=c_id, q_vec=q_vec,
+    )
+    cand = (
+        sl.select(q_id, c_id)
+        .join(cells.select(F.col(c_id), F.col(c_vec)), c_id)
+        .join(F.broadcast(queries), q_id)
+        .withColumn("score", cosine(F.col(q_vec), F.col(c_vec)))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )

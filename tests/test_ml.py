@@ -271,3 +271,37 @@ def test_pq_recall(spark):
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"PQ rerank recall collapsed: {recall}"
     assert approx.groupBy("q_id").count().filter("count > 10").count() == 0
+
+
+def test_ivf_pq_layout_prunes_and_recalls(spark, tmp_path):
+    """IVF-PQ composition: the layout's probed-cell read must be
+    partition-pruned (PartitionFilters in the scan), and the
+    codes-shortlist + raw re-rank must recover a healthy share of the
+    exact top-k ON THE PROBED CELLS' candidates (IVF recall bounds the
+    rest, pinned separately by test_knn_ivf_recall)."""
+    from team_02_spark.operators.similarity import (
+        ivf_pq_build_layout,
+        ivf_pq_search,
+        knn_bruteforce,
+    )
+    from team_02_spark.plans import explain_str
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    path = str(tmp_path / "ivfpq")
+    centroids, books = ivf_pq_build_layout(corpus, path, n_cells=8)
+
+    res = ivf_pq_search(spark, path, centroids, books, probes, k=10,
+                        n_probe=4, shortlist=80)
+    plan = explain_str(res)
+    assert "PartitionFilters" in plan and "__cell" in plan
+
+    exact = knn_bruteforce(probes, corpus, 10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in res.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
+    assert res.groupBy("q_id").count().filter("count > 10").count() == 0
