@@ -501,3 +501,54 @@ def q_shard_plan(spark, sf_dir):
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@query(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ),
+    running AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM sized
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM running WHERE cum_tok <= 20000
+    """,
+)
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling: fill a fixed per-source token budget
+    (20k) with documents in deterministic md5-of-id order — the
+    "give me N tokens per domain" selection every training-mix
+    recipe needs, reproducible across runs and engines (same md5
+    ordering trick as the stratified sampler, SURVEY §2.3 M1).
+    One window pass per source partition: the running token sum is a
+    cumulative frame over the per-source ordering, and the budget cut
+    is a filter on it — no iteration, no driver state. At 100 TB each
+    source's window rides one hashpartitioning(source) exchange."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= 20000)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
