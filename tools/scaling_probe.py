@@ -397,6 +397,9 @@ def main() -> None:
     if mode == "hybrid":
         hybrid_probe(arg)
         return
+    if mode == "pq":
+        pq_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -486,6 +489,58 @@ def relational_probe(replication: int) -> None:
     ).write.format("noop").mode("overwrite").save()
     res["window_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(res))
+    spark.stop()
+
+
+
+
+def pq_probe(replication: int) -> None:
+    """Data-scaling sweep for the PQ lane: embeddings replicated N×
+    under fresh ids, codebooks trained once per corpus, then the two
+    production costs measured — full-corpus encode (the index build, a
+    pure map) and shortlist+rerank search for 5 probes. Both should
+    track corpus size ~linearly: encode is map-only, search's corpus
+    side is codes-only with a per-query top-k window."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    spark = get_spark(f"scaling-pq-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding")
+        )
+    df = df.repartition(32).persist()
+    total = df.count()
+
+    books = fit_pq_codebooks(df, m=8, n_codes=16)
+    t0 = time.perf_counter()
+    encoded = pq_encode(df, books).select("vec_id", "pq_codes").persist()
+    encoded.write.format("noop").mode("overwrite").save()
+    enc_s = time.perf_counter() - t0
+
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t0 = time.perf_counter()
+    pq_search_rerank(probes, encoded, df, books, k=10).write.format(
+        "noop").mode("overwrite").save()
+    search_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "pq", "replication": replication, "n_vectors": total,
+        "encode_sec": round(enc_s, 2), "search_sec": round(search_s, 2),
+    }))
     spark.stop()
 
 
