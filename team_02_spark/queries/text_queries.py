@@ -1310,3 +1310,91 @@ def q_setsim_join(spark, sf_dir):
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.8)
     )
+
+
+# ------------------------------------------------- round-3 hygiene lane
+
+@query(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   lower(text),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]|​|‌|‍|﻿',
+                   '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]|​|‌|‍|﻿',
+               '', 'g')) AS INT) AS n_stripped
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Text normalization hygiene pass: case fold, strip control and
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the classic invisible
+    junk in web-crawled corpora), collapse whitespace runs, trim.
+    Pure regex Column expressions at scan speed on both engines, plus
+    the per-doc stripped-character count as the audit column. (Full
+    NFC/NFKC normalization needs ICU — that step is a pandas_udf in
+    functions/text.py territory and deliberately not part of this
+    oracle-checked core.)"""
+    docs = t(spark, sf_dir, "documents")
+    junk = (
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+        "|​|‌|‍|﻿"
+    )
+    stripped = F.regexp_replace(F.col("text"), junk, "")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), junk, ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(stripped)).cast("int").alias("n_stripped"),
+    )
+
+
+@query(
+    "q_domain_stats",
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))
+                   AS domain
+        FROM documents
+    )
+    SELECT lower(domain) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls
+    GROUP BY lower(domain)
+    """,
+)
+def q_domain_stats(spark, sf_dir):
+    """Web-provenance report: extract every http(s) URL's host from
+    the text, count mentions and distinct documents per domain — the
+    source-attribution table crawl pipelines build before domain-level
+    filtering/reweighting. regexp_extract_all keeps extraction on the
+    scan; the aggregate shuffles only (domain)-keyed counts. The
+    character-class regex is shared verbatim across engines (no
+    lookarounds — RE2-safe)."""
+    docs = t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)
+            )
+        ).alias("domain"),
+    )
+    return (
+        urls.select("doc_id", F.lower("domain").alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
