@@ -81,9 +81,12 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     instead of n/256 (judge r1's flagged hazard). Multi-probe keeps
     recall as planes grow: each probe also checks all 1-bit-flip
     neighbors, i.e. num_planes+1 buckets. ``bucket_cap`` (opt-in, one
-    extra count job) raises with a bucket histogram when a skewed
-    direction still exceeds the cap — raise num_planes or pre-collapse
-    exact duplicates (dedup.near_dedup_embedding does both)."""
+    extra count job): buckets over the cap are split by 8 extra
+    refinement sign bits (independent seed) on BOTH the corpus rows
+    and the probing queries — the same graceful degradation as
+    dedup.near_dedup_embedding's hot-bucket refinement, so a skewed
+    serving corpus trades a little recall inside the hot direction
+    instead of failing (the pre-r4 behavior was a ValueError)."""
     from team_02_spark.operators.dedup import adaptive_num_planes
 
     if dim is None:
@@ -107,16 +110,29 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     c_bucket = corpus.withColumn(
         "__bucket", _hyperplane_bucket(c_vec, dim, num_planes, seed)
     )
+    hot = None
     if bucket_cap is not None:
         sizes = c_bucket.groupBy("__bucket").agg(F.count("*").alias("n"))
-        worst = sizes.orderBy(F.desc("n")).limit(5).collect()
-        if worst and worst[0]["n"] > bucket_cap:
-            hist = ", ".join(f"bucket {r['__bucket']}: {r['n']}" for r in worst)
-            raise ValueError(
-                f"knn_lsh bucket cap exceeded (cap={bucket_cap}): {hist}. "
-                "Increase num_planes, or exact-pre-collapse duplicate "
-                "vectors before indexing."
+        hot = sizes.filter(F.col("n") > bucket_cap).select(
+            "__bucket", F.lit(True).alias("__hot")
+        )
+        # refinement split (mirrors dedup.near_dedup_embedding): rows
+        # in over-cap buckets move to -(bucket*256 + refine + 1) using
+        # 8 independent-seed sign bits; negative ids can't collide
+        # with any cold bucket. Queries apply the SAME transform below
+        # with their own vector's refine bits.
+        c_refine = _hyperplane_bucket(c_vec, dim, 8, seed + 10_007)
+        c_bucket = (
+            c_bucket.join(F.broadcast(hot), "__bucket", "left")
+            .withColumn(
+                "__bucket",
+                F.when(
+                    F.col("__hot"),
+                    -(F.col("__bucket") * 256 + c_refine + 1),
+                ).otherwise(F.col("__bucket")),
             )
+            .drop("__hot")
+        )
     q_sig = queries.withColumn(
         "__b0", _hyperplane_bucket(q_vec, dim, num_planes, seed)
     )
@@ -130,6 +146,19 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     q_bucket = q_sig.select(
         *[F.col(c) for c in queries.columns], F.explode(probes).alias("__bucket")
     )
+    if hot is not None:
+        q_refine = _hyperplane_bucket(q_vec, dim, 8, seed + 10_007)
+        q_bucket = (
+            q_bucket.join(F.broadcast(hot), "__bucket", "left")
+            .withColumn(
+                "__bucket",
+                F.when(
+                    F.col("__hot"),
+                    -(F.col("__bucket") * 256 + q_refine + 1),
+                ).otherwise(F.col("__bucket")),
+            )
+            .drop("__hot")
+        )
     scored = (
         c_bucket.join(F.broadcast(q_bucket), "__bucket")
         .withColumn("score", cosine(F.col(q_vec), F.col(c_vec)))
@@ -216,15 +245,35 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
         .select(q_id, c_id, "score", "rank")
     )
 
+def _bounded_fit_sample(corpus: DataFrame, c_vec: str,
+                        cap: int) -> DataFrame:
+    """Deterministic <=cap-row sample for index training: order by
+    md5 of the vector's JSON rendering (content-keyed, engine-stable,
+    no rand()) and take the first ``cap`` — plans as
+    TakeOrderedAndProject (per-partition top-cap, merge on driver-side
+    reduce), so at 100 TB the KMeans fit reads a bounded sample while
+    the full corpus is only ENCODED/assigned (a map). The repo's
+    md5-ordered-limit sampling discipline (operators/relational)."""
+    return (
+        corpus.select(F.col(c_vec))
+        .orderBy(F.md5(F.to_json(F.col(c_vec))))
+        .limit(cap)
+    )
+
+
 def fit_ivf_centroids(corpus: DataFrame, *, c_vec: str = "embedding",
-                      n_cells: int = 16, seed: int = 42) -> list[list[float]]:
+                      n_cells: int = 16, seed: int = 42,
+                      fit_sample_cap: int = 100_000) -> list[list[float]]:
     """Fit the IVF cell centroids (MLlib KMeans, seeded, public API).
     Returns plain python lists — small driver state (n_cells x dim)
-    that broadcasts into expressions as literals."""
+    that broadcasts into expressions as literals. The fit trains on a
+    deterministic ``fit_sample_cap``-row sample (cluster structure
+    needs a sample, not the corpus); assignment still covers every
+    row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
+    train = _bounded_fit_sample(corpus, c_vec, fit_sample_cap).select(
         array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
     )
     km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
@@ -308,7 +357,8 @@ def ivf_search_layout(spark, path: str, centroids: list[list[float]],
 
 def fit_pq_codebooks(corpus: DataFrame, *, c_vec: str = "embedding",
                      m: int = 8, n_codes: int = 16,
-                     seed: int = 42) -> list[list[list[float]]]:
+                     seed: int = 42,
+                     fit_sample_cap: int = 100_000) -> list[list[list[float]]]:
     """Train PQ codebooks: the vector is split into ``m`` contiguous
     subvectors and each subspace gets its own ``n_codes``-centroid
     KMeans (MLlib, seeded). Returns codebooks[m][n_codes][dim/m] —
@@ -318,7 +368,9 @@ def fit_pq_codebooks(corpus: DataFrame, *, c_vec: str = "embedding",
 
     This is the compression half of IVF-PQ (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): m bytes
-    per vector instead of dim floats (32x at dim=64/m=8/float32)."""
+    per vector instead of dim floats (32x at dim=64/m=8/float32).
+    Codebooks train on a deterministic ``fit_sample_cap``-row sample;
+    only the encode pass (a map) touches the full corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -329,15 +381,21 @@ def fit_pq_codebooks(corpus: DataFrame, *, c_vec: str = "embedding",
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # bounded deterministic training sample, cached: m sub-space fits
+    # share one sample scan instead of m full-corpus scans
+    sample = _bounded_fit_sample(corpus, c_vec, fit_sample_cap).persist()
     books: list[list[list[float]]] = []
-    for j in range(m):
-        sub = corpus.select(
-            array_to_vector(
-                F.slice(F.col(c_vec), j * dsub + 1, dsub).cast("array<double>")
-            ).alias("features")
-        )
-        km = KMeans(k=n_codes, seed=seed + j, maxIter=5).fit(sub)
-        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    try:
+        for j in range(m):
+            sub = sample.select(
+                array_to_vector(
+                    F.slice(F.col(c_vec), j * dsub + 1, dsub).cast("array<double>")
+                ).alias("features")
+            )
+            km = KMeans(k=n_codes, seed=seed + j, maxIter=5).fit(sub)
+            books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    finally:
+        sample.unpersist()
     return books
 
 
@@ -377,7 +435,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
 def pq_search_adc(queries: DataFrame, encoded: DataFrame,
                   codebooks: list[list[list[float]]], k: int, *,
                   q_id: str = "q_id", c_id: str = "vec_id",
-                  q_vec: str = "q_vec") -> DataFrame:
+                  q_vec: str = "q_vec",
+                  on: list[str] | None = None) -> DataFrame:
     """Asymmetric distance computation (ADC): each query builds its
     m x n_codes lookup table of exact subvector→centroid distances
     (JVM expressions over the codebook literals), and every encoded
@@ -388,7 +447,12 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
     approximate distance. Scale: the corpus side carries only m small
     ints per row; the query side (LUT included) broadcasts; scoring is
     a map — the shuffle is just the per-query top-k window, same as
-    every other lane here."""
+    every other lane here.
+
+    ``on``: optional equi-join keys between encoded rows and queries
+    (e.g. ``["__cell"]`` from an IVF layout) so each query scores ONLY
+    its matching rows; default ``None`` scores the full encoded set
+    against every query (plain PQ over an unpartitioned corpus)."""
     dsub = len(codebooks[0][0])
     lut = F.array(*[
         F.array(*[
@@ -406,7 +470,10 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = encoded.join(F.broadcast(with_lut)).withColumn("adist", adist)
+    if on:
+        scored = encoded.join(F.broadcast(with_lut), on).withColumn("adist", adist)
+    else:
+        scored = encoded.join(F.broadcast(with_lut)).withColumn("adist", adist)
     w = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -495,10 +562,14 @@ def ivf_pq_search(spark, path: str, centroids, books, queries: DataFrame,
     ).select(*[F.col(c) for c in queries.columns], F.explode("__cells").alias("__cell"))
     cell_ids = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
     cells = spark.read.parquet(path).filter(F.col("__cell").isin(cell_ids))
+    # Equi-join on __cell so each probe scores ONLY rows in ITS probed
+    # cells (mirrors ivf_search_layout); without it a diverse probe
+    # batch degrades toward full-union-of-cells scoring x |queries|.
     sl = pq_search_adc(
-        probes.drop("__cell").dropDuplicates([q_id]),
-        cells.select(c_id, "pq_codes"),
+        probes,
+        cells.select(c_id, "pq_codes", "__cell"),
         books, shortlist, q_id=q_id, c_id=c_id, q_vec=q_vec,
+        on=["__cell"],
     )
     cand = (
         sl.select(q_id, c_id)

@@ -142,10 +142,10 @@ def q_cube(spark, sf_dir):
         CAST(SUM(CASE WHEN actual = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         CAST(SUM(CASE WHEN actual = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         CAST(SUM(CASE WHEN actual = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-        CAST(SUM(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-          / NULLIF(SUM(CASE WHEN predicted = 1 THEN 1 ELSE 0 END), 0) AS precision_,
-        CAST(SUM(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-          / NULLIF(SUM(CASE WHEN actual = 1 THEN 1 ELSE 0 END), 0) AS recall_
+        ROUND(CAST(SUM(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / NULLIF(SUM(CASE WHEN predicted = 1 THEN 1 ELSE 0 END), 0), 6) AS precision_,
+        ROUND(CAST(SUM(CASE WHEN actual = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / NULLIF(SUM(CASE WHEN actual = 1 THEN 1 ELSE 0 END), 0), 6) AS recall_
     FROM preds
     """,
 )
@@ -173,8 +173,8 @@ def q_confusion_matrix(spark, sf_dir):
         fp.alias("fp"),
         fn.alias("fn"),
         tn.alias("tn"),
-        (tp.cast("double") / F.nullif(pred_pos, F.lit(0))).alias("precision_"),
-        (tp.cast("double") / F.nullif(actual_pos, F.lit(0))).alias("recall_"),
+        F.round(tp.cast("double") / F.nullif(pred_pos, F.lit(0)), 6).alias("precision_"),
+        F.round(tp.cast("double") / F.nullif(actual_pos, F.lit(0)), 6).alias("recall_"),
     )
 
 

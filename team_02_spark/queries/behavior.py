@@ -281,7 +281,8 @@ def q_gap_fill(spark, sf_dir):
         FROM firsts WHERE rn = 1
     ),
     arms AS (
-        SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
         FROM assigned GROUP BY variant
     ),
     wide AS (
@@ -292,12 +293,12 @@ def q_gap_fill(spark, sf_dir):
         FROM arms
     )
     SELECT n_a, n_b, conv_a, conv_b,
-           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
-           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
-           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
            / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                  * (1.0 / n_a + 1.0 / n_b)), 0) AS z
+                  * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z
     FROM wide
     """,
 )
@@ -324,7 +325,7 @@ def q_abtest(spark, sf_dir):
         )
     )
     arms = assigned.groupBy("variant").agg(
-        F.count("*").alias("n"), F.sum("converted").alias("conv")
+        F.count("*").alias("n"), F.sum("converted").cast("bigint").alias("conv")
     )
     wide = arms.agg(
         F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
@@ -346,7 +347,9 @@ def q_abtest(spark, sf_dir):
     )
     return wide.select(
         "n_a", "n_b", "conv_a", "conv_b",
-        rate_a.alias("rate_a"), rate_b.alias("rate_b"), z.alias("z"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
     )
 
 

@@ -176,19 +176,21 @@ def q_window_attribution(spark, sf_dir):
     "q_expectations",
     oracle="""
     SELECT 'lineitem.quantity_nonpositive' AS rule, COUNT(*) AS n_checked,
-           SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_violations
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'lineitem.discount_above_policy', COUNT(*),
-           SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'orders.status_invalid', COUNT(*),
-           SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'orders.custkey_orphan', COUNT(*),
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'customer.custkey_duplicate', COUNT(*),
@@ -196,7 +198,7 @@ def q_window_attribution(spark, sf_dir):
     FROM customer
     UNION ALL
     SELECT 'documents.text_short', COUNT(*),
-           SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM documents
     """,
 )
@@ -266,32 +268,33 @@ def q_expectations(spark, sf_dir):
     "q_column_stats",
     oracle="""
     SELECT 'o_orderkey' AS col_name,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
            COUNT(DISTINCT o_orderkey) AS n_distinct,
            CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
            CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
     FROM orders
     UNION ALL
     SELECT 'o_custkey',
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_custkey),
            CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice),
            MIN(o_totalprice), MAX(o_totalprice)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus',
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority',
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM orders
@@ -354,10 +357,12 @@ def q_column_stats(spark, sf_dir):
         )
     )
     SELECT COUNT(*) AS n_orders,
-           SUM(COALESCE(l.n, 0)) AS n_matched_lines,
-           SUM(CASE WHEN l.n IS NULL THEN 1 ELSE 0 END) AS orders_without_lines,
+           CAST(SUM(COALESCE(l.n, 0)) AS BIGINT) AS n_matched_lines,
+           CAST(SUM(CASE WHEN l.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS orders_without_lines,
            MAX(COALESCE(l.n, 0)) AS max_fanout,
-           CAST(SUM(COALESCE(l.n, 0)) AS DOUBLE) / COUNT(*) AS avg_fanout,
+           ROUND(CAST(SUM(COALESCE(l.n, 0)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_fanout,
            (SELECT line_orphan_keys FROM orphans) AS line_orphan_keys
     FROM orders o LEFT JOIN l ON o.o_orderkey = l.k
     """,
@@ -383,14 +388,14 @@ def q_join_health(spark, sf_dir):
         orders.join(l_counts, orders["o_orderkey"] == l_counts["k"], "left")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_matched_lines"),
-            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias(
-                "orders_without_lines"
-            ),
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("bigint").alias("n_matched_lines"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("orders_without_lines"),
             F.max(F.coalesce(F.col("n"), F.lit(0))).alias("max_fanout"),
-            (
+            F.round(
                 F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("double")
-                / F.count("*")
+                / F.count("*"), 6
             ).alias("avg_fanout"),
         )
     )

@@ -88,9 +88,10 @@ def q_chunk_text(spark, sf_dir):
     )
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_covered,
-           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS coverage
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage
     FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
     GROUP BY t.doc_id
     """,
@@ -120,10 +121,11 @@ def q_vocab_coverage(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).alias("n_covered"),
-            (
+            F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0)))
+            .cast("bigint").alias("n_covered"),
+            F.round(
                 F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).cast("double")
-                / F.count("*")
+                / F.count("*"), 6
             ).alias("coverage"),
         )
     )
@@ -195,13 +197,14 @@ def q_source_mix(spark, sf_dir):
       FROM documents
     )
     SELECT COUNT(*) AS n_total,
-           SUM(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS n_after_length,
-           SUM(CASE WHEN n_chars >= 50 AND lang = 'en' THEN 1 ELSE 0 END)
-             AS n_after_lang,
-           SUM(CASE WHEN n_chars >= 50 AND lang = 'en' AND n_toks >= 10
-                    THEN 1 ELSE 0 END) AS n_after_tokens,
+           CAST(SUM(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_length,
+           CAST(SUM(CASE WHEN n_chars >= 50 AND lang = 'en' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after_lang,
            CAST(SUM(CASE WHEN n_chars >= 50 AND lang = 'en' AND n_toks >= 10
-                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS yield_pct
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_tokens,
+           ROUND(CAST(SUM(CASE WHEN n_chars >= 50 AND lang = 'en' AND n_toks >= 10
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS yield_pct
     FROM annotated
     """,
 )
@@ -219,10 +222,10 @@ def q_pipeline_yield(spark, sf_dir):
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return docs.agg(
         F.count("*").alias("n_total"),
-        one_if(s1).alias("n_after_length"),
-        one_if(s2).alias("n_after_lang"),
-        one_if(s3).alias("n_after_tokens"),
-        (one_if(s3).cast("double") / F.count("*")).alias("yield_pct"),
+        one_if(s1).cast("bigint").alias("n_after_length"),
+        one_if(s2).cast("bigint").alias("n_after_lang"),
+        one_if(s3).cast("bigint").alias("n_after_tokens"),
+        F.round(one_if(s3).cast("double") / F.count("*"), 6).alias("yield_pct"),
     )
 
 
@@ -515,8 +518,8 @@ def q_shard_plan(spark, sf_dir):
     ),
     running AS (
         SELECT doc_id, source, n_tok,
-               SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         FROM sized
     )
     SELECT doc_id, source, n_tok, cum_tok

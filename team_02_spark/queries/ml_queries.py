@@ -140,11 +140,12 @@ def q_stratified_kfold(spark, sf_dir):
     )
     SELECT fold,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS n_agree,
-           CAST(SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS agree_rate,
-           SUM(CASE WHEN m_rf + m_lr + m_knn >= 2 THEN 1 ELSE 0 END)
-               AS n_ensemble_pos
+           CAST(SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           ROUND(CAST(SUM(CASE WHEN m_rf = m_lr THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS agree_rate,
+           CAST(SUM(CASE WHEN m_rf + m_lr + m_knn >= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ensemble_pos
     FROM scored GROUP BY fold
     """,
 )
@@ -155,7 +156,9 @@ def q_cv_agreement(spark, sf_dir):
     multi-model scoring run (U9) publishes. Scoring is the same
     deterministic md5-parity stand-in as q_score_multi, so exact
     counts are oracle-checkable; one map-side scoring pass, one tiny
-    fold aggregate."""
+    fold aggregate. BIGINT-cast sums + ROUND(rate, 6) both sides
+    (q_funnel precedent — DuckDB SUM(CASE) is HUGEINT, raw double
+    division is hasher-hostile)."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     scored = score_deterministic(
         docs, "doc_id", ["random_forest", "logistic_regression", "knn"]
@@ -173,8 +176,8 @@ def q_cv_agreement(spark, sf_dir):
         .groupBy("fold")
         .agg(
             F.count("*").alias("n_docs"),
-            agree.alias("n_agree"),
-            (agree.cast("double") / F.count("*")).alias("agree_rate"),
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree.cast("double") / F.count("*"), 6).alias("agree_rate"),
             F.sum(
                 F.when(
                     F.col("random_forest")
@@ -183,6 +186,6 @@ def q_cv_agreement(spark, sf_dir):
                     >= 2,
                     1,
                 ).otherwise(0)
-            ).alias("n_ensemble_pos"),
+            ).cast("bigint").alias("n_ensemble_pos"),
         )
     )

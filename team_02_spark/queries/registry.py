@@ -45,16 +45,16 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Keys with green driver CORRECTNESS rows in rounds 1-2. The driver
-# checks a bounded prefix of the declared map (it re-checked exactly
-# these 50 keys both rounds), so the maps below order UNCHECKED keys
-# first: each round the driver's budget lands on lanes that have never
-# had a hard driver signal, rotating coverage instead of re-proving the
-# same prefix. Grow this set from each round's CORRECTNESS_r{N}.json.
-# q_doc_fingerprint / q_dedup_near are deliberately NOT listed: their
-# r2 rows were err:no_oracle and they now carry real oracles that need
-# a driver re-check to flip green.
+# Keys with green driver CORRECTNESS rows in rounds 1-3. The driver
+# checks a bounded prefix of the declared map (~50 keys/round), so the
+# maps below order UNCHECKED keys first: each round the driver's
+# budget lands on lanes that have never had a hard driver signal,
+# rotating coverage instead of re-proving the same prefix. Grow this
+# set from each round's CORRECTNESS_r{N}.json. Verified keys are
+# re-checked by the full local sweep (tools/verify_driver.py +
+# tests/test_oracle.py) as the regression backstop.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # rounds 1-2
     "q_project", "q_filter_eq", "q_filter_compound", "q_union_all",
     "q_distinct", "q_dedup_exact", "q_intersect", "q_except",
     "q_sample_stratified", "q_split", "q_fingerprint",
@@ -69,19 +69,45 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_string_pad", "q_bitwise", "q_token_topk", "q_clean_text",
     "q_clean_stem", "q_lang_id", "q_quality_score", "q_token_count",
     "q_dedup_ngram",
+    # round 3 (CORRECTNESS_r03.json, 48 hash-green rows)
+    "q_bm25", "q_char_ngrams", "q_cohort_retention", "q_contamination",
+    "q_correlated_agg", "q_csv_scan", "q_curation", "q_curation_full",
+    "q_dedup_embedding", "q_dedup_keep_best", "q_dedup_near",
+    "q_doc_fingerprint", "q_doc_stats", "q_domain_stats",
+    "q_dup_components", "q_edit_distance", "q_embed_centroid",
+    "q_event_rates", "q_frame_sample", "q_funnel", "q_inverted_index",
+    "q_join_asof", "q_join_interval", "q_keyword_tfidf",
+    "q_knn_classify", "q_knn_topk", "q_multimodal_meta",
+    "q_pack_sequences", "q_pii_scrub", "q_pivot", "q_pmi_bigrams",
+    "q_repetition_filter", "q_retrieval_metrics", "q_scalar_subquery",
+    "q_score_multi", "q_setsim_join", "q_similar_pairs",
+    "q_stratified_kfold", "q_text_normalize", "q_tpch_q5ish",
+    "q_tpch_q6ish", "q_unpivot", "q_user_stats", "q_vector_norms",
+    "q_vector_quantize", "q_window_session", "q_window_sliding",
+    "q_window_tumbling",
 })
+
+# The two r3 hash-mismatch rows (fixed this round: BIGINT-cast sums +
+# ROUND(rate, 6) per the q_funnel precedent). Pinned to the FRONT of
+# the map so the driver re-checks them before spending budget on
+# never-checked keys.
+DRIVER_RETRY: tuple[str, ...] = ("q_dup_rate_by_source", "q_cv_agreement")
 
 
 def _ordered_names() -> list[str]:
-    """Unchecked keys first, and among those, oracle-checkable keys
+    """Retry keys first (fixed red rows needing a driver re-check),
+    then unchecked keys — and among those, oracle-checkable keys
     before rows-only ones: a driver slot spent on an oracle key buys a
     hash-match row, a rows-only slot only a ran-clean row."""
     names = list(QUERIES)
-    unchecked = [n for n in names if n not in DRIVER_VERIFIED]
+    retry = [n for n in DRIVER_RETRY if n in QUERIES]
+    skip = set(retry) | DRIVER_VERIFIED
+    unchecked = [n for n in names if n not in skip]
     return (
-        [n for n in unchecked if QUERIES[n].oracle is not None]
+        retry
+        + [n for n in unchecked if QUERIES[n].oracle is not None]
         + [n for n in unchecked if QUERIES[n].oracle is None]
-        + [n for n in names if n in DRIVER_VERIFIED]
+        + [n for n in names if n in DRIVER_VERIFIED and n not in set(retry)]
     )
 
 

@@ -1174,9 +1174,9 @@ def q_dedup_keep_best(spark, sf_dir):
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dups,
-           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS dup_rate
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS dup_rate
     FROM grouped GROUP BY source
     """,
 )
@@ -1184,7 +1184,9 @@ def q_dup_rate_by_source(spark, sf_dir):
     """Curation reporting: per-source duplicate rates (how dirty is
     each ingest feed) — the metric sheet a dedup run publishes. Same
     md5-keyed single shuffle as q_dedup_exact, then a tiny source
-    aggregate; the rate is raw double division of exact counts."""
+    aggregate. BIGINT-cast sums + ROUND(rate, 6) both sides: DuckDB's
+    SUM(CASE) is HUGEINT and raw double division is hasher-hostile
+    (q_funnel precedent, FIXTURES.md §C)."""
     docs = t(spark, sf_dir, "documents")
     from pyspark.sql import Window
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
@@ -1194,8 +1196,8 @@ def q_dup_rate_by_source(spark, sf_dir):
     dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
     return grouped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        dup.alias("n_dups"),
-        (dup.cast("double") / F.count("*")).alias("dup_rate"),
+        dup.cast("bigint").alias("n_dups"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
     )
 
 

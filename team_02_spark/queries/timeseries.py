@@ -218,9 +218,9 @@ def q_trailing_hour(spark, sf_dir):
       SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day
     )
     SELECT first_day, new_users,
-           SUM(new_users) OVER (ORDER BY first_day
+           CAST(SUM(new_users) OVER (ORDER BY first_day
                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_users
+                                AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM daily
     """,
 )

@@ -518,10 +518,10 @@ def q_tpch_q21ish(spark, sf_dir):
     "q_tpch_q12ish",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -548,8 +548,8 @@ def q_tpch_q12ish(spark, sf_dir):
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            one_if(high).alias("high_line_count"),
-            one_if(~high).alias("low_line_count"),
+            one_if(high).cast("bigint").alias("high_line_count"),
+            one_if(~high).cast("bigint").alias("low_line_count"),
         )
     )
 

@@ -74,6 +74,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->timestamp cast below is value-preserving ONLY under a
+        # UTC session timezone. session.py pins it, but the driver's
+        # verify harness uses a vanilla SparkSession, so pin it here too
+        # (runtime-settable conf) or a non-UTC host silently shifts
+        # event times relative to DuckDB's epoch_us view.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -31,11 +31,37 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a dtype to a hash-relevant kind: DuckDB renders HUGEINT
+    sums as float64 in pandas (5 -> 5.0) while Spark returns int64; a
+    typed value-hasher (the driver's) sees those as different even
+    though ``5 == 5.0`` — the exact mechanism behind the r3 red rows
+    (CORRECTNESS_r03: q_dup_rate_by_source, q_cv_agreement)."""
+    k = getattr(dtype, "kind", "O")
+    return {"u": "i"}.get(k, k)
+
+
+def kind_mismatches(sp_raw: pd.DataFrame, du_raw: pd.DataFrame) -> list[str]:
+    """int-vs-float kind drift between engines, pre-normalization."""
+    problems = []
+    common = set(sp_raw.columns) & set(du_raw.columns)
+    for c in sorted(common):
+        a, b = _kind(sp_raw[c].dtype), _kind(du_raw[c].dtype)
+        if {a, b} == {"i", "f"}:
+            problems.append(
+                f"column {c!r}: dtype kind drift spark={sp_raw[c].dtype} "
+                f"duck={du_raw[c].dtype} (driver hash hazard: un-cast "
+                f"HUGEINT aggregate? wrap the oracle in CAST(... AS BIGINT))"
+            )
+    return problems
+
+
 def compare(spark_df, duck_df: pd.DataFrame, *, float_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
-    sp = normalize(spark_df.toPandas())
+    sp_raw = spark_df.toPandas()
+    problems: list[str] = kind_mismatches(sp_raw, duck_df)
+    sp = normalize(sp_raw)
     du = normalize(duck_df)
-    problems: list[str] = []
     if list(sp.columns) != list(du.columns):
         problems.append(f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}")
         return problems

@@ -7,8 +7,9 @@
   changing results,
 - SimHash hot-block stop-word guard: pathological corpora with a hot
   16-bit block stay bounded, true pairs still found via other blocks,
-- knn_lsh bucket-cap raises with a histogram instead of silently
-  doing quadratic work.
+- knn_lsh bucket-cap refinement-splits hot buckets (both corpus and
+  probe sides) instead of silently doing quadratic work or failing,
+- IVF/PQ index fits train on a bounded deterministic sample.
 """
 
 from __future__ import annotations
@@ -165,15 +166,42 @@ def test_simhash_block_stats_exposes_hot_bucket(spark):
 
 # ---------------------------------------------------- knn_lsh guards
 
-def test_knn_lsh_bucket_cap_raises_with_histogram(spark):
+def test_knn_lsh_bucket_cap_splits_instead_of_failing(spark):
+    """A pathologically skewed corpus (100 identical vectors, one LSH
+    bucket) with a cap of 10 must degrade via refinement-split — the
+    dedup-lane behavior — not raise. The probe shares the hot
+    direction, so it lands in the same refined sub-bucket and still
+    retrieves its neighbors."""
     dim = 8
     v = [float(i + 1) for i in range(dim)]
     corpus = spark.createDataFrame(
         [(i, v) for i in range(100)], "vec_id long, embedding array<double>"
     )
     probes = spark.createDataFrame([(0, v)], "q_id long, q_vec array<double>")
-    with pytest.raises(ValueError, match="bucket cap exceeded"):
-        knn_lsh(probes, corpus, 5, dim=dim, num_planes=8, bucket_cap=10)
+    out = knn_lsh(probes, corpus, 5, dim=dim, num_planes=8, bucket_cap=10).collect()
+    assert len(out) == 5
+    assert all(abs(r["score"] - 1.0) < 1e-9 for r in out)
+
+
+def test_knn_lsh_bucket_cap_cold_buckets_unchanged(spark):
+    """With no bucket over the cap, capped and uncapped results are
+    identical — the refinement join must be a no-op on cold buckets."""
+    dim = 8
+    rng = np.random.RandomState(11)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(0, [float(x) for x in rng.standard_normal(dim)])],
+        "q_id long, q_vec array<double>",
+    )
+    base = {(r["q_id"], r["vec_id"], r["rank"])
+            for r in knn_lsh(probes, corpus, 5, dim=dim, num_planes=8).collect()}
+    capped = {(r["q_id"], r["vec_id"], r["rank"])
+              for r in knn_lsh(probes, corpus, 5, dim=dim, num_planes=8,
+                               bucket_cap=10_000).collect()}
+    assert base == capped
 
 
 def test_knn_lsh_adaptive_planes_end_to_end(spark):
@@ -235,3 +263,40 @@ def test_embedding_dedup_known_dim_stays_lazy(spark):
     df = _one_hot_fixture(spark)
     kept = near_dedup_embedding(df, dim=16, num_planes=8)
     assert {r["vec_id"] for r in kept.select("vec_id").collect()} == set(range(16))
+
+
+# ------------------------------- bounded index-fit samples (r3 advice)
+
+def test_bounded_fit_sample_caps_and_is_deterministic(spark):
+    from team_02_spark.operators.similarity import _bounded_fit_sample
+
+    rng = np.random.RandomState(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    s1 = _bounded_fit_sample(corpus, "embedding", 100)
+    assert s1.count() == 100
+    a = sorted(map(tuple, (r["embedding"] for r in s1.collect())))
+    b = sorted(map(tuple, (r["embedding"] for r in
+                           _bounded_fit_sample(corpus, "embedding", 100).collect())))
+    assert a == b  # content-keyed order: same sample every run
+
+
+def test_ivf_and_pq_fits_train_on_bounded_sample(spark):
+    """The index fits must hold recall with a sample far smaller than
+    the corpus — the 100 TB posture is 'fit on a sample, encode all'."""
+    from team_02_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = fit_ivf_centroids(corpus, n_cells=4, fit_sample_cap=64)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    books = fit_pq_codebooks(corpus, m=2, n_codes=4, fit_sample_cap=64)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
