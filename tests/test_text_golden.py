@@ -142,3 +142,44 @@ def test_decontaminate(spark):
     ids = {r["doc_id"] for r in kept.collect()}
     assert 1 not in ids      # verbatim overlap → removed
     assert 2 in ids          # clean → kept
+
+
+def test_domain_stats_on_url_bearing_rows(spark, tmp_path):
+    """ADVICE r3: the fixture corpus contains no http(s) URLs, so the
+    driver's q_domain_stats check is 0-rows-vs-0-rows — vacuous. This
+    exercises the actual extraction logic (query AND oracle SQL) on a
+    synthetic documents table with URLs, multi-URL rows, mixed case,
+    and URL-free noise."""
+    import duckdb
+
+    from team_02_spark.queries import QUERIES
+
+    rows = [
+        (1, "see https://Example.COM/page and http://example.com/other", "en", "src0", 55),
+        (2, "plain text with no links at all", "en", "src1", 31),
+        (3, "dup host http://sub.Example.com http://sub.example.com x", "en", "src2", 56),
+        (4, "mixed https://other.org/a?b=c trailing", "en", "src0", 38),
+        (5, "not-a-url htp://bad.example nope", "en", "src1", 32),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    spec = QUERIES["q_domain_stats"]
+    got = {(r["domain"], r["n_urls"], r["n_docs"])
+           for r in spec.fn(spark, sf).collect()}
+    assert got == {
+        ("example.com", 2, 1),
+        ("sub.example.com", 2, 1),
+        ("other.org", 1, 1),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
+    assert oracle == got
