@@ -45,6 +45,13 @@ HEADLINE = [
     "q_window_attribution",
     # round 3: LM train+score in one job (the heaviest new text lane)
     "q_lm_perplexity",
+    # round 4: the r3 lanes the judge asked to track (VERDICT #6) —
+    # PQ/ADC vector search, BM25 ranking, the full curation funnel,
+    # and the per-source token-budget window
+    "q_pq_search",
+    "q_bm25",
+    "q_curation_full",
+    "q_token_budget_sample",
 ]
 
 
@@ -80,19 +87,27 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        best = float("inf")
-        # best-of-2: the first run pays one-time planning/codegen; the
-        # minimum is the stable measure of the query's compute cost.
-        for _ in range(2):
+        samples: list[float] = []
+        # best-of-N (default 3): the first run pays one-time
+        # planning/codegen; the minimum is the stable measure of the
+        # query's compute cost. The (max-min)/min spread quantifies
+        # session noise per query (VERDICT r3 #7: sub-second queries
+        # drift 25-45% between sessions, which made regression
+        # detection mushy on single-shot timings).
+        for _ in range(runs):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: computes every column of every row (unlike
             # count(), which lets Spark skip unevaluated projections).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            samples.append(time.perf_counter() - start)
+        best = min(samples)
         timings[name] = round(best, 3)
+        spreads[name] = round((max(samples) - best) / best, 3) if best else 0.0
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -189,23 +189,54 @@ def _slit(v: int):
     return F.lit(v - (1 << 64) if v >= (1 << 63) else v)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprints: per token, xxhash64; bit b
-    contributes +1 if set else -1; fingerprint bit b = sign of the sum.
-    One explode + one groupBy; the 64 conditional sums are JVM
-    expressions inside one hash-agg pass. Returns (id_col, simhash)."""
+def simhash(df: DataFrame, id_col: str, text_col: str, *,
+            portable: bool = False) -> DataFrame:
+    """64-bit SimHash fingerprints: per token, a 64-bit token hash;
+    bit b contributes +1 if set else -1; fingerprint bit b = sign of
+    the sum. One explode + one groupBy; the 64 conditional sums are
+    JVM expressions inside one hash-agg pass. Returns (id_col,
+    simhash).
+
+    ``portable=False`` (default): xxhash64 token hash — the fast path
+    for production dedup (one JVM hash per token).
+    ``portable=True``: the token's 64 bits come from its md5 hex
+    digits (bit b = bit b%4 of hex digit b//4), which any engine
+    reproduces exactly — this is what makes q_dedup_simhash
+    DuckDB-oracle-checkable. Costs one md5 + 16 digit extractions per
+    token, still whole-stage codegen."""
     toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.array_remove(F.split(F.lower(F.col(text_col)), r"\W+"), "")
         ).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
-    bit_sums = [
-        F.sum(
-            F.when(F.col("__h").bitwiseAND(_slit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
+    )
+    if portable:
+        toks = toks.withColumn("__mh", F.md5("__t")).select(
+            id_col,
+            *[
+                F.conv(F.substring(F.col("__mh"), p + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"__d{p}")
+                for p in range(16)
+            ],
+        )
+        bit_sums = [
+            F.sum(
+                F.when(
+                    F.col(f"__d{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    else:
+        toks = toks.withColumn("__h", F.xxhash64("__t"))
+        bit_sums = [
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(_slit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
     sums = toks.groupBy(id_col).agg(*bit_sums)
     fp = None
     for b in range(64):
@@ -289,13 +320,17 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
 
 def near_dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3,
-                       block_bucket_cap: int | None = 100_000) -> DataFrame:
+                       block_bucket_cap: int | None = 100_000,
+                       portable: bool = False) -> DataFrame:
     """SimHash near-dedup with the 4-block pigeonhole trick: split the
     64-bit fingerprint into 4 16-bit blocks; any pair within hamming
     distance 3 shares at least one exact block → equi-join per block
     (4 bucket joins, no cross join), then verify full distance.
-    Hot-block skew guard: see ``simhash_dup_pairs``."""
-    fps = simhash(df, id_col, text_col)
+    Pigeonhole recall at hamming ≤ 3 is EXACT (not probabilistic)
+    while no block join is suppressed by the hot-block guard.
+    Hot-block skew guard: see ``simhash_dup_pairs``; ``portable``:
+    see ``simhash``."""
+    fps = simhash(df, id_col, text_col, portable=portable)
     dup = simhash_dup_pairs(fps, id_col, max_hamming, block_bucket_cap)
     losers = dup.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -55,6 +55,31 @@ def stratified_sample_fractions(
     return df.sampleBy(strata, fractions, seed)
 
 
+def bernoulli_sample_deterministic(
+    df: DataFrame, strata: str, fractions: dict[str, float], *, key: str,
+    salt: str = "|bern"
+) -> DataFrame:
+    """Per-stratum Bernoulli sample with an ENGINE-PORTABLE gate: keep
+    a row iff the first 8 md5 hex chars of (key || salt) sort below
+    frac * 16^8 (the deterministic_split construction, per stratum).
+    Same map-side no-shuffle economics as sampleBy, but reproducible
+    across engines, runs, and repartitionings — so it is
+    oracle-checkable and safe to use in resumable pipelines where a
+    re-run must select the SAME rows. Strata absent from ``fractions``
+    are dropped (sampleBy semantics)."""
+    gate = F.substring(
+        det_order_key(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8
+    )
+    bound = None
+    for s, frac in fractions.items():
+        b = F.lit(format(min(int(frac * 16**8), 16**8 - 1), "08x"))
+        bound = (F.when(F.col(strata) == s, b) if bound is None
+                 else bound.when(F.col(strata) == s, b))
+    # rows outside the fraction map: bound is NULL -> predicate NULL
+    # -> filtered out
+    return df.filter(gate < bound)
+
+
 def random_split(df: DataFrame, weights: list[float], seed: int = 15) -> list[DataFrame]:
     """M6: holdout split (reference: train_test_split(test_size=0.2,
     random_state=15), src/main.py:89)."""

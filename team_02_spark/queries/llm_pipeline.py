@@ -230,6 +230,82 @@ def q_pipeline_yield(spark, sf_dir):
 
 
 @query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT md5(text) AS fp
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    delta AS (
+        SELECT doc_id, md5(text) AS fp,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT d.doc_id FROM delta d
+    WHERE d.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the PRODUCTION shape of exact dedup at
+    100 TB: a new delta batch (doc_id % 10 >= 8 stands in for "newly
+    crawled") is deduped (a) within itself keep-first and (b) against
+    the fingerprint INDEX of the already-ingested base corpus
+    (DISTINCT md5(text) — a stored, fingerprint-only table in
+    production; here derived in-query). Only the delta is text-scanned
+    and window-shuffled; the base contributes one fingerprint read +
+    an anti-join. Re-running full dedup over base+delta every batch is
+    the O(corpus) anti-pattern this replaces (same argument as
+    q_incremental_agg's merge ≡ recompute)."""
+    docs = t(spark, sf_dir, "documents")
+    base_fp = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    delta = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return delta.join(base_fp, "fp", "left_anti").select("doc_id")
+
+
+@query(
+    "q_dup_cluster_stats",
+    oracle="""
+    WITH c AS (
+        SELECT md5(text) AS fp, COUNT(*) AS n
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT n AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(n * COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY n
+    """,
+)
+def q_dup_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster size histogram: how many exact-dup clusters
+    of each size, and the rows they account for — the observability
+    sheet that decides whether dedup is worth a full pass (a corpus
+    that is 99% singletons dedups cheaply; one giant cluster signals
+    boilerplate). Two cheap aggregates: the md5-keyed count is the
+    same single shuffle q_dedup_exact pays, the histogram is
+    cluster-cardinality-sized."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("n")
+    )
+    return clusters.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+
+
+@query(
     "q_incremental_agg",
     oracle="""
     SELECT event_type,

@@ -326,16 +326,37 @@ def q_zip_index(spark, sf_dir):
     )
 
 
-@query("q_sample_bernoulli")  # rows-only: seeded RNG differs per engine
+@query(
+    "q_sample_bernoulli",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|bern'), 1, 8)
+          < CASE WHEN lang = 'en' THEN '4ccccccc'             -- 0.3 * 16^8
+                 WHEN lang IN ('de','es','fr','zh')
+                      THEN '19999999'                         -- 0.1 * 16^8
+                 ELSE NULL END   -- unknown stratum: dropped (sampleBy)
+    """,
+)
 def q_sample_bernoulli(spark, sf_dir):
-    """M1 approximate path: per-stratum Bernoulli sampleBy (map-side
-    filter, no shuffle) — the sampler used when exact-N is not
-    required. Engine RNGs differ → rows-only."""
-    from team_02_spark.operators.relational import stratified_sample_fractions
+    """M1 approximate path: per-stratum Bernoulli sampling as a
+    map-side filter (no shuffle) — the sampler used when exact-N is
+    not required. Was rows-only (Spark sampleBy RNG has no DuckDB
+    twin); now the DETERMINISTIC md5-gate Bernoulli
+    (operators/relational.bernoulli_sample_deterministic, the
+    q_temperature_mix construction), which selects the same rows on
+    any engine, run, or partitioning — so the driver hash-checks it.
+    English keeps 30%, every other stratum 10%."""
+    from team_02_spark.operators.relational import (
+        bernoulli_sample_deterministic,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    return stratified_sample_fractions(docs, "lang", {l: 0.2 for l in langs})
+    fractions = {l: (0.3 if l == "en" else 0.1)
+                 for l in ("de", "en", "es", "fr", "zh")}
+    return bernoulli_sample_deterministic(
+        docs, "lang", fractions, key="doc_id"
+    ).select("doc_id", "lang")
 
 
 @query(

@@ -316,12 +316,68 @@ def q_dedup_near(spark, sf_dir):
     ).select("doc_id")
 
 
-@query("q_dedup_simhash")  # rows-only: fingerprint bit-signs are impl-specific
+# Engine-portable SimHash oracle (VERDICT r3 #8): with portable=True
+# the fingerprint's 64 bits derive from md5 hex digits (bit b = bit
+# b%4 of digit b//4 of the token's md5), so DuckDB can recompute the
+# EXACT fingerprints, take ALL pairs (oracles need not scale), and
+# apply the same hamming<=3 keep-first rule. The 64-bit fp is carried
+# as two 32-bit BIGINT halves on the DuckDB side (BIGINT << 63 is not
+# portable); hamming = bit_count(xor(lo)) + bit_count(xor(hi)).
+# Pigeonhole recall at hamming<=3 is exact, so Spark's 4-block join
+# equals the all-pairs answer whenever no block is hot-capped.
+_SIMHASH_BIT_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(mh, {b // 4 + 1}, 1)) - 1)"
+    f" & {1 << (b % 4)} != 0 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_LO = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+)
+_SIMHASH_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(t) AS mh FROM toks),
+    sums AS (
+        SELECT doc_id,
+           {_SIMHASH_BIT_SUMS}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST({_SIMHASH_LO} AS BIGINT) AS lo,
+               CAST({_SIMHASH_HI} AS BIGINT) AS hi
+        FROM sums
+    ),
+    losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark, sf_dir):
     """M4: 64-bit SimHash near-dedup (hamming ≤ 3 via 4-block
-    pigeonhole equi-joins — no cross join)."""
+    pigeonhole equi-joins — no cross join). Was rows-only; now runs
+    the PORTABLE fingerprint (md5-digit bits, see operators/dedup.
+    simhash) so the survivor set is hash-checked against DuckDB's
+    all-pairs recompute — pigeonhole recall at hamming ≤ 3 is exact,
+    so the sets agree identically. Production corpora keep the
+    xxhash64 fast path (portable=False)."""
     docs = t(spark, sf_dir, "documents")
-    return near_dedup_simhash(docs.select("doc_id", "text")).select("doc_id")
+    return near_dedup_simhash(
+        docs.select("doc_id", "text"), portable=True
+    ).select("doc_id")
 
 
 @query(
