@@ -1,0 +1,177 @@
+"""Bloom-filter contamination prefilter — the 100 TB decontamination
+shape (public pattern; used by e.g. the Dolma/CCNet-style pipelines):
+
+1. build one compact Bloom filter over the benchmark's distinct word
+   n-grams (eval suites are small — the filter is a few MB even for
+   millions of grams, vs broadcasting the raw gram strings);
+2. broadcast the filter BYTES and run a map-only Arrow pass over the
+   training corpus counting per-doc bloom hits — no explode shuffle,
+   no join, for the overwhelmingly-clean majority of the corpus;
+3. run the EXACT gram-join verify (operators/contamination.py) only on
+   the bloom candidates.
+
+Because a Bloom filter has no false negatives, any document sharing
+>= min_shared distinct grams with the benchmark scores >= min_shared
+bloom hits, so the candidate set is a superset of the truth and the
+final result is EXACT — false positives only cost verify work
+(bounded by fpp * grams-per-doc).
+
+The reference has no decontamination (SURVEY.md §2 — extension lane);
+this complements the broadcast gram-join in contamination.py: that
+join is fine when the benchmark gram set is tiny, the bloom path wins
+when eval suites grow to ~10^7 grams (filter stays ~20 MB at 1e-4
+fpp) or when the corpus-side explode dominates.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from team_02_spark.operators.contamination import find_contaminated
+from team_02_spark.operators.dedup import shingles
+from team_02_spark.util import ensure_parallelism
+
+# Driver-side build cap: 2e7 gram hash-pairs collect as ~320 MB of
+# int64 — beyond that, build the filter distributed (per-partition
+# bitmap OR via treeAggregate) instead of growing this constant.
+MAX_BENCH_GRAMS = 20_000_000
+
+
+def bloom_params(n_items: int, fpp: float = 1e-4) -> tuple[int, int]:
+    """Textbook sizing: m = ceil(-n ln p / ln^2 2) bits (rounded up to
+    a whole byte), k = round(m/n ln 2) probes."""
+    n = max(1, n_items)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _gram_hash_pair(gram_col):
+    """Two independent 64-bit hashes per gram, computed JVM-side so
+    corpus and benchmark agree bit-for-bit: h1 = xxhash64(g),
+    h2 = xxhash64(g, 1). Double hashing (Kirsch–Mitzenmacher) derives
+    all k probe indices from the pair."""
+    return F.xxhash64(gram_col), F.xxhash64(gram_col, F.lit(1))
+
+
+def _probe_indices(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) uint64 bit indices via double hashing; h2 forced odd so
+    probe strides never collapse to a single index."""
+    u1 = h1.astype(np.uint64)
+    u2 = h2.astype(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(m)
+
+
+def build_ngram_bloom(benchmark: DataFrame, *, text_col: str = "text",
+                      shingle_n: int = 3, fpp: float = 1e-4,
+                      ) -> tuple[bytes, int, int]:
+    """Build (bits, m, k) over the benchmark's DISTINCT word n-grams.
+
+    The gram *hash pairs* (16 bytes each), never the gram strings, are
+    collected; eval suites are small by definition, and the cap above
+    keeps an accidentally-huge 'benchmark' from melting the driver.
+    """
+    pairs = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("g")
+        )
+        .select(*(c.alias(n) for c, n in zip(_gram_hash_pair(F.col("g")), ("h1", "h2"))))
+        .distinct()
+    )
+    pdf = pairs.toPandas()
+    n = len(pdf)
+    if n > MAX_BENCH_GRAMS:
+        raise ValueError(
+            f"benchmark has {n} distinct grams > cap {MAX_BENCH_GRAMS}; "
+            "build the filter distributed (per-partition bitmap OR) "
+            "instead of driver-side"
+        )
+    m, k = bloom_params(n, fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if n:
+        idx = _probe_indices(
+            pdf["h1"].to_numpy(np.int64), pdf["h2"].to_numpy(np.int64), m, k
+        ).ravel()
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+    return bits.tobytes(), m, k
+
+
+def bloom_hit_count(spark, bits: bytes, m: int, k: int):
+    """Arrow UDF: given two array<long> columns (per-gram h1/h2), the
+    number of grams whose k probe bits are all set. The filter bytes
+    ride a SparkContext broadcast — one copy per executor, not per
+    task."""
+    bc = spark.sparkContext.broadcast(bits)
+
+    @pandas_udf("int")
+    def _hits(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        barr = None
+        for h1s, h2s in it:
+            if barr is None:
+                barr = np.frombuffer(bc.value, dtype=np.uint8)
+            out = np.zeros(len(h1s), dtype=np.int32)
+            for row, (a, b) in enumerate(zip(h1s, h2s)):
+                if a is None or len(a) == 0:
+                    continue
+                idx = _probe_indices(np.asarray(a, dtype=np.int64),
+                                     np.asarray(b, dtype=np.int64), m, k)
+                byte = (idx >> np.uint64(3)).astype(np.int64)
+                bit = (idx & np.uint64(7)).astype(np.uint8)
+                hit = (barr[byte] >> bit) & np.uint8(1)
+                out[row] = int(hit.all(axis=1).sum())
+            yield pd.Series(out, dtype="int32")
+
+    return _hits
+
+
+def bloom_candidates(docs: DataFrame, bits: bytes, m: int, k: int, *,
+                     min_shared: int = 2, shingle_n: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Map-only prefilter: docs + `__bloom_hits`, filtered to rows with
+    >= min_shared gram hits (a superset of truly-contaminated docs).
+    Gram hashing stays JVM-side (xxhash64 over the shingle array);
+    only the bit probing crosses to Python, Arrow-batched."""
+    spark = docs.sparkSession
+    grams = F.array_distinct(shingles(text_col, shingle_n))
+    h1 = F.transform(grams, lambda g: F.xxhash64(g))
+    h2 = F.transform(grams, lambda g: F.xxhash64(g, F.lit(1)))
+    hits = bloom_hit_count(spark, bits, m, k)
+    return (
+        ensure_parallelism(docs)
+        .withColumn("__bloom_hits", hits(h1, h2))
+        .filter(F.col("__bloom_hits") >= min_shared)
+    )
+
+
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, *,
+                        min_shared: int = 2, shingle_n: int = 3,
+                        fpp: float = 1e-4, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_id_col: str = "bench_id") -> DataFrame:
+    """EXACT decontamination via bloom prefilter + gram-join verify.
+
+    Identical result to operators.contamination.decontaminate (no
+    false negatives in the prefilter), but the corpus-wide work is one
+    map-only scan; the explode+join only sees bloom candidates.
+    """
+    bits, m, k = build_ngram_bloom(
+        benchmark, text_col=text_col, shingle_n=shingle_n, fpp=fpp
+    )
+    cand = bloom_candidates(
+        docs, bits, m, k, min_shared=min_shared, shingle_n=shingle_n,
+        text_col=text_col,
+    ).drop("__bloom_hits")
+    flagged = find_contaminated(
+        cand, benchmark, min_shared=min_shared, shingle_n=shingle_n,
+        id_col=id_col, text_col=text_col, bench_id_col=bench_id_col,
+    ).select(id_col).distinct()
+    return docs.join(flagged, id_col, "left_anti")

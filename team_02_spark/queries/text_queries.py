@@ -326,8 +326,8 @@ def q_dedup_near(spark, sf_dir):
 # Pigeonhole recall at hamming<=3 is exact, so Spark's 4-block join
 # equals the all-pairs answer whenever no block is hot-capped.
 _SIMHASH_BIT_SUMS = ",\n           ".join(
-    f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(mh, {b // 4 + 1}, 1)) - 1)"
-    f" & {1 << (b % 4)} != 0 THEN 1 ELSE -1 END) AS s{b}"
+    f"CAST(SUM(CASE WHEN (strpos('0123456789abcdef', substr(mh, {b // 4 + 1}, 1)) - 1)"
+    f" & {1 << (b % 4)} != 0 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
     for b in range(64)
 )
 _SIMHASH_LO = " + ".join(
@@ -631,10 +631,11 @@ def q_repetition_filter(spark, sf_dir):
     )
 
 
-@query(
-    "q_contamination",
-    oracle="""
-    WITH bench AS (
+# Shared by q_contamination and q_decontaminate_bloom: benchmark =
+# every 100th doc; 3-gram shingles (DuckDB twin of operators.dedup.
+# shingles — fixture text is pre-normalized, see FIXTURES.md).
+_CONTAM_CTES_SQL = """
+    bench AS (
         SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0
     ),
     doc_grams AS (
@@ -653,6 +654,13 @@ def q_repetition_filter(spark, sf_dir):
             END)) AS g
         FROM bench
     )
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH {_CONTAM_CTES_SQL}
     SELECT d.doc_id, b.bench_id, COUNT(*) AS n_shared
     FROM doc_grams d JOIN bench_grams b ON d.g = b.g
     GROUP BY d.doc_id, b.bench_id
@@ -671,6 +679,37 @@ def q_contamination(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text"
     )
     return find_contaminated(docs, bench, min_shared=5)
+
+
+@query(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH {_CONTAM_CTES_SQL},
+    flagged AS (
+        SELECT d.doc_id
+        FROM doc_grams d JOIN bench_grams b ON d.g = b.g
+        GROUP BY d.doc_id, b.bench_id
+        HAVING COUNT(*) >= 5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)
+    """,
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Hygiene lane, 100 TB shape: EXACT decontamination via a
+    Bloom-filter prefilter (operators/bloom.py). The benchmark's
+    distinct 3-grams become a broadcast bit array; one map-only Arrow
+    pass counts per-doc bloom hits (no explode shuffle for clean
+    docs); only bloom candidates reach the exact gram-join verify.
+    No false negatives in a Bloom filter ⇒ survivors equal the exact
+    anti-join answer, checked here against the all-docs oracle."""
+    from team_02_spark.operators.bloom import decontaminate_bloom
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_bloom(docs, bench, min_shared=5).select("doc_id")
 
 
 # ------------------------------------------- search / packing lane (r2)
