@@ -636,3 +636,92 @@ def ivf_pq_search(spark, path: str, centroids, books, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "score", "rank")
     )
+
+
+# ------------------------------------------------- MMR diversification
+
+def mmr_diversify(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
+                  shortlist_n: int = 20, lam: float = 0.7,
+                  pen_weight: float = 0.3,
+                  q_id: str = "q_id", c_id: str = "vec_id",
+                  q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance top-k (Carbonell & Goldstein, SIGIR
+    1998): greedily select k of the top-``shortlist_n`` candidates,
+    each step maximizing ``lam*rel - pen_weight*max_sim_to_selected``
+    — relevance traded against redundancy. The standard diversity
+    re-ranker for retrieval / training-data selection.
+
+    Scale shape: the expensive part (corpus scoring) is the exact
+    broadcast top-N (or swap in knn_lsh/ivf at 100 TB); the greedy
+    loop only ever sees shortlist_n rows per query, distributed across
+    queries via applyInPandas — the O(k*N) iteration never touches the
+    driver and never sees the corpus.
+
+    Cross-engine determinism (oracle discipline): rel and pairwise
+    sims are 6dp-rounded Column cosines (JVM sequential accumulation,
+    identical to the DuckDB twin); the MMR score is then a single
+    IEEE-double expression of those rounded inputs, so argmax agrees
+    bit-for-bit. ``lam`` and ``pen_weight`` are INDEPENDENT literals:
+    computing ``1 - 0.7`` in Python yields 0.30000000000000004, not
+    the double the SQL literal 0.3 denotes — pass both explicitly.
+    Ties break on the smaller candidate id."""
+    scored = (
+        corpus.join(F.broadcast(queries), F.col(c_id) != F.col(q_id))
+        .withColumn("rel", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("rel"), F.col(c_id))
+    short = (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= shortlist_n)
+        .select(q_id, c_id, "rel")
+    )
+    vecs = corpus.select(F.col(c_id), F.col(c_vec))
+    a = (
+        short.join(vecs, c_id)
+        .select(q_id, F.col(c_id).alias("a"), F.col("rel").alias("rel_a"),
+                F.col(c_vec).alias("__va"))
+    )
+    b = (
+        short.join(vecs, c_id)
+        .select(q_id, F.col(c_id).alias("b"), F.col(c_vec).alias("__vb"))
+    )
+    pairs = (
+        a.join(b, q_id)
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .select(q_id, "a", "rel_a", "b", "sim")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[q_id].iloc[0]
+        rels = (pdf[["a", "rel_a"]].drop_duplicates().set_index("a")["rel_a"]
+                .sort_index())
+        cands = rels.index.to_numpy()
+        sim = {(r.a, r.b): r.sim for r in pdf.itertuples()}
+        chosen: list = []
+        out = []
+        while len(chosen) < k and len(chosen) < len(cands):
+            best, best_score = None, None
+            for c in cands:
+                if c in chosen:
+                    continue
+                pen = max((sim[(c, ch)] for ch in chosen), default=0.0)
+                s = lam * float(rels[c]) - pen_weight * pen
+                # strict > keeps the smallest id on ties (cands ascend)
+                if best is None or s > best_score:
+                    best, best_score = c, s
+            chosen.append(best)
+            out.append((qid, best, float(rels[best]), len(chosen)))
+        return pd.DataFrame(out, columns=[q_id, "c_id", "rel", "sel_rank"])
+
+    # pairs drops queries whose shortlist has exactly 1 row (no a!=b
+    # partner); re-attach them as rank-1 picks.
+    lonely = (
+        short.join(pairs.select(q_id).distinct(), q_id, "left_anti")
+        .select(q_id, F.col(c_id).alias("c_id"), F.col("rel"),
+                F.lit(1).alias("sel_rank"))
+    )
+    picked = pairs.groupBy(q_id).applyInPandas(
+        _greedy, schema=f"{q_id} long, c_id long, rel double, sel_rank int"
+    )
+    return picked.unionByName(lonely.withColumn("sel_rank", F.col("sel_rank").cast("int")))

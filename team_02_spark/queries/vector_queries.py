@@ -465,3 +465,97 @@ def q_pq_search(spark, sf_dir):
     books = fit_pq_codebooks(corpus, m=8, n_codes=16)
     encoded = pq_encode(corpus, books).select("vec_id", "pq_codes")
     return pq_search_rerank(probes, encoded, corpus, books, k=10)
+
+
+# ----------------------------------------------------- MMR (round 4)
+
+def _mmr_oracle(k: int = 5, shortlist_n: int = 20) -> str:
+    """Unrolled greedy MMR as plain CTEs (no engine-specific
+    recursion): step s joins the pairwise-sim table against the chosen
+    set, windows on the exact-double MMR score of the 6dp-rounded
+    inputs, and appends the winner. lam/pen weights enter as CAST
+    DOUBLE literals — see operators.similarity.mmr_diversify for the
+    1-lam floating-point trap."""
+    steps = []
+    for s in range(2, k + 1):
+        steps.append(f"""
+    pen{s} AS (
+        SELECT p.q_id, p.a AS c_id, MAX(p.sim) AS pen
+        FROM pairs p JOIN chosen{s - 1} ch
+          ON p.q_id = ch.q_id AND p.b = ch.c_id
+        GROUP BY p.q_id, p.a
+    ),
+    sel{s} AS (
+        SELECT q_id, c_id, rel, {s} AS sel_rank FROM (
+            SELECT sh.q_id, sh.c_id, sh.rel,
+                   ROW_NUMBER() OVER (PARTITION BY sh.q_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * sh.rel
+                              - CAST(0.3 AS DOUBLE) * pn.pen DESC,
+                                sh.c_id) AS r
+            FROM short sh
+            JOIN pen{s} pn ON sh.q_id = pn.q_id AND sh.c_id = pn.c_id
+            WHERE NOT EXISTS (SELECT 1 FROM chosen{s - 1} c2
+                              WHERE c2.q_id = sh.q_id AND c2.c_id = sh.c_id)
+        ) z WHERE r = 1
+    ),
+    chosen{s} AS (
+        SELECT q_id, c_id FROM chosen{s - 1}
+        UNION ALL SELECT q_id, c_id FROM sel{s}
+    )""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM sel{s}" for s in range(1, k + 1))
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROUND({_COS_SQL}, 6) AS rel
+        FROM embeddings c, q
+        WHERE c.vec_id <> q.vec_id
+    ),
+    short AS (
+        SELECT q_id, c_id, rel FROM (
+            SELECT q_id, c_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, c_id) AS rnk
+            FROM scored) s
+        WHERE rnk <= {shortlist_n}
+    ),
+    pairs AS (
+        SELECT s1.q_id, s1.c_id AS a, s2.c_id AS b,
+               ROUND({_COS_SQL}, 6) AS sim
+        FROM short s1
+        JOIN short s2 ON s1.q_id = s2.q_id AND s1.c_id <> s2.c_id
+        JOIN embeddings q ON q.vec_id = s1.c_id
+        JOIN embeddings c ON c.vec_id = s2.c_id
+    ),
+    sel1 AS (
+        SELECT q_id, c_id, rel, 1 AS sel_rank FROM (
+            SELECT q_id, c_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, c_id) AS r
+            FROM short) s WHERE r = 1
+    ),
+    chosen1 AS (SELECT q_id, c_id FROM sel1),
+    {",".join(steps)}
+    SELECT q_id, c_id, rel, CAST(sel_rank AS INT) AS sel_rank
+    FROM ({union}) u
+    """
+
+
+@query("q_mmr_diverse", oracle=_mmr_oracle())
+def q_mmr_diverse(spark, sf_dir):
+    """Diversity re-ranking for retrieval / training-data selection:
+    greedy Maximal Marginal Relevance (lam=0.7) picks 5 of each
+    query's top-20 cosine candidates, trading relevance against
+    redundancy with the already-picked set. The corpus-wide work is
+    the broadcast top-N scoring; the greedy loop runs per-query over
+    the 20-row shortlist inside applyInPandas (never on the driver),
+    on 6dp-rounded JVM cosines so the unrolled-CTE DuckDB twin picks
+    identically."""
+    from team_02_spark.operators.similarity import mmr_diversify
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return mmr_diversify(probes, emb, k=5, shortlist_n=20,
+                         lam=0.7, pen_weight=0.3)

@@ -305,3 +305,43 @@ def test_ivf_pq_layout_prunes_and_recalls(spark, tmp_path):
     recall = len(e & a) / len(e)
     assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
     assert res.groupBy("q_id").count().filter("count > 10").count() == 0
+
+
+def test_mmr_diversify_prefers_diverse_over_redundant(spark):
+    """Synthetic corpus: two near-identical high-relevance vectors and
+    one moderately-relevant orthogonal-ish vector. Pure top-2 takes
+    the redundant pair; MMR must swap the duplicate for the diverse
+    candidate at rank 2."""
+    from team_02_spark.operators.similarity import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.99, 0.14, 0.0, 0.0]),          # most relevant
+        (2, [0.99, 0.141, 0.0, 0.0]),         # near-dup of 1
+        (3, [0.6, 0.0, 0.8, 0.0]),            # diverse, lower rel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = mmr_diversify(probes, emb, k=2, shortlist_n=3,
+                        lam=0.5, pen_weight=0.5)
+    picks = {r["sel_rank"]: r["c_id"] for r in out.collect()}
+    assert picks[1] == 1          # relevance argmax first
+    assert picks[2] == 3          # diversity beats the near-dup
+
+
+def test_mmr_diversify_single_candidate_query(spark):
+    """A query whose shortlist has one row has no a!=b pair rows; the
+    lonely-query path must still emit it at rank 1."""
+    from team_02_spark.operators.similarity import mmr_diversify
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = mmr_diversify(probes, emb, k=3, shortlist_n=1).collect()
+    assert len(out) == 1 and out[0]["c_id"] == 1 and out[0]["sel_rank"] == 1
