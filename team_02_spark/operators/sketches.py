@@ -1,0 +1,53 @@
+"""Mergeable distinct-count sketches — the 100 TB counting pattern.
+
+At scale you never count distinct users/tokens/urls in one pass over
+raw data per question: each ingest shard persists a small HLL sketch
+(Apache DataSketches, built into Spark: ``hll_sketch_agg``), and any
+later rollup — per day, per source, global — is a cheap merge of
+sketch bytes (``hll_union_agg``), never a rescan. This module wraps
+that two-phase shape:
+
+    sketches = shard_sketches(df, keys=["source"], value="user_id")
+    sketches.write.parquet(...)        # bytes column, kilobytes/shard
+    rollup = merge_sketches(spark.read.parquet(...), keys=["source"])
+
+Estimates are deterministic for fixed input (DataSketches is
+seed-stable), but engine-specific — DuckDB has no DataSketches HLL —
+so correctness is pinned by tests (merge-of-shards == single-pass
+sketch EXACTLY, and both within HLL error of the exact count), not a
+driver oracle (same policy as q_approx_distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# lgConfigK=12 → 4 KiB sketches, ~1.6% standard error; plenty for
+# rollup analytics and small enough to keep one per (shard, key).
+DEFAULT_LG_K = 12
+
+
+def shard_sketches(df: DataFrame, *, keys: list[str], value: str,
+                   shard_col: str | None = None,
+                   lg_k: int = DEFAULT_LG_K) -> DataFrame:
+    """Phase 1 (per ingest shard): one HLL sketch of ``value`` per
+    (shard, *keys) group. ``shard_col=None`` derives a shard id from
+    the input partition — the natural unit a writer would persist."""
+    shard = (F.col(shard_col) if shard_col
+             else F.spark_partition_id().alias("__shard"))
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard", *keys)
+        .agg(F.hll_sketch_agg(F.col(value), F.lit(lg_k)).alias("hll"))
+    )
+
+
+def merge_sketches(sketches: DataFrame, *, keys: list[str]) -> DataFrame:
+    """Phase 2 (any rollup, any time later): union the sketch bytes
+    per key group and estimate. No raw-data rescan."""
+    return (
+        sketches.groupBy(*keys)
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .select(*keys,
+                F.hll_sketch_estimate("hll").cast("bigint").alias("approx_distinct"))
+    )

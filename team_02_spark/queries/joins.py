@@ -165,3 +165,33 @@ def q_join_range(spark, sf_dir):
         .groupBy("band")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew lane: the orders->customer join executed through
+    operators.skew.salted_join (fact side salted 8 ways, dimension
+    replicated) — the explicit remedy when one key holds enough of a
+    100 TB fact table that even AQE's skew-split leaves a single key
+    group too big for an executor. Salting is routing only: the
+    aggregate equals the plain join's, which is exactly what the
+    oracle checks."""
+    from team_02_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = salted_join(orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+                         "o_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

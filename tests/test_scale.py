@@ -183,3 +183,38 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     hit_lin = files_hit_by_y_range(lin_path, 0, 12)
     assert hit_lin >= 12, hit_lin
     assert hit_z <= hit_lin / 2, (hit_z, hit_lin)
+
+
+def test_hll_shard_merge_equals_single_pass(spark):
+    """The mergeability contract: per-shard sketches unioned later
+    give EXACTLY the estimate a single global sketch gives (HLL union
+    is lossless at equal lg_k), and both sit within sketch error of
+    the exact count."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.sketches import merge_sketches, shard_sketches
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").repartition(8)
+    merged = {
+        (r["event_type"],): r["approx_distinct"]
+        for r in merge_sketches(
+            shard_sketches(ev, keys=["event_type"], value="user_id"),
+            keys=["event_type"],
+        ).collect()
+    }
+    single = {
+        (r["event_type"],): r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert merged == single
+    exact = {
+        (r["event_type"],): r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])

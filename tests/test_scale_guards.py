@@ -300,3 +300,42 @@ def test_ivf_and_pq_fits_train_on_bounded_sample(spark):
     assert len(cents) == 4 and len(cents[0]) == 8
     books = fit_pq_codebooks(corpus, m=2, n_codes=4, fit_sample_cap=64)
     assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+
+
+def test_salted_join_exact_under_adversarial_skew(spark):
+    """90% of fact rows share one key: salted_join must (a) return
+    exactly the plain join's multiset and (b) spread the hot key's
+    rows across multiple salt buckets so no single shuffle partition
+    carries the whole key group."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.skew import salted_join
+
+    fact = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, "k", salt=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    spread = (
+        fact.withColumn("__salt", (F.rand(42) * 8).cast("int"))
+        .filter(F.col("k") == 7).select("__salt").distinct().count()
+    )
+    assert spread > 4  # hot key fans out over most salt buckets
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+    from team_02_spark.operators.skew import salted_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(df, df, "k", how="right")
