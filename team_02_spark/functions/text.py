@@ -396,3 +396,51 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     return (
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(F.size(grams), F.lit(1))
     )
+
+
+def strip_repeated_spans(text: Column, n: int = 10) -> Column:
+    """Intra-document exact-substring dedup (the within-doc half of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): greedily drop any span whose opening word n-gram
+    already occurred earlier in the SAME document — boilerplate
+    repeats, scraped nav blocks, copy-paste loops.
+
+    Semantics (deterministic, order-sensitive by design): scan tokens
+    left to right; if the n-gram starting at position i was seen
+    before, skip n tokens and continue the scan AFTER the span
+    (spans never partially overlap a kept region); otherwise emit the
+    token and record the n-gram. Documents shorter than n tokens pass
+    through untouched.
+
+    Sequential per-doc loop → Arrow pandas_udf (one doc is one cell;
+    the scan is O(len) with a per-doc set). Not SQL-expressible, so
+    golden-tested rather than oracle-checked."""
+
+    @F.pandas_udf(T.StringType())
+    def _strip(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        for s in batches:
+            out = []
+            for doc in s:
+                if doc is None:
+                    out.append(None)
+                    continue
+                toks = doc.split()
+                if len(toks) < n:
+                    out.append(doc)
+                    continue
+                seen: set = set()
+                kept = []
+                i = 0
+                while i < len(toks):
+                    if i + n <= len(toks):
+                        gram = " ".join(toks[i:i + n])
+                        if gram in seen:
+                            i += n
+                            continue
+                        seen.add(gram)
+                    kept.append(toks[i])
+                    i += 1
+                out.append(" ".join(kept))
+            yield pd.Series(out)
+
+    return _strip(text)

@@ -183,3 +183,30 @@ def test_domain_stats_on_url_bearing_rows(spark, tmp_path):
     )
     oracle = {tuple(r) for r in con.execute(spec.oracle).fetchall()}
     assert oracle == got
+
+
+def test_strip_repeated_spans_golden(spark):
+    from team_02_spark.functions.text import strip_repeated_spans
+
+    rep = " ".join(["a b c d"] * 3)                 # 12 tokens, gram n=4 repeats
+    clean = "every word here is fresh and unrepeated"
+    df = spark.createDataFrame([(1, rep), (2, clean), (3, None), (4, "tiny doc")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", strip_repeated_spans(F.col("text"), 4).alias("s")).collect()}
+    # first 4-gram kept; the two verbatim repeats dropped
+    assert out[1] == "a b c d"
+    assert out[2] == clean          # nothing repeated → unchanged
+    assert out[3] is None           # null passthrough
+    assert out[4] == "tiny doc"     # shorter than n → untouched
+
+
+def test_strip_repeated_spans_partial_tail(spark):
+    """A repeat that starts inside the doc tail (fewer than n tokens
+    left) is NOT treated as a span — only full n-grams dedup."""
+    from team_02_spark.functions.text import strip_repeated_spans
+
+    txt = "p q r s x p q r"                        # tail repeat is only 3 long
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = df.select(strip_repeated_spans(F.col("text"), 4).alias("s")).first()["s"]
+    assert got == txt
