@@ -712,6 +712,73 @@ def q_decontaminate_bloom(spark, sf_dir):
     return decontaminate_bloom(docs, bench, min_shared=5).select("doc_id")
 
 
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH sets AS ({_NGRAM_SETS_SQL}),
+    parts AS (
+        SELECT doc_id,
+               CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                    THEN 'train' ELSE 'test' END AS part
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS train_id, b.doc_id AS test_id, COUNT(*) AS inter
+        FROM ex a
+        JOIN parts pa ON a.doc_id = pa.doc_id AND pa.part = 'train'
+        JOIN ex b ON a.s = b.s
+        JOIN parts pb ON b.doc_id = pb.doc_id AND pb.part = 'test'
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.train_id, c.test_id,
+           ROUND(CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter), 6) AS jaccard
+    FROM cand c
+    JOIN sizes x ON c.train_id = x.doc_id
+    JOIN sizes y ON c.test_id = y.doc_id
+    WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Eval-hygiene lane: train/test LEAKAGE audit — near-duplicate
+    pairs that cross the deterministic 80/20 split boundary (q_split's
+    md5 gate), i.e. test docs whose near-twin sits in train and would
+    inflate eval numbers. Exact 3-gram Jaccard >= 0.6 over shared-
+    shingle candidates; the shingle equi-join bounds candidates by
+    co-occurrence (same shape as q_similar_pairs — swap in the
+    MinHash band join at 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    part = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < "cccccccc",
+        "train",
+    ).otherwise("test")
+    sets_df = ensure_parallelism(docs).select(
+        "doc_id", part.alias("part"),
+        F.array_distinct(shingles("text", 3)).alias("sh"),
+    )
+    ex = sets_df.select("doc_id", "part", F.explode("sh").alias("s"))
+    a = ex.filter(F.col("part") == "train").select(
+        F.col("doc_id").alias("train_id"), "s")
+    b = ex.filter(F.col("part") == "test").select(
+        F.col("doc_id").alias("test_id"), "s")
+    cand = (
+        a.join(b, "s")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
+    jac = F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "train_id")
+                  .withColumnRenamed("sz", "sza"), "train_id")
+        .join(sizes.withColumnRenamed("doc_id", "test_id")
+              .withColumnRenamed("sz", "szb"), "test_id")
+        .filter(jac >= 0.6)
+        .select("train_id", "test_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # ------------------------------------------- search / packing lane (r2)
 
 _BM25_TERMS = ["spark", "join", "vector"]

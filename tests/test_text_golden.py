@@ -210,3 +210,41 @@ def test_strip_repeated_spans_partial_tail(spark):
     df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
     got = df.select(strip_repeated_spans(F.col("text"), 4).alias("s")).first()["s"]
     assert got == txt
+
+
+def test_split_leakage_synthetic_cross_boundary(spark, monkeypatch, tmp_path):
+    """Fixture-independent exercise of the leakage detector: build a
+    documents table where a known near-dup pair straddles the md5
+    split boundary, run the registered query against it, and pin the
+    detected pair. Guards against the q_domain_stats-style vacuous-
+    oracle trap if fixtures drift."""
+    import duckdb
+
+    from team_02_spark.queries import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    # choose ids on opposite sides of the 'cccccccc' md5 gate
+    from hashlib import md5 as _md5
+    train_id = next(i for i in range(1000)
+                    if _md5(str(i).encode()).hexdigest()[:8] < "cccccccc")
+    test_id = next(i for i in range(1000)
+                   if _md5(str(i).encode()).hexdigest()[:8] >= "cccccccc")
+    rows = [(train_id, base, "en", "s0", len(base)),
+            (test_id, near, "en", "s1", len(near)),
+            (999999, "completely different content with no shared threegrams at all here", "en", "s2", 60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    # the query reads <sf_dir>/documents.parquet
+    out = QUERIES["q_split_leakage"].fn(spark, str(tmp_path)).collect()
+    got = {(r["train_id"], r["test_id"]) for r in out}
+    assert (train_id, test_id) in got
+    assert all(p[0] != 999999 and p[1] != 999999 for p in got)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    oracle = {(r[0], r[1]) for r in
+              con.execute(QUERIES["q_split_leakage"].oracle).fetchall()}
+    assert got == oracle
