@@ -444,3 +444,31 @@ def strip_repeated_spans(text: Column, n: int = 10) -> Column:
             yield pd.Series(out)
 
     return _strip(text)
+
+
+def compression_ratio(text: Column) -> Column:
+    """zlib compression ratio (compressed/raw bytes) — the classic
+    cheap repetitiveness signal for pretraining quality filters:
+    boilerplate and looped spam compress far below ~0.4, natural
+    prose sits higher. Deterministic (zlib level 6), Arrow-batched;
+    empty/null-safe (ratio 1.0 for empty). Complements the n-gram
+    repetition_ratio above: zlib catches long-range and non-aligned
+    repeats that fixed-n shingles miss."""
+    import zlib
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        for s in batches:
+            out = []
+            for doc in s:
+                if doc is None:
+                    out.append(None)
+                    continue
+                raw = doc.encode("utf-8")
+                if not raw:
+                    out.append(1.0)
+                    continue
+                out.append(len(zlib.compress(raw, 6)) / len(raw))
+            yield pd.Series(out, dtype="float64")
+
+    return _ratio(text)

@@ -124,3 +124,26 @@ def compact_parquet(spark, path: str, *, target_file_bytes: int = 128 * 1024 * 1
         .parquet(out_path or f"{path}__compact")
     )
     return n_files
+
+
+def write_jsonl(df: DataFrame, path: str, *, compression: str | None = "gzip") -> None:
+    """JSONL export — the lingua franca of LLM training corpora
+    (one JSON object per line, gzip by default). Spark's json sink
+    writes exactly this shape, one file per partition; pair with
+    ``df.repartition(n)`` upstream to control shard count/size."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL ingest with an EXPLICIT schema when known: schema-less
+    json reads trigger a full inference pre-pass over the data — at
+    100 TB that is a second scan of the corpus before the first real
+    job. Always pass the schema in production; ``schema=None`` is for
+    exploration only."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -87,3 +87,24 @@ def test_inference_pipeline_end_to_end(spark):
         # sink round-trips
         back = spark.read.parquet(out_path)
         assert back.count() == 20
+
+
+def test_jsonl_roundtrip_preserves_content(spark, tmp_path):
+    """documents -> gzip JSONL shards -> read back with explicit
+    schema: same dataset fingerprint, no schema-inference pre-pass
+    (schema passed explicitly)."""
+    from team_02_spark.sinks.writers import (
+        dataset_fingerprint, read_jsonl, write_jsonl,
+    )
+    from team_02_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.repartition(4), out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert dataset_fingerprint(back, "doc_id", "text", "lang") == \
+        dataset_fingerprint(docs, "doc_id", "text", "lang")
+    import glob
+    assert glob.glob(out + "/*.json.gz")  # gzip shards on disk

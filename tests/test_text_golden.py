@@ -248,3 +248,21 @@ def test_split_leakage_synthetic_cross_boundary(spark, monkeypatch, tmp_path):
     oracle = {(r[0], r[1]) for r in
               con.execute(QUERIES["q_split_leakage"].oracle).fetchall()}
     assert got == oracle
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from team_02_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "buy now " * 200),
+         (2, "The five boxing wizards jump quickly over the glib jazzy dwarf "
+             "while a quartet of vexed gnomes plots beyond the fjord at dusk."),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cr"] for r in
+           df.select("doc_id", compression_ratio(F.col("text")).alias("cr")).collect()}
+    assert out[1] < 0.1           # looped spam compresses to almost nothing
+    assert out[3] == 1.0 and out[4] is None
+    assert out[1] < out[2]        # spam below prose
+    assert 0.3 < out[2] <= 1.2    # prose in the sane band
