@@ -177,3 +177,97 @@ def q_pagerank(spark, sf_dir):
         .limit(20)
         .select("node", (F.col("pr_int").cast("double") / F.lit(1e9)).alias("pr"))
     )
+
+
+@query(
+    "q_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS u,
+                        GREATEST(a.l_suppkey, b.l_suppkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs
+        ) t GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d < dv.d OR (du.d = dv.d AND p.u < p.v))
+                    THEN p.u ELSE p.v END AS src,
+               CASE WHEN (du.d < dv.d OR (du.d = dv.d AND p.u < p.v))
+                    THEN p.v ELSE p.u END AS dst
+        FROM pairs p JOIN deg du ON p.u = du.n JOIN deg dv ON p.v = dv.n
+    ),
+    od AS (
+        SELECT o.src, o.dst, ds.d AS dd, o.dst AS n FROM oriented o
+        JOIN deg ds ON o.dst = ds.n
+    ),
+    wedges AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM od e1 JOIN od e2
+          ON e1.src = e2.src
+         AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes
+    FROM wedges t JOIN oriented c ON t.v = c.src AND t.w = c.dst
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Triangle count on the supplier co-supply graph (suppliers
+    sharing an order), via the MapReduce-classic degree-ordered
+    orientation (Suri & Vassilvitskii, WWW 2011): orient every edge
+    from its lower-(degree, id) endpoint, enumerate wedges only at
+    each edge's low end, close with an oriented-edge equi-join. Each
+    triangle is counted exactly once, and wedge fan-out is bounded by
+    OUT-degree under the orientation — O(m^1.5) work total regardless
+    of hub skew, the property that keeps the join alive on a 100 TB
+    power-law graph (a plain undirected wedge join explodes at hubs).
+
+    Per-order supplier pairs are bounded by order width (~7 lines),
+    so the pair-building self-join never blows up; one distinct
+    shuffle dedups multi-order pairs."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (
+        pairs.join(du, "u").join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    od = oriented.join(
+        deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")), "dst")
+    e1 = od.select(F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("d1"))
+    e2 = od.select(F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("d2"))
+    wedges = e1.join(
+        e2,
+        (e1["src"] == e2["src"])
+        & ((F.col("d1") < F.col("d2"))
+           | ((F.col("d1") == F.col("d2")) & (F.col("v") < F.col("w")))),
+    ).select("v", "w")
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles"))
+    return (
+        tri.crossJoin(pairs.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+    )

@@ -370,3 +370,25 @@ def test_binned_range_join_negative_axis_and_widths(spark):
         assert binned.count() == naive.count(), bw
         assert binned.subtract(naive).count() == 0, bw
         assert naive.subtract(binned).count() == 0, bw
+
+
+def test_triangles_known_graph(spark, tmp_path):
+    """q_triangles on a hand-built co-supply graph: order 10 makes the
+    {1,2,3} triangle, order 11 adds the dangling 3-4 edge. Exercises
+    degree-ordered orientation incl. the (deg, id) tie-break, checked
+    against both the known answer and the DuckDB twin."""
+    import duckdb
+
+    from team_02_spark.queries import QUERIES
+
+    rows = [(10, 1), (10, 2), (10, 3), (11, 3), (11, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    path = str(tmp_path / "lineitem.parquet")
+    li.coalesce(1).write.parquet(path)
+    got = QUERIES["q_triangles"].fn(spark, str(tmp_path)).collect()[0]
+    assert (got["n_triangles"], got["n_edges"], got["n_nodes"]) == (1, 4, 4)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    assert con.execute(QUERIES["q_triangles"].oracle).fetchall() == [(1, 4, 4)]
