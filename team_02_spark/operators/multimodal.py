@@ -180,3 +180,59 @@ def media_repartition(df: DataFrame, target_bytes_per_partition: int = 128 * 102
         total_bytes = df.agg(F.sum(F.col(size_col)).alias("b")).first()["b"] or 1
     n_parts = max(1, int(total_bytes / target_bytes_per_partition))
     return df.repartition(n_parts, F.col("doc_id"))
+
+
+def perceptual_hash(df: DataFrame, *, decode_stub: str = "fake",
+                    id_col: str = "doc_id") -> DataFrame:
+    """64-bit average-hash fingerprint per media payload (aHash, the
+    simplest of the perceptual-hash family): decode, pool the signal
+    into an 8×8 grid, emit one bit per cell (cell mean > global mean).
+    Near-identical media (re-encodes, small edits) land within a few
+    bits; the dedup machinery is then EXACTLY the SimHash lane's —
+    ``near_dedup_media`` below feeds these into the same pigeonhole
+    block joins. With a real decoder the grid pools pixels; the fake
+    stand-in pools the byte stream, preserving the contract that
+    identical payloads hash identically and contiguous edits flip few
+    bits. Returns (id_col, simhash) rows, column-named to plug into
+    operators.dedup.simhash_dup_pairs."""
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = _decode(r["content"], r.get("media"), decode_stub)
+                if arr.size < 64:
+                    arr = np.pad(arr, (0, 64 - arr.size))
+                cells = np.array_split(arr.astype(np.float64), 64)
+                means = np.array([c.mean() if c.size else 0.0 for c in cells])
+                bits = means > means.mean()
+                fp = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << i
+                if fp >= 1 << 63:               # wrap to signed int64
+                    fp -= 1 << 64
+                rows.append({id_col: r[id_col], "simhash": fp})
+            yield pd.DataFrame(rows, columns=[id_col, "simhash"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def near_dedup_media(df: DataFrame, *, decode_stub: str = "fake",
+                     id_col: str = "doc_id",
+                     max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup removal for media columns: aHash
+    fingerprints + the SimHash lane's pigeonhole block joins + keep-
+    smallest-id. Same 100 TB posture as text SimHash dedup (the
+    hot-block guard rides along)."""
+    from team_02_spark.operators.dedup import simhash_dup_pairs
+
+    fps = perceptual_hash(df, decode_stub=decode_stub, id_col=id_col)
+    pairs = simhash_dup_pairs(fps, id_col=id_col, max_hamming=max_hamming)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -88,3 +88,36 @@ def test_media_repartition_by_volume(spark):
     out = media_repartition(media, target_bytes_per_partition=1024)
     assert out.rdd.getNumPartitions() >= 2  # sized by bytes, not rows
     assert out.count() == media.count()
+
+
+def test_perceptual_hash_identical_payloads_collide(spark):
+    from team_02_spark.operators.multimodal import perceptual_hash, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(1, "the same payload text"), (2, "the same payload text"),
+         (3, "a completely different and much longer payload with other bytes")],
+        "doc_id long, text string",
+    )
+    media = synthesize_media(docs)
+    fps = {r["doc_id"]: r["simhash"] for r in perceptual_hash(media).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_near_dedup_media_removes_duplicate_payloads(spark):
+    from team_02_spark.operators.multimodal import near_dedup_media, synthesize_media
+
+    import hashlib as _h
+
+    # pseudo-random distinct payloads (hex noise) — far apart in hash
+    # space, unlike near-identical English template strings which a
+    # perceptual hash SHOULD place within a few bits of each other
+    docs = spark.createDataFrame(
+        [(i, _h.md5(str(i).encode()).hexdigest() * 4) for i in range(20)]
+        + [(100, "duplicated frame bytes"), (101, "duplicated frame bytes")],
+        "doc_id long, text string",
+    )
+    media = synthesize_media(docs)
+    kept = {r["doc_id"] for r in near_dedup_media(media).select("doc_id").collect()}
+    assert 100 in kept and 101 not in kept   # keep-smallest-id
+    assert all(i in kept for i in range(20))
