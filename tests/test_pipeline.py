@@ -108,3 +108,19 @@ def test_jsonl_roundtrip_preserves_content(spark, tmp_path):
         dataset_fingerprint(docs, "doc_id", "text", "lang")
     import glob
     assert glob.glob(out + "/*.json.gz")  # gzip shards on disk
+
+
+def test_orc_roundtrip_preserves_content(spark, tmp_path):
+    """ORC sink/source round-trip (columnar alternative to parquet,
+    supported natively by Spark): fingerprint-equal content."""
+    from team_02_spark.sinks.writers import dataset_fingerprint
+    from team_02_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "docs_orc")
+    docs.repartition(2).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert dataset_fingerprint(back, "doc_id", "text", "lang") == \
+        dataset_fingerprint(docs, "doc_id", "text", "lang")
