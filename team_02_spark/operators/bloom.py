@@ -118,19 +118,36 @@ def bloom_hit_count(spark, bits: bytes, m: int, k: int):
         for h1s, h2s in it:
             if barr is None:
                 barr = np.frombuffer(bc.value, dtype=np.uint8)
-            out = np.zeros(len(h1s), dtype=np.int32)
-            for row, (a, b) in enumerate(zip(h1s, h2s)):
-                if a is None or len(a) == 0:
-                    continue
-                idx = _probe_indices(np.asarray(a, dtype=np.int64),
-                                     np.asarray(b, dtype=np.int64), m, k)
-                byte = (idx >> np.uint64(3)).astype(np.int64)
-                bit = (idx & np.uint64(7)).astype(np.uint8)
-                hit = (barr[byte] >> bit) & np.uint8(1)
-                out[row] = int(hit.all(axis=1).sum())
-            yield pd.Series(out, dtype="int32")
+            # One batch-wide kernel, not a per-row loop: flatten every
+            # row's gram hashes, probe all bits in one (G, k) matrix
+            # op, then segment-sum the all-probes-set flags back to
+            # rows via bincount.
+            n = len(h1s)
+            arrs1 = [np.asarray(a, dtype=np.int64) if a is not None
+                     else np.empty(0, np.int64) for a in h1s]
+            arrs2 = [np.asarray(b, dtype=np.int64) if b is not None
+                     else np.empty(0, np.int64) for b in h2s]
+            lens = np.fromiter((a.size for a in arrs1), dtype=np.int64, count=n)
+            if lens.sum() == 0:
+                yield pd.Series(np.zeros(n, dtype=np.int32))
+                continue
+            flat1 = np.concatenate(arrs1)
+            flat2 = np.concatenate(arrs2)
+            idx = _probe_indices(flat1, flat2, m, k)
+            ok = (
+                (barr[(idx >> np.uint64(3)).astype(np.int64)]
+                 >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            ).all(axis=1)
+            row_of = np.repeat(np.arange(n), lens)
+            counts = np.bincount(row_of, weights=ok, minlength=n)
+            yield pd.Series(counts.astype(np.int32))
 
-    return _hits
+    # The UDF IS deterministic; the flag only stops the optimizer
+    # from collapsing the projection into a downstream filter, which
+    # would evaluate the UDF (and its whole JVM gram-hash input tree)
+    # TWICE — measured 5x wall on the prefilter. Pinned by
+    # test_bloom_prefilter_single_python_eval.
+    return _hits.asNondeterministic()
 
 
 def bloom_candidates(docs: DataFrame, bits: bytes, m: int, k: int, *,

@@ -98,3 +98,22 @@ def test_bloom_driver_cap_guard(spark, monkeypatch):
     monkeypatch.setattr(bloom_mod, "MAX_BENCH_GRAMS", 10)
     with pytest.raises(ValueError, match="distinct grams"):
         bloom_mod.build_ngram_bloom(bench)
+
+
+def test_bloom_prefilter_single_python_eval(spark):
+    """The filter on the UDF output must NOT duplicate the UDF: with a
+    deterministic pandas_udf the optimizer collapses the projection
+    into the filter and evaluates the UDF (and its whole JVM gram-hash
+    input tree) twice — measured 5x wall. asNondeterministic pins the
+    single-eval plan."""
+    import contextlib
+    import io
+
+    from team_02_spark.operators.bloom import bloom_candidates, build_ngram_bloom
+
+    docs, bench = _docs_and_bench(spark)
+    bits, m, k = build_ngram_bloom(bench)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bloom_candidates(docs, bits, m, k, min_shared=5).explain("formatted")
+    assert buf.getvalue().count("ArrowEvalPython (") == 1
