@@ -92,7 +92,13 @@ def hyperplane_bucket(vec_col: str | Column, dim: int, num_planes: int,
         bits = (m @ planes.T >= 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
-    return _bucket(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    # Deterministic in fact; the flag stops the optimizer from
+    # inlining the UDF into join-inferred isnotnull()/user filters,
+    # which re-evaluates the full-corpus matmul a second time (two
+    # ArrowEvalPython nodes over the same scan — measured 2x wall on
+    # knn_lsh's corpus side). Pinned by test_plans.
+    return _bucket.asNondeterministic()(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def pdot(a: Column, b: Column) -> Column:
@@ -158,4 +164,6 @@ def band_buckets(vec_col: str | Column, dim: int, planes_per_band: int,
         bk = bits.reshape(len(m), num_bands, planes_per_band) @ weights
         return pd.Series(list(bk))
 
-    return _bands(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    # Same duplicate-evaluation guard as hyperplane_bucket above.
+    return _bands.asNondeterministic()(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col)
