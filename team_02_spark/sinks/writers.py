@@ -147,3 +147,23 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, *, bucket_cols: list[str] | str,
+                   n_buckets: int, sort_cols: list[str] | str | None = None,
+                   path: str | None = None) -> None:
+    """Bucketed table write — the co-located-join layout: both sides of
+    a recurring large-large equi-join written with the SAME bucket
+    count on the join key join WITHOUT a shuffle (SortMergeJoin reads
+    bucket i against bucket i directly; sortBy additionally removes
+    the per-task sort). At 100 TB this converts the nightly fact-fact
+    join from two full shuffles into a partition-local merge.
+    Bucket metadata requires the table catalog, hence saveAsTable."""
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bc)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

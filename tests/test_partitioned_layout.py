@@ -77,3 +77,41 @@ def test_compact_parquet_small_files(spark, tmp_path):
     # content identical, input untouched
     assert spark.read.parquet(out).count() == 10_000
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 40
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """SMB join on co-bucketed tables: with both sides bucketed 8 ways
+    on the join key, the join plan contains NO shuffle exchange —
+    the layout property that makes recurring 100 TB fact-fact joins
+    partition-local. (Broadcast disabled for the test so the plan
+    can't sidestep the question.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark.sinks.writers import write_bucketed
+
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v1"))
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("v2"))
+    write_bucketed(left, "t_bkt_l", bucket_cols="k", n_buckets=8,
+                   sort_cols="k", path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_r", bucket_cols="k", n_buckets=8,
+                   sort_cols="k", path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bkt_l").join(spark.table("t_bkt_r"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # bucket-local merge join
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_r")
