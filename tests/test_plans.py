@@ -328,3 +328,22 @@ def test_round3_lane_plans(spark):
     met = _q(spark, "q_retrieval_metrics")
     assert not uses_python_udf(met)
     assert shuffle_count(met) <= 3
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """Per-group top-k (rank <= k over a window) must show
+    WindowGroupLimit in the plan: Spark 3.5+ pushes the k-limit into
+    the window sort, so each shuffle partition keeps a k-sized heap
+    per group instead of fully sorting every group — the property
+    that makes window-based top-k safe on 100 TB groups."""
+    import contextlib
+    import io
+
+    from team_02_spark.queries import QUERIES
+
+    for key in ("q_window_rank", "q_knn_topk"):
+        df = QUERIES[key].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "WindowGroupLimit" in buf.getvalue(), key
