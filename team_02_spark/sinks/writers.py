@@ -167,3 +167,34 @@ def write_bucketed(df: DataFrame, table: str, *, bucket_cols: list[str] | str,
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_training_shards(df: DataFrame, out_dir: str, *,
+                          n_shards: int = 16, id_col: str = "doc_id",
+                          order_within_shard: bool = True) -> DataFrame:
+    """Execute the q_shard_plan layout: deterministic Knuth-hash shard
+    assignment, ONE shuffle keyed on the shard id, one parquet
+    directory per shard (shard=NN/), rows inside each shard in
+    md5-of-id order when ``order_within_shard`` (so a training run's
+    data order is fully reproducible from the layout alone — no
+    loader-side shuffle seed to track). Returns the per-shard
+    manifest (docs + id bounds) the writer verified after writing.
+
+    At 100 TB: the single repartition(shard) is the only wide
+    exchange; per-shard file sizing is then governed by
+    maxRecordsPerFile / further repartition within the writer."""
+    shard = F.floor(
+        ((F.pmod(F.col(id_col).cast("decimal(38,0)") * F.lit(2654435761),
+                 F.lit(4294967296)) + 1).cast("double")
+         / F.lit(4294967297.0)) * n_shards
+    ).cast("int").alias("shard")
+    assigned = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    if order_within_shard:
+        assigned = assigned.sortWithinPartitions(F.md5(F.col(id_col).cast("string")))
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    back = df.sparkSession.read.parquet(out_dir)
+    return (
+        back.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id"))
+    )

@@ -124,3 +124,36 @@ def test_orc_roundtrip_preserves_content(spark, tmp_path):
     back = spark.read.orc(out)
     assert dataset_fingerprint(back, "doc_id", "text", "lang") == \
         dataset_fingerprint(docs, "doc_id", "text", "lang")
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard, shard
+    assignment matches q_shard_plan's manifest, and the in-shard
+    order is reproducible (two writes give identical per-file row
+    order)."""
+    import glob
+
+    from team_02_spark.queries import QUERIES
+    from team_02_spark.sinks.writers import write_training_shards
+    from team_02_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shards")
+    manifest = {r["shard"]: r["n_docs"]
+                for r in write_training_shards(docs, out, n_shards=16).collect()}
+    assert sum(manifest.values()) == docs.count()
+    assert len(glob.glob(out + "/shard=*")) == len(manifest)
+
+    plan = {r["shard"]: r["n_docs"]
+            for r in QUERIES["q_shard_plan"].fn(spark, "/root/testdata/sf0.001").collect()}
+    assert manifest == plan  # writer executes exactly the dry-run plan
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=16)
+    s0 = sorted(glob.glob(out + "/shard=3/*.parquet"))
+    s1 = sorted(glob.glob(out2 + "/shard=3/*.parquet"))
+    ids0 = [r["doc_id"] for r in spark.read.parquet(*s0).collect()]
+    ids1 = [r["doc_id"] for r in spark.read.parquet(*s1).collect()]
+    assert ids0 == ids1 and len(ids0) > 0
