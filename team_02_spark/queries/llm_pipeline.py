@@ -631,3 +631,93 @@ def q_token_budget_sample(spark, sf_dir):
         .filter(F.col("cum_tok") <= 20000)
         .select("doc_id", "source", "n_tok", "cum_tok")
     )
+
+
+# ------------------------------------------------- round-4 additions
+
+_DSIR_TGT = "('src0', 'src1', 'src2', 'src3')"
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    raw_cnt AS (SELECT tok, COUNT(*) AS c_raw FROM tok GROUP BY tok),
+    tgt_cnt AS (
+        SELECT tok, COUNT(*) AS c_tgt FROM tok
+        WHERE source IN {_DSIR_TGT} GROUP BY tok
+    ),
+    tot AS (
+        SELECT COUNT(*) AS t_raw,
+               CAST(SUM(CASE WHEN source IN {_DSIR_TGT}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS t_tgt,
+               COUNT(DISTINCT tok) AS v
+        FROM tok
+    ),
+    llr AS (
+        SELECT r.tok,
+               LN(CAST(COALESCE(g.c_tgt, 0) + 1 AS DOUBLE)
+                  / (tot.t_tgt + tot.v))
+               - LN(CAST(r.c_raw + 1 AS DOUBLE) / (tot.t_raw + tot.v))
+                 AS w
+        FROM raw_cnt r LEFT JOIN tgt_cnt g ON r.tok = g.tok, tot
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           ROUND(SUM(l.w) / COUNT(*), 4) AS dsir_score,
+           CAST(SUM(l.w) / COUNT(*) > 0 AS BOOLEAN) AS selected
+    FROM tok t JOIN llr l ON t.tok = l.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_dsir_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023, arXiv:2302.03169) re-expressed Spark-first: score
+    every raw document by its average unigram log-likelihood ratio
+    between a target-domain LM (here the src0-src3 slice as the
+    quality proxy) and the raw-corpus LM, both add-1 smoothed over
+    the shared vocabulary; `selected` keeps docs that look more
+    target-like than raw-like (score > 0 — a row-local decision, so
+    selection needs NO global sort). One exploded-token pass feeds
+    both LMs (the target count is a filtered re-aggregation of the
+    same shuffle key), the 1-row totals broadcast, and the per-token
+    weight table joins back on the token key — three token-keyed
+    shuffles total, all map-side combined. The 4dp rounding absorbs
+    LN ulp + summation-order drift across engines (q_lm_perplexity
+    precedent)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    tgt_srcs = ["src0", "src1", "src2", "src3"]
+    is_tgt = F.col("source").isin(tgt_srcs)
+    raw_cnt = tok.groupBy("tok").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("bigint").alias("c_tgt"),
+    )
+    tot = tok.agg(
+        F.count("*").alias("t_raw"),
+        F.sum(is_tgt.cast("int")).cast("bigint").alias("t_tgt"),
+        F.countDistinct("tok").alias("v"),
+    )
+    llr = raw_cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.log((F.col("c_tgt") + 1).cast("double")
+                  / (F.col("t_tgt") + F.col("v")))
+            - F.log((F.col("c_raw") + 1).cast("double")
+                    / (F.col("t_raw") + F.col("v")))
+        ).alias("w"),
+    )
+    score = F.sum("w") / F.count("*")
+    return (
+        tok.join(llr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(score, 4).alias("dsir_score"),
+            (score > 0).alias("selected"),
+        )
+    )
