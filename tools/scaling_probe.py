@@ -439,10 +439,61 @@ def bloom_probe(replication: int) -> None:
     spark.stop()
 
 
+def dsir_probe(replication: int) -> None:
+    """Data-scaling sweep for the DSIR selection lane: documents
+    replicated N× under fresh ids (source labels preserved, so the
+    target slice grows with the corpus — the realistic regime). The
+    lane is three token-keyed shuffles + one broadcast of 1-row
+    totals; wall-clock should track corpus size ~linearly with no
+    per-doc or per-token driver state."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-dsir-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    out = os.path.join(tempfile.gettempdir(), f"scaling_dsir_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+        d_all = docs
+        for i in range(1, replication):
+            d_all = d_all.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_doc))
+            )
+        d_all.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+        for t_name in ("region nation customer supplier part orders "
+                       "lineitem events embeddings").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f"{t_name}.parquet"), link)
+        open(os.path.join(out, ".done"), "w").close()
+
+    spark.read.parquet(os.path.join(out, "documents.parquet")).write.format(
+        "noop").mode("overwrite").save()  # warm
+    n_docs = spark.read.parquet(os.path.join(out, "documents.parquet")).count()
+    t0 = time.perf_counter()
+    QUERIES["q_dsir_select"].fn(spark, out).write.format("noop").mode(
+        "overwrite").save()
+    dsir_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "dsir", "replication": replication,
+        "n_docs": n_docs, "dsir_sec": round(dsir_s, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "relational":
         relational_probe(arg)
+        return
+    if mode == "dsir":
+        dsir_probe(arg)
         return
     if mode == "rangejoin":
         rangejoin_probe(arg)
