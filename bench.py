@@ -56,6 +56,9 @@ HEADLINE = [
     # only corpus pass) and MMR diversity re-ranking
     "q_decontaminate_bloom",
     "q_mmr_diverse",
+    # round-4 session-3 lane: DSIR importance selection (three
+    # token-keyed shuffles + 1-row totals broadcast)
+    "q_dsir_select",
 ]
 
 

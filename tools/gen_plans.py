@@ -51,6 +51,10 @@ HEADLINE = {
     "q_join_salted": "fact+salt vs dim×salt equi-join: hot key spreads over salt shuffle partitions; output multiset identical to the plain join",
     "q_triangles": "degree-ordered orientation: wedge join fans out only at each edge's LOW end (out-degree bounded), closing-edge equi-join — O(m^1.5) under hub skew",
     "q_split_leakage": "shingle equi-join candidates bounded by co-occurrence; Jaccard verify in-join; cross-split filter prunes before the pair aggregate",
+    "q_dsir_select": "one exploded-token pass feeds BOTH LMs (target count = filtered re-agg of the same key); 1-row totals broadcast; selection gate is row-local (no global sort)",
+    "q_variant_props": "props parsed ONCE into VARIANT next to the reader; typed variant_get extraction; ReadSchema carries only event_type+props; one 5-partial agg shuffle",
+    "q_date_spine_fill": "recursive spine bounded by the date RANGE (constant rows), broadcast into the left join; fact side is a pruned scan + one agg shuffle",
+    "q_component_split": "near-dup pairs via bounded shingle co-occurrence; min-label closure shuffles only the edge set; split gate is a map over (doc_id, root)",
 }
 
 
