@@ -347,3 +347,31 @@ def test_per_group_topk_uses_window_group_limit(spark):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "WindowGroupLimit" in buf.getvalue(), key
+
+
+def test_variant_props_single_exchange_jvm_only(spark):
+    """The VARIANT lane must stay a one-shuffle JVM aggregate: parse +
+    typed extraction next to the reader, no Python stage, and the scan
+    reads only the two columns it needs."""
+    df = _q(spark, "q_variant_props")
+    assert shuffle_count(df) == 1
+    assert not uses_python_udf(df)
+    schemas = read_schema_columns(df)
+    assert schemas and all(set(c) <= {"event_type", "props"} for c in schemas)
+
+
+def test_date_spine_fill_broadcasts_the_spine(spark):
+    """The recursive spine is constant-sized (90 rows) — it must be
+    the broadcast side of the left join, and the fact side one agg
+    exchange; recursion must never become a shuffle per iteration."""
+    df = _q(spark, "q_date_spine_fill")
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 1
+    assert not uses_python_udf(df)
+
+
+def test_dsir_select_stays_jvm_side(spark):
+    """DSIR is counts + logs — all JVM expressions; a Python stage
+    sneaking into the per-token path would be the 100 TB regression."""
+    df = _q(spark, "q_dsir_select")
+    assert not uses_python_udf(df)
