@@ -472,3 +472,47 @@ def compression_ratio(text: Column) -> Column:
             yield pd.Series(out, dtype="float64")
 
     return _ratio(text)
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate-strip raw HTML down to its visible text — the step
+    in front of every web-crawl curation funnel (extends the F1-F4
+    cleaning family to web sources; the reference only ever sees
+    pre-extracted tweet text). Pure JVM regexp passes, no Python:
+
+    1. drop <script>/<style>/<noscript> ELEMENTS with their contents
+       (their text is never visible);
+    2. drop HTML comments;
+    3. turn block-level closers/openers and <br> into newlines so
+       words from adjacent blocks don't fuse;
+    4. drop every remaining tag;
+    5. decode the half-dozen entities that dominate real pages
+       (&amp; &lt; &gt; &quot; &#39; &nbsp;);
+    6. collapse runs of blank lines / spaces.
+
+    This is deliberately a lightweight extractor (tag-blind, no DOM,
+    no main-content scoring a la trafilatura/readability) — it runs
+    at scan speed inside codegen; swap in a Pandas-UDF extractor only
+    for sources where layout noise dominates."""
+    no_elem = F.regexp_replace(
+        text, r"(?is)<(script|style|noscript)\b.*?</\1\s*>", " "
+    )
+    no_comment = F.regexp_replace(no_elem, r"(?s)<!--.*?-->", " ")
+    blocks = F.regexp_replace(
+        no_comment,
+        r"(?i)<(?:br\s*/?|/?(?:p|div|li|ul|ol|h[1-6]|tr|table|"
+        r"blockquote|section|article|header|footer)\b[^>]*)>",
+        "\n",
+    )
+    no_tag = F.regexp_replace(blocks, r"(?s)<[^>]+>", " ")
+    decoded = no_tag
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    one_space = F.regexp_replace(decoded, r"[ \t\x0b\f\r]+", " ")
+    tidy_lines = F.regexp_replace(one_space, r" ?\n ?", "\n")
+    squeezed = F.regexp_replace(tidy_lines, r"\n{2,}", "\n")
+    # trim() strips only spaces — newlines at the edges need the regex
+    return F.regexp_replace(squeezed, r"^\s+|\s+$", "")

@@ -266,3 +266,49 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     assert out[3] == 1.0 and out[4] is None
     assert out[1] < out[2]        # spam below prose
     assert 0.3 < out[2] <= 1.2    # prose in the sane band
+
+
+class TestStripHtml:
+    """Golden vectors for the HTML boilerplate stripper."""
+
+    CASES = [
+        # tags removed, block boundaries become newlines
+        ("<html><body><h1>Title</h1><p>One.</p><p>Two.</p></body></html>",
+         "Title\nOne.\nTwo."),
+        # script/style contents are INVISIBLE text and must vanish
+        ("<p>keep</p><script>var x = 'gone';</script><style>p{color:red}"
+         "</style><p>also</p>", "keep\nalso"),
+        # entities decode; inline tags don't split words
+        ("A &amp; B &lt;tag&gt; say &quot;hi&quot; to <b>bold</b>world",
+         "A & B <tag> say \"hi\" to bold world"),
+        # comments + br handling
+        ("line1<br>line2<!-- hidden -->done", "line1\nline2 done"),
+        # nbsp + whitespace collapse
+        ("a&nbsp;&nbsp;b   c\n\n\nd", "a b c\nd"),
+        # no html at all: passthrough (modulo whitespace collapse)
+        ("plain text stays", "plain text stays"),
+    ]
+
+    def test_golden_vectors(self, spark):
+        from team_02_spark.functions.text import strip_html
+
+        src = spark.createDataFrame(
+            [(i, html) for i, (html, _) in enumerate(self.CASES)],
+            "id long, text string",
+        )
+        got = {
+            r["id"]: r["out"]
+            for r in src.select(
+                "id", strip_html(F.col("text")).alias("out")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (i, got[i], want)
+
+    def test_jvm_only(self, spark):
+        from team_02_spark.functions.text import strip_html
+        from team_02_spark.plans import uses_python_udf
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = docs.select(strip_html(F.col("text")).alias("t"))
+        assert not uses_python_udf(df)
