@@ -197,3 +197,160 @@ def q_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+# --------------------------------------------- round-4: drift monitoring
+
+# Distribution-drift metrics between two corpus snapshots — the
+# monitoring every recurring training-data pipeline runs before
+# accepting a new crawl/export. Reference window = Jan 1-15, current
+# window = Jan 16-30 of the events fixture; the metric pair is the
+# standard one (PSI for binned shift magnitude, KS for the max ECDF
+# gap).
+
+_REF_PRED = "ts < TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(FLOOR(value / 50.0) AS INT) AS bin,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_ref,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c_cur
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+               COUNT(*) AS n_bins
+        FROM binned GROUP BY event_type
+    )
+    SELECT b.event_type, t.n_ref, t.n_cur,
+           ROUND(SUM(
+               (CAST(b.c_cur + 1 AS DOUBLE) / (t.n_cur + t.n_bins)
+                - CAST(b.c_ref + 1 AS DOUBLE) / (t.n_ref + t.n_bins))
+               * LN((CAST(b.c_cur + 1 AS DOUBLE) / (t.n_cur + t.n_bins))
+                    / (CAST(b.c_ref + 1 AS DOUBLE) / (t.n_ref + t.n_bins)))
+           ), 4) AS psi
+    FROM binned b JOIN tot t ON b.event_type = t.event_type
+    GROUP BY b.event_type, t.n_ref, t.n_cur
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per event_type between the two
+    half-month windows: fixed-width value bins (50-unit, anchored at
+    0 — deterministic, no data-dependent quantile fit), Laplace +1
+    smoothing over the OBSERVED bin set, psi = Σ (p_cur − p_ref) ·
+    ln(p_cur/p_ref). One scan, one (type, bin) aggregate (map-side
+    combined), a |types|-row totals join back — the per-bin table is
+    alphabet-sized, so the whole metric costs one shuffle of bin
+    partials regardless of corpus size. 4dp exit past LN ulp."""
+    ev = t(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 50.0).cast("int").alias("bin"),
+            is_ref.alias("is_ref"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint").alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+        F.count("*").alias("n_bins"),
+    )
+    j = binned.join(tot, "event_type")
+    p_cur = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("n_bins"))
+    p_ref = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("n_bins"))
+    return (
+        j.groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 4)
+             .alias("psi"))
+    )
+
+
+@query(
+    "q_ks_drift",
+    oracle=f"""
+    WITH per_val AS (
+        SELECT event_type, value,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_ref,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c_cur
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type,
+               SUM(c_ref) OVER (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS a_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS a_cur,
+               SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+        FROM per_val
+    )
+    SELECT event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(CAST(a_ref AS DOUBLE) / n_ref
+                         - CAST(a_cur AS DOUBLE) / n_cur)), 6) AS ks
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic per event_type between
+    the two half-month windows: D = max over observed values of
+    |ECDF_ref − ECDF_cur|. Rows collapse to per-(type, DISTINCT
+    value) counts FIRST (one map-side-combined shuffle), the ECDFs
+    are cumulative windows over that much smaller table, and ties are
+    exact by construction (both ECDFs step at the same grouped value)
+    — the same sort-the-distinct-values-not-the-corpus discipline as
+    q_auc. Exact division exits ROUND 6."""
+    ev = t(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_val = (
+        ev.select("event_type", "value", is_ref.alias("is_ref"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint").alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("bigint").alias("c_cur"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        F.sum("c_ref").over(w_cum).alias("a_ref"),
+        F.sum("c_cur").over(w_cum).alias("a_cur"),
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+        F.sum("c_cur").over(w_all).alias("n_cur"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_ref").cast("bigint").alias("n_ref"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.max(F.abs(F.col("a_ref").cast("double") / F.col("n_ref")
+                        - F.col("a_cur").cast("double") / F.col("n_cur"))),
+            6,
+        ).alias("ks"),
+    )
