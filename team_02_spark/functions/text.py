@@ -500,15 +500,18 @@ def strip_html(text: Column) -> Column:
     no_comment = F.regexp_replace(no_elem, r"(?s)<!--.*?-->", " ")
     blocks = F.regexp_replace(
         no_comment,
-        r"(?i)<(?:br\s*/?|/?(?:p|div|li|ul|ol|h[1-6]|tr|table|"
+        r"(?i)<(?:br\b[^>]*|/?(?:p|div|li|ul|ol|h[1-6]|tr|table|"
         r"blockquote|section|article|header|footer)\b[^>]*)>",
         "\n",
     )
     no_tag = F.regexp_replace(blocks, r"(?s)<[^>]+>", " ")
     decoded = no_tag
+    # &amp; must decode LAST: doing it earlier turns escaped entity
+    # text ("&amp;lt;", which renders as "&lt;") into "&lt;" while
+    # later passes still run, double-unescaping it to "<".
     for ent, ch in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     one_space = F.regexp_replace(decoded, r"[ \t\x0b\f\r]+", " ")

@@ -544,9 +544,15 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation over an undirected edge list (a, b) →
-    (node, component). Iterative large-star/small-star-style rounds;
-    converges in O(log n) joins. Used when full transitive duplicate
-    groups are required rather than the keep-first rule."""
+    (node, component), with POINTER-DOUBLING: each round first takes
+    the min over neighbors' labels (one hop), then shortcuts every
+    label through its own label (``comp := label(comp)``), so label
+    distance halves per round and convergence is O(log diameter)
+    rounds — max_iter=20 covers diameters up to ~2^20, not 20 hops.
+    Raises RuntimeError instead of returning stale labels if the
+    fixpoint is somehow not reached (a silently-unconverged result
+    would split components across e.g. q_component_split's train/test
+    boundary — the exact leakage that lane promises cannot happen)."""
     edges = pairs.select("a", "b").union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     for _ in range(max_iter):
@@ -555,12 +561,26 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(edges.b.alias("node"))
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        new_labels = (
+        hop = (
             labels.join(neigh_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))).alias("comp"),
             )
+        )
+        # shortcut: comp := label(comp). Every comp value IS a node
+        # (it is the min node id seen so far), so the self-join total
+        # and the halving argument both hold.
+        new_labels = (
+            hop.alias("x")
+            .join(
+                hop.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
         )
         changed = (
             new_labels.alias("n")
@@ -571,5 +591,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} doubling "
+        f"rounds (graph diameter > ~2^{max_iter}); raise max_iter"
+    )

@@ -637,11 +637,11 @@ def q_token_budget_sample(spark, sf_dir):
 
 _DSIR_TGT = "('src0', 'src1', 'src2', 'src3')"
 
-
-@query(
-    "q_dsir_select",
-    oracle=f"""
-    WITH tok AS (
+# The DSIR per-token weight table as named CTEs — shared between the
+# q_dsir_select oracle and the gate-clearance fixture guard
+# (tests/test_fixture_invariants.py), so the guard can never drift
+# into measuring a stale formula.
+DSIR_CTES_SQL = f"""tok AS (
         SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
     raw_cnt AS (SELECT tok, COUNT(*) AS c_raw FROM tok GROUP BY tok),
@@ -663,7 +663,13 @@ _DSIR_TGT = "('src0', 'src1', 'src2', 'src3')"
                - LN(CAST(r.c_raw + 1 AS DOUBLE) / (tot.t_raw + tot.v))
                  AS w
         FROM raw_cnt r LEFT JOIN tgt_cnt g ON r.tok = g.tok, tot
-    )
+    )"""
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH {DSIR_CTES_SQL}
     SELECT t.doc_id,
            COUNT(*) AS n_toks,
            ROUND(SUM(l.w) / COUNT(*), 4) AS dsir_score,

@@ -985,10 +985,12 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
-@query(
-    "q_dup_components",
-    oracle=f"""
-    WITH RECURSIVE sets AS ({_NGRAM_SETS_SQL}),
+# Exact 3-gram-Jaccard >= 0.6 duplicate COMPONENTS, shared by
+# q_dup_components and q_component_split on BOTH engine sides — one
+# definition, so a threshold/shingle change can never desynchronize
+# the component lane from the leakage-safe split built on it.
+# Use as: WITH RECURSIVE {_COMPONENT_CTES_SQL} SELECT ... FROM roots
+_COMPONENT_CTES_SQL = f"""sets AS ({_NGRAM_SETS_SQL}),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
     cand AS (
@@ -1011,17 +1013,13 @@ def q_inverted_index(spark, sf_dir):
         SELECT node, node AS comp FROM nodes
         UNION
         SELECT e.b AS node, w.comp FROM walk w JOIN edges e ON e.a = w.node
-    )
-    SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
-    """,
-)
-def q_dup_components(spark, sf_dir):
-    """Iterative-algorithm lane WITH an exact oracle: full transitive
-    duplicate groups — exact n-gram Jaccard pairs (q_dedup_ngram's
-    complete candidate generation) closed under connectivity by
-    min-label propagation (O(log n) join rounds, no driver state).
-    The DuckDB twin walks the same graph with a recursive CTE, so the
-    fixpoint itself is value-checked, not just row counts."""
+    ),
+    roots AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)"""
+
+
+def _dup_component_roots(spark, sf_dir):
+    """Spark twin of _COMPONENT_CTES_SQL's ``roots``: (node, comp)
+    min-labels over the exact-Jaccard duplicate graph."""
     from team_02_spark.operators.dedup import connected_components
 
     docs = t(spark, sf_dir, "documents")
@@ -1047,6 +1045,24 @@ def q_dup_components(spark, sf_dir):
         .select(F.col("ida").alias("a"), F.col("idb").alias("b"))
     )
     return connected_components(pairs)
+
+
+@query(
+    "q_dup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENT_CTES_SQL}
+    SELECT node, comp FROM roots
+    """,
+)
+def q_dup_components(spark, sf_dir):
+    """Iterative-algorithm lane WITH an exact oracle: full transitive
+    duplicate groups — exact n-gram Jaccard pairs (q_dedup_ngram's
+    complete candidate generation) closed under connectivity by
+    min-label propagation with pointer-doubling (O(log diameter) join
+    rounds, no driver state). The DuckDB twin walks the same graph
+    with a recursive CTE, so the fixpoint itself is value-checked,
+    not just row counts."""
+    return _dup_component_roots(spark, sf_dir)
 
 
 @query(
@@ -1567,31 +1583,7 @@ def q_domain_stats(spark, sf_dir):
 @query(
     "q_component_split",
     oracle=f"""
-    WITH RECURSIVE sets AS ({_NGRAM_SETS_SQL}),
-    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-    cand AS (
-        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-        SELECT c.ida AS a, c.idb AS b
-        FROM cand c
-        JOIN sizes x ON c.ida = x.doc_id
-        JOIN sizes y ON c.idb = y.doc_id
-        WHERE CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) >= 0.6
-    ),
-    edges AS (
-        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    walk AS (
-        SELECT node, node AS comp FROM nodes
-        UNION
-        SELECT e.b AS node, w.comp FROM walk w JOIN edges e ON e.a = w.node
-    ),
-    roots AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+    WITH RECURSIVE {_COMPONENT_CTES_SQL}
     SELECT d.doc_id,
            COALESCE(r.comp, d.doc_id) AS root,
            CASE WHEN SUBSTRING(md5(CAST(COALESCE(r.comp, d.doc_id)
@@ -1607,41 +1599,14 @@ def q_component_split(spark, sf_dir):
     COMPONENT — every doc inherits the md5 gate of its component's
     min-id root, so a test doc can never have a near-twin in train by
     construction (the GroupShuffleSplit discipline, applied to the
-    dup graph). Exact 3-gram-Jaccard >= 0.6 pairs -> min-label
-    connected components (O(log n) join rounds) -> singleton docs
-    root themselves -> one deterministic hash decision per root. At
-    100 TB the pair generation swaps to the MinHash band join and the
-    component closure is the same q_dup_components fixpoint; the
+    dup graph). The component roots are literally q_dup_components'
+    output (`_dup_component_roots`, one shared definition on both
+    engine sides); singleton docs root themselves; one deterministic
+    hash decision per root. At 100 TB the pair generation swaps to
+    the MinHash band join and the closure is the same fixpoint; the
     split decision itself stays a pure map over (doc_id, root)."""
-    from team_02_spark.operators.dedup import connected_components
-
     docs = t(spark, sf_dir, "documents")
-    sets_df = ensure_parallelism(docs).select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    )
-    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("ida"),
-                 F.col("b.doc_id").alias("idb"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
-    pairs = (
-        cand.join(sizes.withColumnRenamed("doc_id", "ida")
-                  .withColumnRenamed("sz", "sza"), "ida")
-        .join(sizes.withColumnRenamed("doc_id", "idb")
-              .withColumnRenamed("sz", "szb"), "idb")
-        .filter(
-            F.col("inter").cast("double")
-            / (F.col("sza") + F.col("szb") - F.col("inter"))
-            >= 0.6
-        )
-        .select(F.col("ida").alias("a"), F.col("idb").alias("b"))
-    )
-    roots = connected_components(pairs).withColumnRenamed(
+    roots = _dup_component_roots(spark, sf_dir).withColumnRenamed(
         "node", "doc_id"
     )
     root = F.coalesce(F.col("comp"), F.col("doc_id"))

@@ -84,33 +84,12 @@ def test_dsir_scores_keep_clearance_from_the_selection_gate(duck):
     Measured margins: 7.7e-5 at sf0.01, 2.6e-7 at sf0.1. If this
     trips, the FIXTURE drifted a doc onto the gate — not an engine
     regression."""
-    q = """
-    WITH tok AS (
-        SELECT doc_id, source,
-               unnest(list_filter(string_split_regex(text, '\\s+'),
-                                  x -> x <> '')) AS tok
-        FROM documents
-    ),
-    raw_cnt AS (SELECT tok, COUNT(*) AS c_raw FROM tok GROUP BY tok),
-    tgt_cnt AS (
-        SELECT tok, COUNT(*) AS c_tgt FROM tok
-        WHERE source IN ('src0','src1','src2','src3') GROUP BY tok
-    ),
-    tot AS (
-        SELECT COUNT(*) AS t_raw,
-               CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS t_tgt,
-               COUNT(DISTINCT tok) AS v
-        FROM tok
-    ),
-    llr AS (
-        SELECT r.tok,
-               LN(CAST(COALESCE(g.c_tgt, 0) + 1 AS DOUBLE)
-                  / (tot.t_tgt + tot.v))
-               - LN(CAST(r.c_raw + 1 AS DOUBLE) / (tot.t_raw + tot.v))
-                 AS w
-        FROM raw_cnt r LEFT JOIN tgt_cnt g ON r.tok = g.tok, tot
-    )
+    from team_02_spark.queries.llm_pipeline import DSIR_CTES_SQL
+
+    # Shares the oracle's own CTEs so the guard can't measure a stale
+    # formula if the query's smoothing/tokenization/target changes.
+    q = f"""
+    WITH {DSIR_CTES_SQL}
     SELECT MIN(ABS(s)) FROM (
         SELECT SUM(l.w) / COUNT(*) AS s
         FROM tok t JOIN llr l ON t.tok = l.tok GROUP BY t.doc_id

@@ -392,3 +392,24 @@ def test_triangles_known_graph(spark, tmp_path):
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}/*.parquet')")
     assert con.execute(QUERIES["q_triangles"].oracle).fetchall() == [(1, 4, 4)]
+
+
+def test_connected_components_converges_on_long_chains(spark):
+    """Pointer-doubling guarantee: a 60-node path graph (diameter 59,
+    3x the old one-hop round budget) still collapses to ONE component
+    — and the operator raises instead of silently returning stale
+    labels when genuinely out of rounds (a split component would leak
+    across q_component_split's train/test boundary)."""
+    import pytest as _pytest
+
+    from team_02_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(chain).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 61
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

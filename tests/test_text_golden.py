@@ -281,8 +281,12 @@ class TestStripHtml:
         # entities decode; inline tags don't split words
         ("A &amp; B &lt;tag&gt; say &quot;hi&quot; to <b>bold</b>world",
          "A & B <tag> say \"hi\" to bold world"),
-        # comments + br handling
+        # comments + br handling (attributed br is still a line break)
         ("line1<br>line2<!-- hidden -->done", "line1\nline2 done"),
+        ("a<br class=\"x\">b<br/>c", "a\nb\nc"),
+        # escaped entities must not double-unescape: &amp;lt; renders
+        # as the literal text "&lt;", NOT as "<"
+        ("5 &amp;lt; 6 &amp;amp; more", "5 &lt; 6 &amp; more"),
         # nbsp + whitespace collapse
         ("a&nbsp;&nbsp;b   c\n\n\nd", "a b c\nd"),
         # no html at all: passthrough (modulo whitespace collapse)
