@@ -727,3 +727,66 @@ def q_dsir_select(spark, sf_dir):
             (score > 0).alias("selected"),
         )
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM tok GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(x.sz + y.sz - i.n_inter AS BIGINT) AS n_union,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (x.sz + y.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes x ON i.source_a = x.source
+    JOIN sizes y ON i.source_b = y.source
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Corpus diagnostics: pairwise vocabulary Jaccard between
+    sources — the overlap matrix that informs mixing weights (near-
+    identical sources are dedup candidates; disjoint ones diversify).
+    Distinct (source, token) FIRST (one map-side-combined shuffle
+    collapses the corpus to vocab-sized sets), then the pair
+    intersection is a token equi-join whose fan-out per token is
+    bounded by the SOURCE alphabet, never corpus size — candidate
+    pairs are O(|vocab| x |sources|), the q_cooccurrence discipline.
+    At 100 TB swap the exact sets for per-source MinHash signatures
+    (operators/dedup.py) when the alphabet itself grows."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_toks(F.col("text"))).alias("tok")
+    ).distinct()
+    sizes = tok.groupBy("source").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("source").alias("source_a"), "tok")
+    b = tok.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    uni = F.col("sza") + F.col("szb") - F.col("n_inter")
+    return (
+        inter.join(sizes.withColumnRenamed("source", "source_a")
+                   .withColumnRenamed("sz", "sza"), "source_a")
+        .join(sizes.withColumnRenamed("source", "source_b")
+              .withColumnRenamed("sz", "szb"), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            uni.cast("bigint").alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / uni, 6)
+            .alias("jaccard"),
+        )
+    )
