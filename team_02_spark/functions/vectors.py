@@ -167,3 +167,28 @@ def band_buckets(vec_col: str | Column, dim: int, planes_per_band: int,
     # Same duplicate-evaluation guard as hyperplane_bucket above.
     return _bands.asNondeterministic()(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def remap_hot_buckets(df, hot, *, bucket_col: str, refine: Column,
+                      join_keys):
+    """Negative-space hot-bucket refinement shared by every LSH lane
+    (knn_lsh corpus + probe sides, near_dedup_embedding): rows whose
+    bucket is over cap move to ``-(bucket * 256 + refine + 1)`` using
+    up-to-8-bit refine sign bits; cold bucket ids are >= 0, so
+    refined ids can never collide with an unrelated cold bucket.
+
+    The 256 packing and the +1 bias must agree BIT-FOR-BIT between a
+    corpus and the probes that join against it — which is exactly why
+    this is one function instead of three inline copies. ``hot`` must
+    carry ``join_keys`` plus a true ``__hot`` flag column."""
+    return (
+        df.join(F.broadcast(hot), join_keys, "left")
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col("__hot"),
+                -(F.col(bucket_col) * 256 + refine + 1),
+            ).otherwise(F.col(bucket_col)),
+        )
+        .drop("__hot")
+    )

@@ -86,14 +86,18 @@ def build_ngram_bloom(benchmark: DataFrame, *, text_col: str = "text",
         .select(*(c.alias(n) for c, n in zip(_gram_hash_pair(F.col("g")), ("h1", "h2"))))
         .distinct()
     )
-    pdf = pairs.toPandas()
-    n = len(pdf)
-    if n > MAX_BENCH_GRAMS:
+    # Enforce the cap BEFORE the unbounded collect — the guard is
+    # useless if toPandas() has already materialized the blowup it
+    # exists to prevent.
+    over = pairs.limit(MAX_BENCH_GRAMS + 1).count()
+    if over > MAX_BENCH_GRAMS:
         raise ValueError(
-            f"benchmark has {n} distinct grams > cap {MAX_BENCH_GRAMS}; "
+            f"benchmark has > {MAX_BENCH_GRAMS} distinct grams; "
             "build the filter distributed (per-partition bitmap OR) "
             "instead of driver-side"
         )
+    pdf = pairs.toPandas()
+    n = len(pdf)
     m, k = bloom_params(n, fpp)
     bits = np.zeros(m // 8, dtype=np.uint8)
     if n:
@@ -159,8 +163,11 @@ def bloom_candidates(docs: DataFrame, bits: bytes, m: int, k: int, *,
     only the bit probing crosses to Python, Arrow-batched."""
     spark = docs.sparkSession
     grams = F.array_distinct(shingles(text_col, shingle_n))
-    h1 = F.transform(grams, lambda g: F.xxhash64(g))
-    h2 = F.transform(grams, lambda g: F.xxhash64(g, F.lit(1)))
+    # The probe hashes MUST be bit-identical to build_ngram_bloom's
+    # filter bits — both sides go through _gram_hash_pair, one
+    # definition.
+    h1 = F.transform(grams, lambda g: _gram_hash_pair(g)[0])
+    h2 = F.transform(grams, lambda g: _gram_hash_pair(g)[1])
     hits = bloom_hit_count(spark, bits, m, k)
     return (
         ensure_parallelism(docs)

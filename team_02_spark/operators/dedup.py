@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from team_02_spark.functions.vectors import (
     band_buckets, cosine, hyperplane_bucket, normalize, pdot, punit,
+    remap_hot_buckets,
 )
 from team_02_spark.util import ensure_parallelism
 
@@ -499,19 +500,10 @@ def near_dedup_embedding(df: DataFrame, id_col: str = "vec_id",
         hot = counts.filter(F.col("__n") > bucket_cap).select(
             "band", "bucket", F.lit(True).alias("__hot")
         )
-        buckets = (
-            buckets.join(F.broadcast(hot), ["band", "bucket"], "left")
-            .withColumn(
-                "bucket",
-                # negative space: cold bucket ids are >= 0, so refined
-                # ids can never collide with an unrelated cold bucket
-                F.when(
-                    F.col("__hot"),
-                    -(F.col("bucket") * 256 + F.col("__refine") + 1),
-                ).otherwise(F.col("bucket")),
-            )
-            .drop("__hot", "__refine")
-        )
+        buckets = remap_hot_buckets(
+            buckets, hot, bucket_col="bucket",
+            refine=F.col("__refine"), join_keys=["band", "bucket"],
+        ).drop("__refine")
 
     # 3+4. candidate pairs (same band+bucket, a < b) — deduped across
     # bands BEFORE scoring (a pair colliding in k bands would

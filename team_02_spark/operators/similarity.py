@@ -26,7 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from team_02_spark.functions.vectors import cosine, hyperplane_bucket
+from team_02_spark.functions.vectors import (
+    cosine,
+    hyperplane_bucket,
+    remap_hot_buckets,
+)
 
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
@@ -118,22 +122,15 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
         hot = sizes.filter(F.col("n") > bucket_cap).select(
             "__bucket", F.lit(True).alias("__hot")
         )
-        # refinement split (mirrors dedup.near_dedup_embedding): rows
-        # in over-cap buckets move to -(bucket*256 + refine + 1) using
-        # 8 independent-seed sign bits; negative ids can't collide
-        # with any cold bucket. Queries apply the SAME transform below
-        # with their own vector's refine bits.
+        # refinement split (one shared definition with the dedup lane,
+        # vectors.remap_hot_buckets): over-cap buckets move to the
+        # negative refined space using 8 independent-seed sign bits.
+        # Queries apply the SAME transform below with their own
+        # vector's refine bits.
         c_refine = _hyperplane_bucket(c_vec, dim, 8, seed + 10_007)
-        c_bucket = (
-            c_bucket.join(F.broadcast(hot), "__bucket", "left")
-            .withColumn(
-                "__bucket",
-                F.when(
-                    F.col("__hot"),
-                    -(F.col("__bucket") * 256 + c_refine + 1),
-                ).otherwise(F.col("__bucket")),
-            )
-            .drop("__hot")
+        c_bucket = remap_hot_buckets(
+            c_bucket, hot, bucket_col="__bucket", refine=c_refine,
+            join_keys="__bucket",
         )
     q_sig = queries.withColumn(
         "__b0", _hyperplane_bucket(q_vec, dim, num_planes, seed)
@@ -150,16 +147,9 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     )
     if hot is not None:
         q_refine = _hyperplane_bucket(q_vec, dim, 8, seed + 10_007)
-        q_bucket = (
-            q_bucket.join(F.broadcast(hot), "__bucket", "left")
-            .withColumn(
-                "__bucket",
-                F.when(
-                    F.col("__hot"),
-                    -(F.col("__bucket") * 256 + q_refine + 1),
-                ).otherwise(F.col("__bucket")),
-            )
-            .drop("__hot")
+        q_bucket = remap_hot_buckets(
+            q_bucket, hot, bucket_col="__bucket", refine=q_refine,
+            join_keys="__bucket",
         )
     scored = (
         c_bucket.join(F.broadcast(q_bucket), "__bucket")
@@ -360,7 +350,7 @@ def ivf_search_layout(spark, path: str, centroids: list[list[float]],
 def fit_pq_codebooks(corpus: DataFrame, *, c_vec: str = "embedding",
                      m: int = 8, n_codes: int = 16,
                      seed: int = 42,
-                     fit_sample_cap: int = 100_000) -> list[list[list[float]]]:
+                     fit_sample_cap: int = 20_000) -> list[list[list[float]]]:
     """Train PQ codebooks: the vector is split into ``m`` contiguous
     subvectors and each subspace gets its own ``n_codes``-centroid
     KMeans (MLlib, seeded). Returns codebooks[m][n_codes][dim/m] —
@@ -389,8 +379,11 @@ def fit_pq_codebooks(corpus: DataFrame, *, c_vec: str = "embedding",
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    cap = min(fit_sample_cap, 20_000)
-    rows = _bounded_fit_sample(corpus, c_vec, cap).collect()
+    # The caller's cap is honored as given (no silent clamp — the
+    # driver-side Lloyd fit is O(cap * dim) memory, the caller owns
+    # that trade); the default stays small because PQ codebooks
+    # saturate well below IVF's sample needs.
+    rows = _bounded_fit_sample(corpus, c_vec, fit_sample_cap).collect()
     mat = np.asarray([r[0] for r in rows], dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):

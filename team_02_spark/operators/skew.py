@@ -30,8 +30,9 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str] | str,
     """Exact equi-join with the fact side salted ``salt`` ways.
 
     ``how`` is restricted to joins that preserve the fact side
-    ('inner', 'left', 'left_semi', 'left_anti'): dimension-preserving
-    joins would multiply unmatched dimension rows by ``salt``.
+    ('inner', 'left'/'left_outer', 'left_semi', 'left_anti'):
+    dimension-preserving joins would multiply unmatched dimension
+    rows by ``salt``.
     The salt is seeded-random per fact row — it only routes rows to
     shuffle partitions and is dropped before returning, so results
     are unaffected by the draw."""

@@ -142,13 +142,9 @@ _U_SQL = (
 
 
 def _u(key):
-    return (
-        F.pmod(
-            F.col(key).cast("decimal(38,0)") * F.lit(2654435761),
-            F.lit(4294967296),
-        )
-        + 1
-    ).cast("double") / F.lit(4294967297.0)
+    from team_02_spark.util import knuth_uniform
+
+    return knuth_uniform(key)
 
 
 _RATE_SQL = """CASE

@@ -183,11 +183,11 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
     At 100 TB: the single repartition(shard) is the only wide
     exchange; per-shard file sizing is then governed by
     maxRecordsPerFile / further repartition within the writer."""
-    shard = F.floor(
-        ((F.pmod(F.col(id_col).cast("decimal(38,0)") * F.lit(2654435761),
-                 F.lit(4294967296)) + 1).cast("double")
-         / F.lit(4294967297.0)) * n_shards
-    ).cast("int").alias("shard")
+    from team_02_spark.util import knuth_uniform
+
+    # Same gate as q_shard_plan's manifest — shared definition, so
+    # the written layout can't drift from the plan.
+    shard = F.floor(knuth_uniform(id_col) * n_shards).cast("int").alias("shard")
     assigned = df.withColumn("shard", shard).repartition(n_shards, "shard")
     if order_within_shard:
         assigned = assigned.sortWithinPartitions(F.md5(F.col(id_col).cast("string")))

@@ -29,3 +29,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def knuth_uniform(key):
+    """Deterministic uniform draw in (0,1) from an integer id column —
+    the Knuth multiplicative hash in exact decimal arithmetic
+    (engine-reproducible: DuckDB computes the identical value via
+    HUGEINT, see queries/llm_pipeline._U_SQL). ONE definition shared
+    by the mixing/sampling gates (q_source_mix, q_temperature_mix,
+    q_shard_plan) and the training-shard writer, so the writer's
+    physical layout can never drift from the planned manifest."""
+    from pyspark.sql import Column, functions as F
+
+    col = F.col(key) if isinstance(key, str) else key
+    assert isinstance(col, Column)
+    return (
+        F.pmod(
+            col.cast("decimal(38,0)") * F.lit(2654435761),
+            F.lit(4294967296),
+        )
+        + 1
+    ).cast("double") / F.lit(4294967297.0)

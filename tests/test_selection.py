@@ -106,3 +106,67 @@ def test_variant_props_matches_get_json_object_path(spark):
     joined = out.join(legacy, "event_type")
     assert joined.filter(F.col("sum_k") != F.col("sum_k_legacy")).count() == 0
     assert joined.count() > 0
+
+
+def _write_dup_docs(spark, tmp_path):
+    """Synthetic documents table with ENGINEERED exact duplicates —
+    the sf0.001/sf0.01 fixtures contain none, so without this the
+    incremental-dedup / cluster-stats oracles are vacuous (0-removed
+    vs 0-removed would hash-match even with a broken anti-join)."""
+    base_text = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in list(range(8)) + list(range(10, 18)):  # base: doc_id % 10 < 8
+        rows.append((i, f"unique base text {i}", "en", "src0", 20))
+    rows[0] = (0, base_text, "en", "src0", len(base_text))
+    # delta (doc_id % 10 >= 8): 8 duplicates a base text, 9 and 19
+    # duplicate each other, 18 is fresh
+    rows += [
+        (8, base_text, "en", "src1", len(base_text)),
+        (9, "delta twin text", "en", "src1", 15),
+        (18, "fresh delta text", "en", "src1", 16),
+        (19, "delta twin text", "en", "src1", 15),
+    ]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_incremental_dedup_fires_on_real_duplicates(spark, tmp_path):
+    """Non-vacuous check of BOTH dedup branches: the delta-vs-base
+    anti-join must drop doc 8 (its text exists in the base index) and
+    the within-delta keep-first must drop 19 (9 is its earlier twin);
+    18 and 9 survive. Also differentially checked against the
+    registered DuckDB oracle on the same synthetic table."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    sf_dir = _write_dup_docs(spark, tmp_path)
+    out = QUERIES["q_dedup_incremental"].fn(spark, sf_dir)
+    assert {r["doc_id"] for r in out.collect()} == {9, 18}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    problems = compare(
+        QUERIES["q_dedup_incremental"].fn(spark, sf_dir),
+        con.execute(QUERIES["q_dedup_incremental"].oracle).fetchdf(),
+    )
+    assert not problems, problems
+
+
+def test_dup_cluster_stats_counts_multirow_clusters(spark, tmp_path):
+    """The histogram must actually report multi-row clusters: the
+    synthetic table has exactly two size-2 clusters (base_text x2,
+    delta twin x2) and 16 singletons."""
+    sf_dir = _write_dup_docs(spark, tmp_path)
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in QUERIES["q_dup_cluster_stats"].fn(spark, sf_dir).collect()
+    }
+    assert out[2] == (2, 4)
+    assert out[1] == (16, 16)
