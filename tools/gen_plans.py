@@ -55,6 +55,9 @@ HEADLINE = {
     "q_variant_props": "props parsed ONCE into VARIANT next to the reader; typed variant_get extraction; ReadSchema carries only event_type+props; one 5-partial agg shuffle",
     "q_date_spine_fill": "recursive spine bounded by the date RANGE (constant rows), broadcast into the left join; fact side is a pruned scan + one agg shuffle",
     "q_component_split": "near-dup pairs via bounded shingle co-occurrence; min-label closure shuffles only the edge set; split gate is a map over (doc_id, root)",
+    "q_psi_drift": "one scan, one map-side-combined (type, bin) aggregate; totals join back at alphabet size — drift costs one shuffle of bin partials",
+    "q_ks_drift": "rows collapse to per-DISTINCT-value counts first; ECDF windows run over the vocab-sized table, never a corpus sort",
+    "q_source_overlap": "distinct (source, token) collapses the corpus to vocab-sized sets; pair fan-out per token bounded by the source alphabet",
 }
 
 
