@@ -197,22 +197,16 @@ def pairs_probe(replication: int) -> None:
     spark.stop()
 
 
-def graph_probe(replication: int) -> None:
-    """Data-scaling sweep for the graph lane: lineitem replicated N×
-    under fresh order keys (orders replicated to match), PageRank over
-    the induced bipartite graph. Edge count grows ~linearly with the
-    fact table; the fear is the rank-contribution join degenerating —
-    this records wall-clock and edge count to show it doesn't."""
+def _build_graph_corpus(spark, replication: int) -> str:
+    """lineitem/orders replicated N× under fresh order keys (customer
+    side offset per copy, suppliers FIXED — hub degrees inflate N×,
+    the adversarial direction for wedge/contribution joins). Shared
+    by the graph (PageRank) and triangles probes."""
     import os
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from team_02_spark import get_spark
-    from team_02_spark.queries import QUERIES
-
-    spark = get_spark(f"scaling-graph-{replication}x")
-    spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
     out = os.path.join(tempfile.gettempdir(), f"scaling_graph_{replication}x")
     if not os.path.exists(os.path.join(out, ".done")):
@@ -248,6 +242,21 @@ def graph_probe(replication: int) -> None:
 
     spark.read.parquet(os.path.join(out, "lineitem.parquet")).write.format(
         "noop").mode("overwrite").save()  # warm
+    return out
+
+
+def graph_probe(replication: int) -> None:
+    """Data-scaling sweep for the graph lane: PageRank over the
+    replicated bipartite graph (see _build_graph_corpus). Edge count
+    grows ~linearly with the fact table; the fear is the
+    rank-contribution join degenerating — this records wall-clock and
+    edge count to show it doesn't."""
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-graph-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = _build_graph_corpus(spark, replication)
     t0 = time.perf_counter()
     QUERIES["q_pagerank"].fn(spark, out).write.format("noop").mode(
         "overwrite").save()
@@ -258,6 +267,30 @@ def graph_probe(replication: int) -> None:
     print(json.dumps({
         "mode": "graph", "replication": replication,
         "n_edges": n_edges, "pagerank_sec": round(pr_s, 2),
+    }))
+    spark.stop()
+
+
+def triangles_probe(replication: int) -> None:
+    """Data-scaling sweep for the degree-ordered triangle count: the
+    replicated corpus keeps the SUPPLIER set fixed while co-supply
+    pair multiplicity and degrees inflate N× — the adversarial hub
+    regime the orientation exists for. Records the triangle-lane
+    wall-clock plus the distinct-edge count (saturating toward
+    |S|²/2) so the curve can be read against the O(m^1.5) claim."""
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-tri-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = _build_graph_corpus(spark, replication)
+    t0 = time.perf_counter()
+    row = QUERIES["q_triangles"].fn(spark, out).collect()[0]
+    tri_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "triangles", "replication": replication,
+        "n_edges": row["n_edges"], "n_triangles": row["n_triangles"],
+        "triangles_sec": round(tri_s, 2),
     }))
     spark.stop()
 
@@ -512,6 +545,9 @@ def main() -> None:
         return
     if mode == "graph":
         graph_probe(arg)
+        return
+    if mode == "triangles":
+        triangles_probe(arg)
         return
     if mode == "bloom":
         bloom_probe(arg)
