@@ -95,3 +95,31 @@ def test_rest_lifecycle_incremental_restart(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 15
     assert final.select("id").distinct().count() == 15
+
+
+def test_custom_python_datasource_equals_json_reader(spark, tmp_path):
+    """The Spark-4 Python DataSource front door (sources/pyds.py) must
+    read the landing directory byte-identically to spark.read.json —
+    same rows, and one input partition PER landed file (the
+    parallelism contract that makes the source scale with the number
+    of polls)."""
+    from team_02_spark.sources.pyds import (
+        LANDING_SCHEMA,
+        TweetLandingDataSource,
+    )
+
+    landing = str(tmp_path / "landing")
+    _fetch_stub.page = 0
+    poll_to_landing(_fetch_stub, landing, n_polls=3)
+    # a half-written tmp file must be invisible to the scan
+    open(os.path.join(landing, ".poll_x.json.tmp"), "w").write('{"id": 999}\n')
+
+    spark.dataSource.register(TweetLandingDataSource)
+    via_ds = spark.read.format("tweet_landing").option("path", landing).load()
+    via_json = spark.read.schema(LANDING_SCHEMA).json(landing)
+
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_json.collect())
+    )
+    assert via_ds.count() == 15
+    assert via_ds.rdd.getNumPartitions() == 3
