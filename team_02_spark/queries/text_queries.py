@@ -1618,3 +1618,72 @@ def q_component_split(spark, sf_dir):
             "train",
         ).otherwise("test").alias("split"),
     )
+
+
+@query(
+    "q_ngram_dup_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' '
+                           || toks[i + 2])) AS gram
+        FROM tok WHERE len(toks) >= 3
+    ),
+    spread AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+    )
+    SELECT g.source,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM g JOIN spread s ON g.gram = s.gram
+    GROUP BY g.source
+    """,
+)
+def q_ngram_dup_rate(spark, sf_dir):
+    """Duplicated-n-gram token share per source — the corpus-health
+    number from Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", there with 10-grams; 3-grams here so the
+    fixture's near-duplicates make the metric non-vacuous): the
+    fraction of 3-gram INSTANCES whose gram also appears in at least
+    one other document. One explode pass feeds both the per-gram
+    document-spread count and the instance stream; the spread table
+    (vocab-sized) joins back on the gram key — two gram-keyed
+    map-side-combined shuffles, no pairwise term anywhere, so the
+    metric costs what a token count costs at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3)),
+            )
+        ).alias("gram"),
+    )
+    spread = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        g.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup_grams"),
+            F.round(F.sum(dup).cast("double") / F.count("*"), 6)
+            .alias("dup_rate"),
+        )
+    )
