@@ -236,3 +236,41 @@ def near_dedup_media(df: DataFrame, *, decode_stub: str = "fake",
     pairs = simhash_dup_pairs(fps, id_col=id_col, max_hamming=max_hamming)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def read_media_dir(spark, path: str, *, kind: str = "image",
+                   pattern: str | None = None) -> DataFrame:
+    """Ingest a directory of REAL media files as the engine's standard
+    (doc_id, content, media) pair, via Spark's built-in ``binaryFile``
+    source — the production seam in front of synthesize_media's
+    fixture generator. Files are read executor-side (the driver only
+    lists paths), payloads land directly in the columnar ``content``
+    binary column, and ``pathGlobFilter`` prunes non-media files at
+    the listing, before any bytes move.
+
+    doc_id is xxhash64 of the file path (stable across runs and
+    listings); width/height/frames stay NULL until the decode stage
+    fills them — n_bytes and format (from the extension) are the
+    metadata the source itself knows. At 100 TB the same call works
+    against object storage (s3a:// paths) and composes with
+    media_repartition for byte-balanced partitions."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    null_i = F.lit(None).cast("int")
+    return df.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        "content",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            ext.alias("format"),
+            null_i.alias("width"),
+            null_i.alias("height"),
+            null_i.alias("n_frames"),
+            null_i.alias("sample_rate"),
+            F.col("length").alias("n_bytes"),
+        ).alias("media"),
+        F.col("path").alias("source_path"),
+    )

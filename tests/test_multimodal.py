@@ -121,3 +121,34 @@ def test_near_dedup_media_removes_duplicate_payloads(spark):
     kept = {r["doc_id"] for r in near_dedup_media(media).select("doc_id").collect()}
     assert 100 in kept and 101 not in kept   # keep-smallest-id
     assert all(i in kept for i in range(20))
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion seam: real files on disk arrive as the
+    standard (doc_id, content, media) pair — bytes intact, format
+    from the extension, glob pruning non-media files at the listing —
+    and the result composes with the feature stage unchanged."""
+    from team_02_spark.operators.multimodal import (
+        extract_features,
+        read_media_dir,
+    )
+
+    payloads = {
+        "a.png": b"\x89PNG-fake-bytes-aaaa",
+        "b.png": b"\x89PNG-fake-bytes-bbbb",
+        "notes.txt": b"not media",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    media = read_media_dir(spark, str(tmp_path), pattern="*.png")
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # txt pruned by the glob
+    assert bytes(rows["a.png"]["content"]) == payloads["a.png"]
+    meta = rows["a.png"]["media"]
+    assert meta["format"] == "png" and meta["n_bytes"] == len(payloads["a.png"])
+    assert meta["width"] is None  # unknown until decode
+    assert len({r["doc_id"] for r in rows.values()}) == 2  # stable distinct ids
+
+    feats = extract_features(media).collect()
+    assert {f["n_bytes"] for f in feats} == {len(payloads["a.png"])}
