@@ -56,9 +56,14 @@ HEADLINE = [
     # only corpus pass) and MMR diversity re-ranking
     "q_decontaminate_bloom",
     "q_mmr_diverse",
-    # round-4 session-3 lane: DSIR importance selection (three
-    # token-keyed shuffles + 1-row totals broadcast)
+    # round-4 session-3 lanes: DSIR importance selection, drift
+    # monitoring (PSI/KS), source-overlap matrix, duplicated-n-gram
+    # share — the corpus-diagnostics set
     "q_dsir_select",
+    "q_psi_drift",
+    "q_ks_drift",
+    "q_source_overlap",
+    "q_ngram_dup_rate",
 ]
 
 

@@ -55,3 +55,34 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
     broadcast — per micro-batch it is a map-side hash probe, never a
     shuffle of the stream."""
     return stream.join(F.broadcast(dim), key, "left")
+
+
+def interval_join_left(left: DataFrame, right: DataFrame, key: str, *,
+                       left_ts: str = "l_ts", right_ts: str = "r_ts",
+                       within: str = "10 minutes",
+                       left_watermark: str = "20 minutes",
+                       right_watermark: str = "20 minutes") -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution shape
+    where every left event must appear exactly once, matched or not
+    (impression → click-or-null). Same time-bound predicate as
+    ``interval_join``; the outer semantics add the watermark-driven
+    null emission: an unmatched left row is held in state until the
+    watermark passes its join window's upper bound, THEN emitted with
+    nulls — so null rows are provably final, never retracted. In
+    batch the same call is a plain left join, which is the oracle the
+    tests compare against (modulo rows whose window the stream's
+    watermark has not yet closed)."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, left_watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "leftOuter").select(
+        left[key].alias(key),
+        left[left_ts].alias(left_ts),
+        right[right_ts].alias(right_ts),
+    )

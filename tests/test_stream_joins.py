@@ -92,3 +92,65 @@ def test_enrich_with_static_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM enrich").collect()))
     assert got == expect
+
+
+def test_interval_join_left_outer_emits_final_nulls(spark, tmp_path):
+    """Outer stream-stream semantics: unmatched impressions emit with
+    NULL r_ts only after the watermark passes their join window (so
+    the null is final). Driven with the watermark-advance pattern: a
+    first drain buffers the unmatched rows as state; landing a
+    far-future sentinel and re-draining from the same checkpoint
+    advances the watermark and flushes them. The batch left join over
+    the original files is the oracle."""
+    import datetime
+
+    from team_02_spark.streaming.joins import interval_join_left
+
+    imp_dir = _land(tmp_path, "impL", IMPRESSIONS, "l_ts")
+    clk_dir = _land(tmp_path, "clkL", CLICKS, "r_ts")
+    imp_schema = "user_id string, l_ts timestamp"
+    clk_schema = "user_id string, r_ts timestamp"
+
+    batch = interval_join_left(
+        spark.read.schema(imp_schema).json(imp_dir),
+        spark.read.schema(clk_schema).json(clk_dir),
+        "user_id",
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    # 2 matched + the unmatched B@10:00 as a null row
+    assert len(expect) == 3
+    assert sum(1 for r in expect if r[2] is None) == 1
+
+    out = str(tmp_path / "outL")
+
+    def drain():
+        # parquet sink: checkpoint-recoverable (memory sink is not),
+        # which the second drain needs to resume join state
+        q = (
+            interval_join_left(
+                spark.readStream.schema(imp_schema).json(imp_dir),
+                spark.readStream.schema(clk_schema).json(clk_dir),
+                "user_id",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckptL"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # advance both watermarks with far-future sentinels (their own
+    # pending state never closes — excluded from the comparison)
+    far = [("ZZ", "2026-01-02T00:00:00Z")]
+    _land(tmp_path, "impL/late", far, "l_ts")
+    _land(tmp_path, "clkL/late", far, "r_ts")
+    drain()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out)
+            .filter(F.col("user_id") != "ZZ").collect())
+    )
+    assert got == expect
