@@ -86,17 +86,15 @@ def build_ngram_bloom(benchmark: DataFrame, *, text_col: str = "text",
         .select(*(c.alias(n) for c, n in zip(_gram_hash_pair(F.col("g")), ("h1", "h2"))))
         .distinct()
     )
-    # Enforce the cap BEFORE the unbounded collect — the guard is
-    # useless if toPandas() has already materialized the blowup it
-    # exists to prevent.
-    over = pairs.limit(MAX_BENCH_GRAMS + 1).count()
-    if over > MAX_BENCH_GRAMS:
+    # Bounded collect: LIMIT cap+1 caps driver memory in the SAME job
+    # (no second pass), and one extra row is enough to detect overflow.
+    pdf = pairs.limit(MAX_BENCH_GRAMS + 1).toPandas()
+    if len(pdf) > MAX_BENCH_GRAMS:
         raise ValueError(
             f"benchmark has > {MAX_BENCH_GRAMS} distinct grams; "
             "build the filter distributed (per-partition bitmap OR) "
             "instead of driver-side"
         )
-    pdf = pairs.toPandas()
     n = len(pdf)
     m, k = bloom_params(n, fpp)
     bits = np.zeros(m // 8, dtype=np.uint8)

@@ -581,7 +581,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        # checkpoint EVERY round including the terminal one: the
+        # returned frame is consumed at least twice downstream (e.g.
+        # q_component_split joins it against documents after the
+        # split-gate projection), and an un-checkpointed return would
+        # re-evaluate the whole pair-generation subtree per consumer —
+        # the r4 plan audit caught exactly that (15→31 shuffles).
+        labels = new_labels.localCheckpoint(eager=True)
         if not changed:
             return labels
     raise RuntimeError(

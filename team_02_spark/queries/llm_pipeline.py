@@ -753,16 +753,21 @@ def q_source_overlap(spark, sf_dir):
     sources — the overlap matrix that informs mixing weights (near-
     identical sources are dedup candidates; disjoint ones diversify).
     Distinct (source, token) FIRST (one map-side-combined shuffle
-    collapses the corpus to vocab-sized sets), then the pair
+    collapses the corpus to vocab-sized sets, materialized once via
+    lazy localCheckpoint), then the pair
     intersection is a token equi-join whose fan-out per token is
     bounded by the SOURCE alphabet, never corpus size — candidate
     pairs are O(|vocab| x |sources|), the q_cooccurrence discipline.
     At 100 TB swap the exact sets for per-source MinHash signatures
     (operators/dedup.py) when the alphabet itself grows."""
     docs = t(spark, sf_dir, "documents")
+    # lazily checkpointed: tok feeds sizes AND both self-join sides —
+    # without materialization each consumer would re-run the corpus
+    # tokenize+distinct (the r4 plan audit found 4 scans); the
+    # checkpointed frame is vocab-sized, not corpus-sized
     tok = docs.select(
         "source", F.explode(_toks(F.col("text"))).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = tok.groupBy("source").agg(F.count("*").alias("sz"))
     a = tok.select(F.col("source").alias("source_a"), "tok")
     b = tok.select(F.col("source").alias("source_b"), "tok")

@@ -1655,11 +1655,13 @@ def q_ngram_dup_rate(spark, sf_dir):
     Language Models Better", there with 10-grams; 3-grams here so the
     fixture's near-duplicates make the metric non-vacuous): the
     fraction of 3-gram INSTANCES whose gram also appears in at least
-    one other document. One explode pass feeds both the per-gram
-    document-spread count and the instance stream; the spread table
-    (vocab-sized) joins back on the gram key — two gram-keyed
-    map-side-combined shuffles, no pairwise term anywhere, so the
-    metric costs what a token count costs at 100 TB."""
+    one other document. ONE corpus explode+shuffle collapses the
+    stream to (gram, source) partials (instance count + per-source
+    doc spread; a doc carries exactly one source, so the global
+    spread is the sum of per-source spreads); everything after runs
+    on that vocab-sized table, lazily checkpointed so its two
+    consumers (global spread + join back) reuse one corpus pass —
+    the metric costs what a token count costs at 100 TB."""
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     tok = docs.select("doc_id", "source", toks.alias("toks")).filter(
@@ -1675,15 +1677,23 @@ def q_ngram_dup_rate(spark, sf_dir):
             )
         ).alias("gram"),
     )
-    spread = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    gs = (
+        g.groupBy("gram", "source")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("doc_id").alias("nd_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spread = gs.groupBy("gram").agg(F.sum("nd_s").alias("nd"))
+    dup_cnt = F.when(F.col("nd") > 1, F.col("cnt")).otherwise(F.lit(0))
     return (
-        g.join(spread, "gram")
+        gs.join(spread, "gram")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(dup).cast("bigint").alias("n_dup_grams"),
-            F.round(F.sum(dup).cast("double") / F.count("*"), 6)
+            F.sum("cnt").alias("n_grams"),
+            F.sum(dup_cnt).cast("bigint").alias("n_dup_grams"),
+            F.round(F.sum(dup_cnt).cast("double") / F.sum("cnt"), 6)
             .alias("dup_rate"),
         )
     )

@@ -33,8 +33,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-# Matches streaming/rest.py's landing schema.
-LANDING_SCHEMA = "id long, tweet string, created_at string"
+from team_02_spark.streaming.rest import TWEET_SCHEMA
+
+# ONE schema definition with the landing writer (streaming/rest.py) —
+# read() yields positional tuples, so schema drift would silently
+# misalign values.
+LANDING_SCHEMA = TWEET_SCHEMA
 
 
 class _FilePartition(InputPartition):

@@ -27,12 +27,16 @@ def interval_join(left: DataFrame, right: DataFrame, key: str, *,
                   left_ts: str = "l_ts", right_ts: str = "r_ts",
                   within: str = "10 minutes",
                   left_watermark: str = "20 minutes",
-                  right_watermark: str = "20 minutes") -> DataFrame:
-    """Inner join on ``key`` with r_ts in [l_ts, l_ts + within].
+                  right_watermark: str = "20 minutes",
+                  how: str = "inner") -> DataFrame:
+    """Join on ``key`` with r_ts in [l_ts, l_ts + within].
 
     Streaming inputs get watermarks (required for state GC on
-    stream-stream inner joins); batch inputs skip them, which is what
-    makes the batch call the exact oracle for the stream call."""
+    stream-stream joins); batch inputs skip them, which is what
+    makes the batch call the exact oracle for the stream call.
+    ``how`` is the single point where the outer variant differs —
+    the time predicate lives HERE only, so a bound change can never
+    diverge the two forms."""
     if left.isStreaming:
         left = left.withWatermark(left_ts, left_watermark)
     if right.isStreaming:
@@ -42,7 +46,7 @@ def interval_join(left: DataFrame, right: DataFrame, key: str, *,
         & (right[right_ts] >= left[left_ts])
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         left[key].alias(key),
         left[left_ts].alias(left_ts),
         right[right_ts].alias(right_ts),
@@ -57,32 +61,15 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame,
     return stream.join(F.broadcast(dim), key, "left")
 
 
-def interval_join_left(left: DataFrame, right: DataFrame, key: str, *,
-                       left_ts: str = "l_ts", right_ts: str = "r_ts",
-                       within: str = "10 minutes",
-                       left_watermark: str = "20 minutes",
-                       right_watermark: str = "20 minutes") -> DataFrame:
+def interval_join_left(left: DataFrame, right: DataFrame, key: str,
+                       **kwargs) -> DataFrame:
     """LEFT OUTER stream-stream interval join — the attribution shape
     where every left event must appear exactly once, matched or not
-    (impression → click-or-null). Same time-bound predicate as
-    ``interval_join``; the outer semantics add the watermark-driven
-    null emission: an unmatched left row is held in state until the
-    watermark passes its join window's upper bound, THEN emitted with
-    nulls — so null rows are provably final, never retracted. In
-    batch the same call is a plain left join, which is the oracle the
-    tests compare against (modulo rows whose window the stream's
-    watermark has not yet closed)."""
-    if left.isStreaming:
-        left = left.withWatermark(left_ts, left_watermark)
-    if right.isStreaming:
-        right = right.withWatermark(right_ts, right_watermark)
-    cond = (
-        (left[key] == right[key])
-        & (right[right_ts] >= left[left_ts])
-        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
-    )
-    return left.join(right, cond, "leftOuter").select(
-        left[key].alias(key),
-        left[left_ts].alias(left_ts),
-        right[right_ts].alias(right_ts),
-    )
+    (impression -> click-or-null). Same predicate/watermark wiring as
+    ``interval_join`` (one definition); the outer semantics add the
+    watermark-driven null emission: an unmatched left row is held in
+    state until the watermark passes its join window's upper bound,
+    THEN emitted with nulls — so null rows are provably final, never
+    retracted. In batch the same call is a plain left join, the
+    oracle the tests compare against."""
+    return interval_join(left, right, key, how="leftOuter", **kwargs)

@@ -102,8 +102,6 @@ def test_interval_join_left_outer_emits_final_nulls(spark, tmp_path):
     far-future sentinel and re-draining from the same checkpoint
     advances the watermark and flushes them. The batch left join over
     the original files is the oracle."""
-    import datetime
-
     from team_02_spark.streaming.joins import interval_join_left
 
     imp_dir = _land(tmp_path, "impL", IMPRESSIONS, "l_ts")
