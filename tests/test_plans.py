@@ -375,3 +375,25 @@ def test_dsir_select_stays_jvm_side(spark):
     sneaking into the per-token path would be the 100 TB regression."""
     df = _q(spark, "q_dsir_select")
     assert not uses_python_udf(df)
+
+
+def test_component_split_reuses_checkpointed_closure(spark):
+    """Doubled-lineage guard (r4 plan audit): q_component_split's
+    final plan must consume the CHECKPOINTED component labels, not
+    re-derive the pair-generation subtree per consumer — bounded
+    shuffle count is the tell (the regression showed up as 31)."""
+    df = _q(spark, "q_component_split")
+    assert shuffle_count(df) <= 4
+
+
+def test_metric_lanes_single_corpus_pass(spark):
+    """q_source_overlap / q_ngram_dup_rate collapse the corpus to a
+    vocab-sized checkpointed table FIRST; their final plans must not
+    contain more than one un-checkpointed corpus scan each (the r4
+    audit found 4 and 2 respectively before the restructure)."""
+    from team_02_spark.plans import explain_str
+
+    for name, max_scans in (("q_source_overlap", 1), ("q_ngram_dup_rate", 1)):
+        text = explain_str(_q(spark, name))
+        n_scans = text.count("Scan parquet")
+        assert n_scans <= max_scans, (name, n_scans)
