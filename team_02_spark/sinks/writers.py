@@ -198,3 +198,60 @@ def write_training_shards(df: DataFrame, out_dir: str, *,
         .agg(F.count("*").alias("n_docs"),
              F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id"))
     )
+
+
+def publish_audited(df: DataFrame, out_dir: str, *,
+                    checks: list | None = None) -> str:
+    """Write-Audit-Publish: stage → validate → atomically publish.
+
+    The lake-ops discipline for production table writes (the pattern
+    Iceberg's WAP branches formalize, here on plain parquet dirs):
+
+    1. WRITE the frame to a hidden staging snapshot
+       ``{out_dir}/.staging-<uuid>`` — never visible to readers;
+    2. AUDIT: re-read the staged files (validating what was actually
+       WRITTEN, not the in-memory plan) and run every check —
+       a check is ``fn(staged_df) -> falsy | error-string``;
+    3. PUBLISH: one atomic rename to ``{out_dir}/snapshot-<uuid>``
+       plus a ``_CURRENT`` pointer file written via tmp+rename, so a
+       reader either sees the previous snapshot or the new one,
+       never a half-written mix.
+
+    A failed audit raises and LEAVES the staging dir for post-mortem;
+    the published history is append-only (old snapshots remain until
+    compaction policy removes them — time travel for free). Returns
+    the published snapshot path. At 100 TB the same protocol runs on
+    object storage with a manifest-file pointer swap instead of a
+    directory rename."""
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
+    staging = os.path.join(out_dir, f".staging-{token}")
+    final = os.path.join(out_dir, f"snapshot-{token}")
+    os.makedirs(out_dir, exist_ok=True)
+    df.write.mode("errorifexists").parquet(staging)
+
+    staged = df.sparkSession.read.parquet(staging)
+    for check in checks or []:
+        problem = check(staged)
+        if problem:
+            raise ValueError(
+                f"publish_audited: audit failed ({problem}); staged "
+                f"snapshot kept at {staging} for inspection"
+            )
+
+    os.replace(staging, final)
+    tmp_ptr = os.path.join(out_dir, f"._CURRENT.{token}.tmp")
+    with open(tmp_ptr, "w", encoding="utf-8") as fh:
+        fh.write(f"snapshot-{token}\n")
+    os.replace(tmp_ptr, os.path.join(out_dir, "_CURRENT"))
+    return final
+
+
+def read_published(spark, out_dir: str) -> DataFrame:
+    """Read whatever snapshot ``_CURRENT`` points at — the reader half
+    of the WAP contract (a concurrent publish flips the pointer
+    atomically; this reader never sees partial data)."""
+    with open(os.path.join(out_dir, "_CURRENT"), encoding="utf-8") as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(os.path.join(out_dir, snap))

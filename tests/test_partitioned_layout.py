@@ -115,3 +115,39 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
         spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+
+def test_publish_audited_wap_protocol(spark, tmp_path):
+    """Write-Audit-Publish: a passing audit publishes atomically and
+    flips _CURRENT; a FAILING audit raises, keeps the staging dir for
+    post-mortem, and leaves the previously-published snapshot as what
+    readers see — no partial state ever visible."""
+    import pytest
+
+    from team_02_spark.sinks.writers import publish_audited, read_published
+
+    out = str(tmp_path / "table")
+    good = spark.range(10).withColumnRenamed("id", "k")
+    snap1 = publish_audited(
+        good, out,
+        checks=[lambda d: None if d.count() == 10 else "bad count"],
+    )
+    assert read_published(spark, out).count() == 10
+    assert snap1.rsplit("/", 1)[-1].startswith("snapshot-")
+
+    bad = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="audit failed"):
+        publish_audited(
+            bad, out,
+            checks=[lambda d: None if d.count() >= 5 else "too few rows"],
+        )
+    # reader still sees the GOOD snapshot; the failed staging survives
+    assert read_published(spark, out).count() == 10
+    import os as _os
+
+    entries = _os.listdir(out)
+    assert any(e.startswith(".staging-") for e in entries)
+    # a second good publish supersedes the first (append-only history)
+    publish_audited(good.limit(7), out, checks=[])
+    assert read_published(spark, out).count() == 7
+    assert sum(1 for e in entries if e.startswith("snapshot-")) == 1
