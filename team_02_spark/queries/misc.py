@@ -577,3 +577,54 @@ def q_schema_drift_union(spark, sf_dir):
         "event_id", "event_type", "value", "props", F.lit("v2").alias("src")
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@query(
+    "q_file_provenance",
+    oracle="""
+    SELECT tbl, file_name,
+           COUNT(*) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM (
+        SELECT 'orders' AS tbl, 'orders.parquet' AS file_name,
+               o_orderkey AS k FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'lineitem.parquet', l_orderkey FROM lineitem
+        UNION ALL
+        SELECT 'documents', 'documents.parquet', doc_id FROM documents
+    ) GROUP BY tbl, file_name
+    """,
+)
+def q_file_provenance(spark, sf_dir):
+    """Per-FILE ingest provenance via Spark's hidden ``_metadata``
+    struct (the modern replacement for input_file_name()): every scan
+    row carries its source file's name for free — no extra I/O, no
+    UDF — so the lineage report (rows + key bounds per physical file)
+    is one grouped aggregate per table. This is the audit that pins a
+    bad ingest batch to the exact files that delivered it; at 100 TB
+    it runs per partition directory and feeds the compaction planner
+    (sinks/writers.compact_parquet). The oracle runs on the driver's
+    registered views (no filename function there), so it encodes the
+    fixture's one-file-per-table layout as the expected file_name —
+    which makes Spark's _metadata.file_name itself the thing under
+    test: report the wrong file and the hash mismatches."""
+    parts = []
+    for tbl, key in (
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("documents", "doc_id"),
+    ):
+        parts.append(
+            t(spark, sf_dir, tbl).select(
+                F.lit(tbl).alias("tbl"),
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col(key).cast("long").alias("k"),
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.groupBy("tbl", "file_name").agg(
+        F.count("*").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
