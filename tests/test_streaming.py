@@ -345,3 +345,43 @@ def test_chunking_batch_equals_stream(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_progress_recorder_captures_batch_metrics(spark, tmp_path):
+    """The ops listener must record one entry per micro-batch with
+    real row counts, and flush them to a queryable parquet metrics
+    table."""
+    import json as _json
+    import time as _time
+
+    from team_02_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = tmp_path / "mon_src"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(_json.dumps({"v": i}) for i in range(7))
+        )
+        q = (
+            spark.readStream.schema("v long").json(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "mon_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously post-termination
+        for _ in range(50):
+            if any(r["num_input_rows"] == 7 for r in rec.records):
+                break
+            _time.sleep(0.2)
+        assert any(r["num_input_rows"] == 7 for r in rec.records)
+        out = str(tmp_path / "metrics")
+        n = rec.flush_to_parquet(spark, out)
+        assert n >= 1 and len(rec.records) == 0
+        flushed = spark.read.parquet(out)
+        assert flushed.filter("num_input_rows = 7").count() >= 1
+    finally:
+        spark.streams.removeListener(rec)
