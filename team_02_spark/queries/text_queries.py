@@ -1697,3 +1697,66 @@ def q_ngram_dup_rate(spark, sf_dir):
             .alias("dup_rate"),
         )
     )
+
+
+@query(
+    "q_entity_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS a, b.p_partkey AS b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.b AS node, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    roots AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+    SELECT r.comp AS entity_id,
+           COUNT(*) AS n_records,
+           CAST(MIN(r.node) AS BIGINT) AS min_key,
+           CAST(MAX(r.node) AS BIGINT) AS max_key
+    FROM roots r GROUP BY r.comp
+    """,
+)
+def q_entity_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: the q_edit_distance match pairs
+    (brand-blocked Levenshtein <= 3 — bounded candidates, JVM
+    distance) closed under transitivity into ENTITY clusters via the
+    same pointer-doubling min-label closure as the dup-component
+    lane — records A~B and B~C merge into one entity even when A and
+    C don't match directly, which is the whole point of the closure
+    step in record linkage. Output is the per-entity roster summary
+    (cluster id = min record key, size, key bounds); the DuckDB twin
+    walks the identical graph recursively, so the fixpoint is
+    value-checked. At 100 TB the blocking key swaps to length-band +
+    first-token and the closure cost stays O(matched records), not
+    O(table)."""
+    from team_02_spark.operators.dedup import connected_components
+
+    part = t(spark, sf_dir, "part")
+    a, b = part.alias("a"), part.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.p_partkey").alias("a"), F.col("b.p_partkey").alias("b"))
+    )
+    return (
+        connected_components(pairs)
+        .groupBy(F.col("comp").alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("node").cast("bigint").alias("min_key"),
+            F.max("node").cast("bigint").alias("max_key"),
+        )
+    )
