@@ -520,8 +520,64 @@ def dsir_probe(replication: int) -> None:
     spark.stop()
 
 
+def skew_probe(replication: int) -> None:
+    """Adversarial-skew sweep for salted_join: a synthetic fact table
+    (N×2M rows) with 90% of rows on ONE key, joined to a 10k-row dim,
+    with AQE's skew splitting DISABLED on both paths so the probe
+    isolates the salting transform itself (on a real cluster AQE is
+    the first line of defense and salting the explicit fallback).
+    Records plain-join vs salted-join wall-clock and verifies equal
+    output counts — the salted path should hold roughly flat per-row
+    while the plain path is bounded by the single hot task."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.skew import salted_join
+
+    spark = get_spark(f"scaling-skew-{replication}x", extra_conf={
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+    n_fact = 2_000_000 * replication
+    hot_share = 0.9
+    fact = (
+        spark.range(n_fact)
+        .select(
+            F.when(F.col("id") % 10 < int(hot_share * 10), F.lit(7))
+            .otherwise(F.pmod(F.col("id"), F.lit(10_000))).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    ).persist()
+    fact.count(), dim.count()  # warm
+
+    t0 = time.perf_counter()
+    n_plain = fact.join(dim, "k").count()
+    plain_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_salted = salted_join(fact, dim, "k", salt=32).count()
+    salted_s = time.perf_counter() - t0
+    assert n_plain == n_salted, (n_plain, n_salted)
+
+    print(json.dumps({
+        "mode": "skew", "replication": replication, "n_fact": n_fact,
+        "hot_share": hot_share, "plain_sec": round(plain_s, 2),
+        "salted_sec": round(salted_s, 2), "n_out": n_plain,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
+    if mode == "skew":
+        skew_probe(arg)
+        return
     if mode == "relational":
         relational_probe(arg)
         return
