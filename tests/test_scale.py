@@ -218,3 +218,56 @@ def test_hll_shard_merge_equals_single_pass(spark):
     }
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+
+def test_kll_shard_merge_matches_exact_quantiles(spark):
+    """Mergeable KLL quantile sketches: per-shard sketches merged per
+    key must reproduce the exact percentiles within KLL rank error
+    (~0.6% at k=2048), and agree with the single-pass sketch over the
+    unsharded frame — the persist-small/merge-later contract."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.sketches import merge_kll, shard_kll
+
+    df = (
+        spark.range(40_000)
+        .select(
+            F.pmod(F.col("id"), F.lit(4)).alias("shard"),
+            (F.col("id") % 2).cast("string").alias("grp"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        .persist()
+    )
+    rolled = merge_kll(
+        shard_kll(df, keys=["grp"], value="v", shard_col="shard"),
+        keys=["grp"],
+    )
+    got = {r["grp"]: r for r in rolled.collect()}
+    exact = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for grp, e in exact.items():
+        g = got[grp]
+        assert g["n_rows"] == e["n"]
+        # rank error 0.6% of 1000 distinct values => ±6 value units,
+        # assert with margin
+        assert abs(g["q5"] - e["p50"]) <= 15
+        assert abs(g["q99"] - e["p99"]) <= 15
+    # merge-of-shards == single-pass sketch at the estimate level
+    single = merge_kll(
+        shard_kll(df.withColumn("one", F.lit(0)), keys=["grp"],
+                  value="v", shard_col="one"),
+        keys=["grp"],
+    )
+    sg = {r["grp"]: r for r in single.collect()}
+    for grp in exact:
+        assert abs(got[grp]["q9"] - sg[grp]["q9"]) <= 15
+    df.unpersist()
