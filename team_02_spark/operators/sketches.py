@@ -100,3 +100,34 @@ def merge_kll(sketches: DataFrame, *, keys: list[str],
         for q in quantiles
     ]
     return merged.select(*keys, "n_rows", *cols)
+
+
+def audience_overlap(df: DataFrame, *, group_col: str,
+                     value: str) -> DataFrame:
+    """Pairwise audience-overlap estimates via THETA sketches — the
+    set-operation sketch family (HLL unions but cannot intersect;
+    theta does both): one sketch of distinct ``value`` per
+    ``group_col``, then every group pair's |A|, |B|, |A∩B|, |A\\B|
+    estimated from sketch bytes alone. The production question this
+    answers at 100 TB: "how many purchase users also clicked" across
+    every segment pair, WITHOUT a distinct-join per pair — sketches
+    are built in one corpus pass and the pair matrix is
+    alphabet-sized driver-free work. Below the sketch's nominal
+    entries (2^12 default) theta runs in exact mode, so small-corpus
+    tests can assert equality with exact counts, not just error
+    bounds."""
+    sk = df.groupBy(group_col).agg(
+        F.expr(f"theta_sketch_agg({value})").alias("sk")
+    )
+    a = sk.select(F.col(group_col).alias("grp_a"), F.col("sk").alias("sa"))
+    b = sk.select(F.col(group_col).alias("grp_b"), F.col("sk").alias("sb"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    return pairs.select(
+        "grp_a", "grp_b",
+        F.expr("theta_sketch_estimate(sa)").cast("long").alias("n_a"),
+        F.expr("theta_sketch_estimate(sb)").cast("long").alias("n_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))")
+        .cast("long").alias("n_both"),
+        F.expr("theta_sketch_estimate(theta_difference(sa, sb))")
+        .cast("long").alias("n_only_a"),
+    )

@@ -271,3 +271,34 @@ def test_kll_shard_merge_matches_exact_quantiles(spark):
     for grp in exact:
         assert abs(got[grp]["q9"] - sg[grp]["q9"]) <= 15
     df.unpersist()
+
+
+def test_theta_audience_overlap_exact_at_small_cardinality(spark):
+    """Theta-sketch pairwise overlap: below nominal entries the
+    sketch is exact, so every pairwise intersection/difference must
+    EQUAL the true distinct counts on the events fixture."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.sketches import audience_overlap
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in audience_overlap(
+            ev, group_col="event_type", value="user_id"
+        ).collect()
+    }
+    users = {
+        t: {r["user_id"] for r in
+            ev.filter(F.col("event_type") == t).select("user_id")
+            .distinct().collect()}
+        for t in ("click", "purchase", "view", "signup", "error")
+    }
+    assert got  # pairs exist
+    for (ga, gb), r in got.items():
+        assert r["n_a"] == len(users[ga])
+        assert r["n_b"] == len(users[gb])
+        assert r["n_both"] == len(users[ga] & users[gb])
+        assert r["n_only_a"] == len(users[ga] - users[gb])
