@@ -85,26 +85,62 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_tpch_q6ish", "q_unpivot", "q_user_stats", "q_vector_norms",
     "q_vector_quantize", "q_window_session", "q_window_sliding",
     "q_window_tumbling",
+    # round 4 (CORRECTNESS_r04.json, 50/50 hash-green rows — includes
+    # the two r3 retry keys, now green)
+    "q_dup_rate_by_source", "q_cv_agreement", "q_join_salted",
+    "q_dedup_simhash", "q_decontaminate_bloom", "q_split_leakage",
+    "q_component_split", "q_ngram_dup_rate", "q_entity_clusters",
+    "q_mmr_diverse", "q_supplier_volume", "q_part_stats",
+    "q_returned_revenue", "q_tpch_q3ish", "q_tpch_q4ish",
+    "q_tpch_q7ish", "q_tpch_q8ish", "q_tpch_q13ish", "q_tpch_q14ish",
+    "q_tpch_q15ish", "q_tpch_q17ish", "q_tpch_q18ish", "q_tpch_q19ish",
+    "q_tpch_q22ish", "q_tpch_q21ish", "q_tpch_q12ish", "q_time_rollup",
+    "q_graph_degree", "q_pagerank", "q_triangles", "q_ohlc_bars",
+    "q_rolling_median", "q_ewma", "q_trailing_hour",
+    "q_cumulative_users", "q_locf", "q_chunk_text", "q_vocab_coverage",
+    "q_source_mix", "q_pipeline_yield", "q_dedup_incremental",
+    "q_dup_cluster_stats", "q_incremental_agg", "q_table_diff",
+    "q_lm_perplexity", "q_temperature_mix", "q_shard_plan",
+    "q_token_budget_sample", "q_dsir_select", "q_source_overlap",
 })
 
-# The two r3 hash-mismatch rows (fixed this round: BIGINT-cast sums +
-# ROUND(rate, 6) per the q_funnel precedent). Pinned to the FRONT of
-# the map so the driver re-checks them before spending budget on
-# never-checked keys.
-DRIVER_RETRY: tuple[str, ...] = ("q_dup_rate_by_source", "q_cv_agreement")
+# Empty for round 5: the two r3 hash-mismatch rows came back green in
+# CORRECTNESS_r04 (rows 1-2) and are folded into DRIVER_VERIFIED above.
+# Re-populate with any red rows from the latest CORRECTNESS_r{N}.json.
+DRIVER_RETRY: tuple[str, ...] = ()
+
+# Round-5 window ordering rationale (VERDICT r4 item #2): ~67 declared
+# keys have never had a driver CORRECTNESS row; the driver window is
+# ~50, so ~17 spill to r6. _ordered_names() puts oracled keys before
+# rows-only ones, and DRIVER_PRIORITY pins the highest-novelty oracles
+# (new Spark-4 API surface: VARIANT, recursive CTE, _metadata, @udtf)
+# to the very front so they cannot spill — the keys most likely to
+# diverge between engines get driver rows this round. The spill set is
+# then the tail of the long-stable r2-era oracled keys plus the 7
+# rows-only keys (weakest incremental signal), all judge-verified
+# green in the r4 standalone sweep.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_variant_props", "q_date_spine_fill", "q_file_provenance",
+    "q_udtf_bigrams", "q_sql_frontend", "q_json_roundtrip",
+)
 
 
 def _ordered_names() -> list[str]:
     """Retry keys first (fixed red rows needing a driver re-check),
-    then unchecked keys — and among those, oracle-checkable keys
-    before rows-only ones: a driver slot spent on an oracle key buys a
-    hash-match row, a rows-only slot only a ran-clean row."""
+    then priority novel-API keys, then the remaining unchecked keys —
+    and among those, oracle-checkable keys before rows-only ones: a
+    driver slot spent on an oracle key buys a hash-match row, a
+    rows-only slot only a ran-clean row."""
     names = list(QUERIES)
     retry = [n for n in DRIVER_RETRY if n in QUERIES]
-    skip = set(retry) | DRIVER_VERIFIED
+    priority = [n for n in DRIVER_PRIORITY
+                if n in QUERIES and n not in DRIVER_VERIFIED
+                and n not in retry]
+    skip = set(retry) | set(priority) | DRIVER_VERIFIED
     unchecked = [n for n in names if n not in skip]
     return (
         retry
+        + priority
         + [n for n in unchecked if QUERIES[n].oracle is not None]
         + [n for n in unchecked if QUERIES[n].oracle is None]
         + [n for n in names if n in DRIVER_VERIFIED and n not in set(retry)]
