@@ -16,7 +16,9 @@ Discipline rules (FIXTURES.md §C, enforced by tests/test_oracle.py):
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
+from pathlib import Path
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,15 +47,52 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Keys with green driver CORRECTNESS rows in rounds 1-3. The driver
-# checks a bounded prefix of the declared map (~50 keys/round), so the
-# maps below order UNCHECKED keys first: each round the driver's
-# budget lands on lanes that have never had a hard driver signal,
-# rotating coverage instead of re-proving the same prefix. Grow this
-# set from each round's CORRECTNESS_r{N}.json. Verified keys are
-# re-checked by the full local sweep (tools/verify_driver.py +
-# tests/test_oracle.py) as the regression backstop.
-DRIVER_VERIFIED: frozenset[str] = frozenset({
+# Driver CORRECTNESS bookkeeping. The driver checks a bounded prefix
+# of the declared map (~50 keys/round), so _ordered_names() orders
+# UNCHECKED keys first: each round the driver's budget lands on lanes
+# that have never had a hard driver signal, rotating coverage instead
+# of re-proving the same prefix.
+#
+# The verified set is SELF-EXECUTING (VERDICT r5 item #2): at import
+# we read every committed CORRECTNESS_r*.json at the repo root and
+# union in the green keys (latest round wins per key), so a round
+# snapshot that lands before the driver's results exist can no longer
+# leave the rotation stale — the next import sees the new rows. The
+# static seed below is the hand-audited record through round 4 and the
+# fallback when the JSON files aren't present (e.g. installed package).
+
+
+def _load_driver_rows(root: Path | None = None) -> dict[str, bool]:
+    """Latest driver verdict per key from CORRECTNESS_r*.json.
+
+    True  => green: oracle hash-match, or a rows-only key that ran
+             clean (err == 'no_oracle' with a row count);
+    False => red: hash mismatch or a hard error — goes to retry.
+    Later rounds override earlier ones (the driver re-checks retried
+    keys, and the latest row is the operative verdict).
+    """
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    latest: dict[str, bool] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            latest[key] = green
+    return latest
+
+
+_STATIC_VERIFIED: frozenset[str] = frozenset({
     # rounds 1-2
     "q_project", "q_filter_eq", "q_filter_compound", "q_union_all",
     "q_distinct", "q_dedup_exact", "q_intersect", "q_except",
@@ -104,24 +143,35 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q_token_budget_sample", "q_dsir_select", "q_source_overlap",
 })
 
-# Empty for round 5: the two r3 hash-mismatch rows came back green in
-# CORRECTNESS_r04 (rows 1-2) and are folded into DRIVER_VERIFIED above.
-# Re-populate with any red rows from the latest CORRECTNESS_r{N}.json.
-DRIVER_RETRY: tuple[str, ...] = ()
+_DRIVER_ROWS: dict[str, bool] = _load_driver_rows()
 
-# Round-5 window ordering rationale (VERDICT r4 item #2): ~67 declared
-# keys have never had a driver CORRECTNESS row; the driver window is
-# ~50, so ~17 spill to r6. _ordered_names() puts oracled keys before
-# rows-only ones, and DRIVER_PRIORITY pins the highest-novelty oracles
-# (new Spark-4 API surface: VARIANT, recursive CTE, _metadata, @udtf)
-# to the very front so they cannot spill — the keys most likely to
-# diverge between engines get driver rows this round. The spill set is
-# then the tail of the long-stable r2-era oracled keys plus the 7
-# rows-only keys (weakest incremental signal), all judge-verified
-# green in the r4 standalone sweep.
+# Green keys from every committed CORRECTNESS round (latest wins),
+# folded automatically — no more hand edits after each round.
+DRIVER_VERIFIED: frozenset[str] = _STATIC_VERIFIED | frozenset(
+    k for k, green in _DRIVER_ROWS.items() if green
+)
+
+# Keys whose LATEST driver row is red (hash mismatch / hard error):
+# they sort to the very front of the window so the fix gets re-checked
+# next round. Derived, not hand-maintained. Currently empty — the only
+# historical reds (r3: q_dup_rate_by_source, q_cv_agreement) came back
+# green in r04.
+DRIVER_RETRY: tuple[str, ...] = tuple(sorted(
+    k for k, green in _DRIVER_ROWS.items()
+    if not green and k not in DRIVER_VERIFIED
+))
+
+# Round-6 window ordering rationale: after folding r05, exactly 17
+# declared keys have never had a driver row (10 oracled + 7 rows-only;
+# all pre-verified green by the r5 judge's standalone sweep). Pin the
+# 10 oracled stragglers to the window front so the cumulative record
+# reaches 213/213 this round; the filter in _ordered_names() drops
+# each pin automatically once its green row lands in a CORRECTNESS
+# file. New round-6 keys fill the remaining ~33 slots.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_variant_props", "q_date_spine_fill", "q_file_provenance",
-    "q_udtf_bigrams", "q_sql_frontend", "q_json_roundtrip",
+    "q_column_stats", "q_expectations", "q_gini", "q_join_health",
+    "q_lead_time", "q_market_basket", "q_pareto", "q_rfm",
+    "q_rrf_hybrid", "q_window_attribution",
 )
 
 

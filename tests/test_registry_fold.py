@@ -1,0 +1,107 @@
+"""Registry rotation bookkeeping guards (ADVICE r5).
+
+Two failure modes bit rounds 4 and 5: (a) a stale hand-maintained
+DRIVER_VERIFIED made the driver window re-prove old keys, and (b) a
+typo'd key would be silently filtered by _ordered_names() instead of
+failing loudly. The fold is now derived from CORRECTNESS_r*.json at
+import time; these tests pin that behavior.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from team_02_spark.queries import registry as R
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bookkeeping_keys_are_registered():
+    declared = set(R.QUERIES)
+    # Only guard keys that are registered in THIS tree; CORRECTNESS
+    # files may mention keys from experiments since deleted, which
+    # _ordered_names() ignores by design — but the hand-written seed
+    # and priority/retry tuples must never drift from the registry.
+    assert set(R._STATIC_VERIFIED) <= declared
+    assert set(R.DRIVER_PRIORITY) <= declared
+    assert set(R.DRIVER_RETRY) <= declared | set(R._DRIVER_ROWS)
+
+
+def test_no_duplicate_pins():
+    assert len(R.DRIVER_PRIORITY) == len(set(R.DRIVER_PRIORITY))
+    assert len(R.DRIVER_RETRY) == len(set(R.DRIVER_RETRY))
+
+
+def test_every_dynamic_verified_key_has_green_row():
+    """Each key folded in beyond the static seed traces to a green row
+    in a committed CORRECTNESS file (hash-match, or rows-only ran
+    clean), with the latest round winning."""
+    dynamic = R.DRIVER_VERIFIED - R._STATIC_VERIFIED
+    latest: dict[str, dict] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for key, row in json.loads(path.read_text()).items():
+            latest[key] = row
+    for key in dynamic:
+        row = latest[key]
+        green = row.get("hash_match") is True or (
+            row.get("err") == "no_oracle"
+            and row.get("spark_rows") is not None
+        )
+        assert green, f"{key} folded without a green driver row: {row}"
+
+
+def test_latest_round_wins_red_then_green(tmp_path):
+    """A key red in round N and green in round N+1 is verified; the
+    reverse goes to retry."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_a": {"hash_match": False, "err": None, "spark_rows": 5},
+        "q_b": {"hash_match": True, "err": None, "spark_rows": 5},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_a": {"hash_match": True, "err": None, "spark_rows": 5},
+        "q_b": {"hash_match": False, "err": None, "spark_rows": 5},
+    }))
+    rows = R._load_driver_rows(tmp_path)
+    assert rows == {"q_a": True, "q_b": False}
+
+
+def test_rows_only_ran_clean_counts_green(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_ro": {"hash_match": None, "err": "no_oracle", "spark_rows": 3},
+        "q_err": {"hash_match": None, "err": "boom", "spark_rows": None},
+    }))
+    rows = R._load_driver_rows(tmp_path)
+    assert rows == {"q_ro": True, "q_err": False}
+
+
+def test_synthetic_green_keys_sort_to_back_without_hand_edit(
+        tmp_path, monkeypatch):
+    """VERDICT r5 item #2's done-criterion: green keys from a NEW
+    CORRECTNESS file move behind all unchecked keys with no edit to
+    the static sets."""
+    # Pick two currently-unchecked (or any registered) keys and mark
+    # them green in a synthetic round file.
+    names_before = R._ordered_names()
+    victims = names_before[:2]
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
+        v: {"hash_match": True, "err": None, "spark_rows": 1}
+        for v in victims
+    }))
+    rows = R._load_driver_rows(tmp_path)
+    monkeypatch.setattr(
+        R, "DRIVER_VERIFIED",
+        R.DRIVER_VERIFIED | {k for k, g in rows.items() if g})
+    names_after = R._ordered_names()
+    unverified_tail = len(R.QUERIES) - len(
+        set(R.QUERIES) & R.DRIVER_VERIFIED)
+    for v in victims:
+        assert names_after.index(v) >= unverified_tail, (
+            f"{v} still sorts into the unchecked window")
+
+
+def test_malformed_correctness_file_is_ignored(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        {"q_ok": {"hash_match": True, "err": None, "spark_rows": 1}}))
+    assert R._load_driver_rows(tmp_path) == {"q_ok": True}
