@@ -594,3 +594,140 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         f"connected_components did not converge in {max_iter} doubling "
         f"rounds (graph diameter > ~2^{max_iter}); raise max_iter"
     )
+
+
+# ----------------------------- cross-document exact substring dedup
+
+def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              k: int = 10) -> DataFrame:
+    """Cross-document exact-substring duplicate spans — the ExactSubstr
+    mode of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), which their suffix-array pipeline runs
+    at 50 tokens; token-level k-gram anchors here (default 10 so the
+    fixture's near-duplicates make the lane non-vacuous).
+
+    Semantics (deterministic): a token k-gram occurring in >= 2
+    DISTINCT documents marks every occurrence EXCEPT the canonical one
+    (global min of ``id*1e6 + pos``) as duplicated; each marked
+    occurrence covers tokens [pos, pos+k-1]; overlapping/adjacent
+    covers within a doc merge into maximal spans. Any duplicated run
+    of length >= k is covered exactly (stride-1 anchors), which is the
+    all-but-one-copy guarantee of the paper without driver-side suffix
+    arrays.
+
+    Spark shape, 100 TB rationale: ONE corpus explode produces the
+    (doc, pos, gram) stream — the same cost class as a token count —
+    shuffled once by gram for the spread/canonical aggregate, joined
+    back by gram (candidates bounded by gram co-membership, never
+    all-pairs), then a per-doc window merge partitioned by the id.
+    No driver state, no iteration; the gram aggregate is vocab-sized.
+
+    Returns one row per merged span: (id_col, span_start, span_end,
+    span_tokens), token positions 0-based inclusive.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    tok = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    occ = tok.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("__okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+    ga = occ.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__nd"),
+        F.min("__okey").alias("__mk"),
+    )
+    dup = (
+        occ.join(ga, "gram")
+        .filter((F.col("__nd") >= 2) & (F.col("__okey") != F.col("__mk")))
+        .select(id_col, F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(prev_end, F.lit(-2)) + 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = dup.withColumn("__brk", brk).withColumn(
+        "__island",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(id_col, "__island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).alias("span_tokens"),
+    ).drop("__island")
+
+
+def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          k: int = 10) -> DataFrame:
+    """Per-document cross-doc duplicated-substring stats: token count,
+    duplicated-token count (union of merged spans), span count, and
+    dup_ratio — the corpus-health readout for the ExactSubstr lane.
+    Docs with no duplicated span report zeros (left join keeps them)."""
+    spans = substring_duplicate_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(id_col, F.size(toks).cast("bigint").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def strip_cross_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                k: int = 10) -> DataFrame:
+    """Rewrite ``text_col`` with cross-document duplicated spans
+    REMOVED (all-but-canonical copies, per substring_duplicate_spans)
+    — the destructive half of Lee et al. 2021's ExactSubstr dedup.
+    Other columns pass through. Span removal is positional: tokens
+    whose 0-based position falls inside any merged span are dropped
+    and the survivors re-joined with single spaces (whitespace is not
+    round-tripped; the engine's token stream is the unit of account).
+
+    Distributed shape: spans explode to (id, pos) keys (total size ==
+    duplicated-token count, already a corpus-shrinking quantity), the
+    token stream anti-joins on (id, pos), and one groupBy rebuilds the
+    text via a sorted struct collect — no per-doc driver work.
+    """
+    spans = substring_duplicate_spans(df, id_col, text_col, k)
+    dead = spans.select(
+        id_col,
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    stream = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    kept = stream.join(dead, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("__clean")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+        .drop("__clean")
+    )

@@ -24,6 +24,7 @@ from team_02_spark.operators.dedup import (
     near_dedup_minhash,
     near_dedup_simhash,
     shingles,
+    substring_dedup_stats,
 )
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
@@ -1759,4 +1760,86 @@ def q_entity_clusters(spark, sf_dir):
             F.min("node").cast("bigint").alias("min_key"),
             F.max("node").cast("bigint").alias("max_key"),
         )
+    )
+
+
+@query(
+    "q_dedup_substring",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents
+    ),
+    base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+    occ0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 10 + 2),
+                      i -> {'pos': i - 1,
+                            'gram': array_to_string(toks[i:i+9], ' ')}),
+                      recursive := true)
+        FROM base WHERE n_tokens >= 10
+    ),
+    occ AS (
+        SELECT doc_id, pos, gram, doc_id * 1000000 + pos AS okey FROM occ0
+    ),
+    ga AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd, MIN(okey) AS mk
+        FROM occ GROUP BY gram
+    ),
+    dup AS (
+        SELECT o.doc_id, o.pos AS s, o.pos + 9 AS e
+        FROM occ o JOIN ga ON o.gram = ga.gram
+        WHERE ga.nd >= 2 AND o.okey <> ga.mk
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1 THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(se - ss + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / GREATEST(b.n_tokens, 1), 6) AS dup_ratio
+    FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """M4, ExactSubstr mode (Lee et al. 2021's suffix-array dedup,
+    the one cross-document dedup family member MinHash/SimHash/
+    embedding lanes don't cover): per-document duplicated-substring
+    stats — tokens covered by a >= 10-token run that also appears in
+    another document (all-but-one canonical copy marked), merged into
+    maximal spans. The paper's ICL suffix-array pipeline is a
+    single-node build; the Spark shape (operators/dedup.py
+    substring_duplicate_spans) is stride-1 k-gram anchors: one corpus
+    explode -> gram-keyed aggregate (vocab-sized) -> join-back
+    (candidates bounded by gram co-membership, never all-pairs) ->
+    per-doc window interval-merge. Cost class: a token count plus one
+    gram shuffle; no driver state."""
+    docs = t(spark, sf_dir, "documents")
+    return substring_dedup_stats(
+        ensure_parallelism(docs), "doc_id", "text", k=10
     )

@@ -138,6 +138,50 @@ def embedding_probe(replication: int) -> None:
 
 
 
+def substring_probe(replication: int) -> None:
+    """Data-scaling sweep for the ExactSubstr lane (q_dedup_substring):
+    sf0.1 documents replicated N× under fresh doc_ids — adversarial by
+    construction, since every replica shares EVERY 10-token gram with
+    its source, so the duplicated-occurrence stream grows linearly in
+    N (each gram's occurrence list deepens, but the join-back is
+    occurrence-keyed, never pairwise: cost must stay ~linear, not
+    N² as a pair-enumeration design would)."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import substring_dedup_stats
+
+    spark = get_spark(f"scaling-substr-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        )
+    df = df.repartition(32).persist()
+    total = df.count()
+    df.write.format("noop").mode("overwrite").save()  # warm
+
+    t0 = time.perf_counter()
+    stats = substring_dedup_stats(df, k=10).persist()
+    stats.write.format("noop").mode("overwrite").save()
+    probe_s = time.perf_counter() - t0
+    agg = stats.agg(
+        F.sum("dup_tokens").alias("dup"),
+        F.sum(F.when(F.col("dup_tokens") > 0, 1).otherwise(0)).alias("hit"),
+    ).collect()[0]
+    print(json.dumps({
+        "mode": "substring", "replication": replication, "n_docs": total,
+        "probe_sec": round(probe_s, 2),
+        "dup_tokens": int(agg["dup"]), "docs_hit": int(agg["hit"]),
+    }))
+    spark.stop()
+
+
 def pairs_probe(replication: int) -> None:
     """Bounded-candidates evidence for the self-join lanes
     (q_cooccurrence, q_market_basket): candidate pairs must grow
@@ -610,6 +654,9 @@ def main() -> None:
         return
     from team_02_spark import get_spark
 
+    if mode == "substring":
+        substring_probe(arg)
+        return
     if mode == "data":
         spark = get_spark(f"scaling-data-{arg}x")
         spark.sparkContext.setLogLevel("ERROR")
