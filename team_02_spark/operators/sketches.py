@@ -131,3 +131,111 @@ def audience_overlap(df: DataFrame, *, group_col: str,
         F.expr("theta_sketch_estimate(theta_difference(sa, sb))")
         .cast("long").alias("n_only_a"),
     )
+
+
+# ------------------------------------------------- count-min sketch
+
+# Count-min parameters: depth d independent hash rows of width w;
+# estimate(x) = min over rows of counter[h_i(x)]. Overestimates only;
+# error <= e*N/w with prob 1 - e^-d (Cormode & Muthukrishnan 2005).
+CMS_DEPTH = 5
+CMS_WIDTH = 8192  # 16-bit md5 chunks bound width at 65536
+
+
+def cms_bucket_cols(value: F.Column, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> list[F.Column]:
+    """The d bucket indexes of a value: ONE md5 per value, hex sliced
+    into d disjoint 16-bit chunks (4 nibbles each, d <= 8), each mod
+    width. Engine-portable by construction — any engine with md5 and
+    hex-to-int reproduces the sketch bit-for-bit (the same trade the
+    portable SimHash makes: md5-derived bits over engine xxhash64),
+    which is what lets q_cms_topk be DuckDB-oracle-checked. Spark's
+    own `count_min_sketch` SQL aggregate is the opaque-binary
+    alternative; its bytes have no SQL-level estimate/merge functions
+    in Spark 4.1, so this table form IS the repo's mergeable path."""
+    if depth > 8:
+        raise ValueError("depth > 8 exceeds the 32 md5 nibbles")
+    if width > 1 << 16:
+        raise ValueError("width > 65536 exceeds a 16-bit chunk")
+    mh = F.md5(value.cast("string"))
+    return [
+        (F.conv(F.substring(mh, 4 * i + 1, 4), 16, 10).cast("bigint")
+         % width).alias(f"__b{i}")
+        for i in range(depth)
+    ]
+
+
+def shard_cms(df: DataFrame, *, keys: list[str], value: str,
+              shard_col: str | None = None, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Phase 1 (per ingest shard): a count-min sketch of the ``value``
+    stream per (shard, *keys) group, as a TABLE of (depth, bucket,
+    cnt) rows — at most d*w rows per group regardless of stream size
+    (the sketch property), map-side combined by the hash aggregate.
+    Persist these kilobyte-scale partials like the HLL/KLL shards."""
+    shard = (F.col(shard_col) if shard_col
+             else F.spark_partition_id().alias("__shard"))
+    buckets = F.array(*[c for c in cms_bucket_cols(F.col(value), depth, width)])
+    return (
+        df.withColumn("__shard", shard)
+        .select("__shard", *keys,
+                F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("__shard", *keys, "depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_cms(sketches: DataFrame, *, keys: list[str]) -> DataFrame:
+    """Phase 2: counter-wise SUM per key group — count-min sketches
+    with identical (depth, width, hash) merge by adding counters, a
+    plain re-aggregation here because the sketch is a table, not
+    bytes. No raw-data rescan; output stays <= d*w rows per group."""
+    return (
+        sketches.groupBy(*keys, "depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def estimate_cms(cms: DataFrame, items: DataFrame, *, value: str,
+                 keys: list[str] | None = None, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query the sketch: for each item row, est = min over the d
+    rows of its counter (0 when a bucket was never touched). The
+    sketch side is parameter-bounded (d*w rows per key group, never
+    data-sized), so Spark's planner broadcasts it under AQE — the
+    probe is a map-side join plus a d-row min per item."""
+    keys = keys or []
+    buckets = F.array(*cms_bucket_cols(F.col(value), depth, width))
+    probes = items.select(
+        *items.columns, F.posexplode(buckets).alias("depth", "bucket")
+    )
+    joined = probes.join(cms, [*keys, "depth", "bucket"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, *, value: str, k: int = 20,
+                      depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> DataFrame:
+    """Top-k heavy hitters by CMS estimate: build the sketch in one
+    stream pass, then probe it for every DISTINCT value (vocab-sized,
+    the classic candidate set when the domain is enumerable) and keep
+    the k largest estimates. Returns (value, est, exact, overestimate)
+    so callers can see the sketch error directly; ties broken by the
+    value for determinism."""
+    cms = merge_cms(
+        shard_cms(df, keys=[], value=value, depth=depth, width=width),
+        keys=[],
+    )
+    exact = df.groupBy(value).agg(F.count("*").cast("bigint").alias("exact"))
+    est = estimate_cms(cms, exact, value=value, depth=depth, width=width)
+    return (
+        est.select(
+            value, "est", "exact",
+            (F.col("est") - F.col("exact")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("est"), F.col(value))
+        .limit(k)
+    )

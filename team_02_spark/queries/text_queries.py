@@ -20,6 +20,7 @@ from team_02_spark.functions.text import (
     quality_score,
     token_count,
 )
+from team_02_spark.operators.sketches import cms_heavy_hitters
 from team_02_spark.operators.dedup import (
     near_dedup_minhash,
     near_dedup_simhash,
@@ -1843,3 +1844,64 @@ def q_dedup_substring(spark, sf_dir):
     return substring_dedup_stats(
         ensure_parallelism(docs), "doc_id", "text", k=10
     )
+
+
+@query(
+    "q_cms_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    ),
+    occ AS (SELECT t, md5(t) AS mh FROM toks),
+    cms AS (
+        SELECT i AS depth,
+               ('0x' || substr(mh, 4 * i + 1, 4))::BIGINT % 8192 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM occ, range(0, 5) r(i)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS exact FROM toks GROUP BY t
+    ),
+    probes AS (
+        SELECT e.t, e.exact, i AS depth,
+               ('0x' || substr(md5(e.t), 4 * i + 1, 4))::BIGINT % 8192
+                 AS bucket
+        FROM exact e, range(0, 5) r(i)
+    ),
+    est AS (
+        SELECT p.t, p.exact,
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM probes p LEFT JOIN cms c USING (depth, bucket)
+        GROUP BY p.t, p.exact
+    )
+    SELECT t AS token, est, exact,
+           CAST(est - exact AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY est DESC, token
+    LIMIT 20
+    """,
+)
+def q_cms_topk(spark, sf_dir):
+    """Count-min heavy hitters over the corpus token stream — the
+    frequency member of the mergeable-sketch family (HLL distinct /
+    KLL quantile / theta set-ops / Bloom membership / CMS counts,
+    operators/sketches.py): the sketch is a (depth, bucket, cnt)
+    table of at most d*w rows built in one map-side-combined stream
+    pass, shards merge by counter SUM, and every distinct token
+    (vocab-sized candidate set) is point-queried for its min-counter
+    estimate. Portable md5-chunk hashing (one md5, d disjoint 16-bit
+    chunks) makes the sketch engine-exact, so the DuckDB twin hash-
+    matches — Spark's own `count_min_sketch` SQL aggregate emits an
+    opaque binary with no SQL estimate/merge in 4.1, which is why the
+    table form is the production path here. Output includes exact
+    counts and the per-token overestimate so sketch error is visible."""
+    docs = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), r"\W+"), "")
+        ).alias("token")
+    )
+    return cms_heavy_hitters(toks, value="token", k=20)
