@@ -62,19 +62,91 @@ def _merge_pair_udf(a: str, b: str):
     return apply
 
 
+def _train_bpe_local(word_rows: list[tuple[int, list[str]]],
+                     n_merges: int) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the collected vocab-sized word
+    table — Sennrich et al. 2016's incremental algorithm (pair-count
+    deltas + a pair→words index, so each merge touches only the words
+    that contain the pair, not the whole vocabulary). Semantics are
+    IDENTICAL to the distributed loop: counts weighted by word count,
+    argmax with (count desc, pair asc) tie-break, stop when the best
+    pair's count drops below 2 — a parity test pins the equivalence.
+    """
+    from collections import Counter, defaultdict
+
+    cnts = [c for c, _ in word_rows]
+    seqs = [list(s) for _, s in word_rows]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wid, (seq, c) in enumerate(zip(seqs, cnts)):
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            stats[p] += c
+            index[p].add(wid)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        live = [(p, n) for p, n in stats.items() if n >= 2]
+        if not live:
+            break
+        best = min(live, key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for wid in sorted(index.get(best, ())):
+            seq, c = seqs[wid], cnts[wid]
+            # the index is allowed to be stale (words rewritten since
+            # they were indexed): remove-then-re-add is a no-op then
+            for i in range(len(seq) - 1):
+                stats[(seq[i], seq[i + 1])] -= c
+            new, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[wid] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                stats[p] += c
+                index[p].add(wid)
+    return merges
+
+
 def train_bpe(docs: DataFrame, n_merges: int = 50,
-              text_col: str = "text") -> list[tuple[str, str]]:
+              text_col: str = "text",
+              local_finish_threshold: int = 200_000
+              ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list (rank = position). Deterministic: ties broken
-    by lexicographic pair order."""
+    by lexicographic pair order.
+
+    Job-count bound: the distributed merge loop below runs ONE Spark
+    job per merge (the argmax collect; the rewrite is lazy but
+    materializes through the next iteration's persist). That is fine
+    at the default 50 merges and pathological at a real 32k-merge
+    vocabulary — so when the corpus pass has reduced the data to a
+    word table of <= ``local_finish_threshold`` rows (it reduces
+    100 TB of text to |vocab| rows by construction), the loop
+    LOCAL-FINISHES: collect the vocab-sized table once and run
+    Sennrich's incremental merge loop driver-side — zero jobs per
+    merge, each merge touching only the words containing the merged
+    pair. 200k rows of short symbol arrays is a few tens of MB on the
+    driver. The distributed path remains for corpora whose vocabulary
+    genuinely exceeds the threshold (set ``local_finish_threshold=0``
+    to force it; the parity test does)."""
     words = word_counts(docs, text_col)
+    char_seq = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END))
+    ).alias("seq")
+    if words.count() <= local_finish_threshold:
+        rows = words.select("cnt", char_seq).collect()
+        return _train_bpe_local(
+            [(r["cnt"], r["seq"]) for r in rows], n_merges
+        )
     # char-split with end-of-word marker; cache — every iteration reads it
-    seqs = words.select(
-        "cnt",
-        (F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(END))
-        )).alias("seq"),
-    ).persist()
+    seqs = words.select("cnt", char_seq).persist()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (

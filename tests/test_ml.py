@@ -175,6 +175,19 @@ def test_bpe_train_classic_example(spark):
     assert "low" in joined
 
 
+def test_bpe_local_finish_matches_distributed(spark):
+    """The driver-side local-finish loop (vocab fits the threshold)
+    and the one-job-per-merge distributed loop must learn IDENTICAL
+    merge lists — same weighting, argmax, tie-break, stop rule."""
+    from team_02_spark.ml.bpe import train_bpe
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    local = train_bpe(docs, n_merges=12)  # default: local-finish
+    dist = train_bpe(docs, n_merges=12, local_finish_threshold=0)
+    assert local == dist
+    assert len(local) == 12
+
+
 def test_bpe_deterministic(spark):
     from team_02_spark.ml.bpe import train_bpe
 
