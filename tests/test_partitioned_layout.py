@@ -151,3 +151,53 @@ def test_publish_audited_wap_protocol(spark, tmp_path):
     publish_audited(good.limit(7), out, checks=[])
     assert read_published(spark, out).count() == 7
     assert sum(1 for e in entries if e.startswith("snapshot-")) == 1
+
+
+def test_file_provenance_multi_file_layout(spark, tmp_path):
+    """q_file_provenance's oracle encodes the fixture's one-file-per-
+    table layout; this pins the _metadata extraction itself against a
+    REPARTITIONED multi-file write (the compacted/sharded layout a
+    real ingest produces), so the lane stays non-vacuous if the
+    fixture layout ever changes: per-file rows and key bounds must
+    match an independent per-file recount exactly."""
+    import os
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_sharded")
+    orders.repartition(5).write.parquet(out)
+    files = sorted(
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    assert len(files) == 5
+
+    report = {
+        r.file_name: r
+        for r in (
+            spark.read.parquet(out)
+            .select(
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("o_orderkey").cast("long").alias("k"),
+            )
+            .groupBy("file_name")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+            .collect()
+        )
+    }
+    assert set(report) == set(files)
+    # independent per-file truth: read each physical file on its own
+    total = 0
+    for f in files:
+        one = spark.read.parquet(os.path.join(out, f)).agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").cast("long").alias("lo"),
+            F.max("o_orderkey").cast("long").alias("hi"),
+        ).collect()[0]
+        got = report[f]
+        assert (got.n_rows, got.min_key, got.max_key) == (one.n, one.lo, one.hi)
+        total += one.n
+    assert total == orders.count()
