@@ -239,3 +239,34 @@ def cms_heavy_hitters(df: DataFrame, *, value: str, k: int = 20,
         .orderBy(F.desc("est"), F.col(value))
         .limit(k)
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame,
+                  *, keys: list[str] | None = None) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches of
+    the join-key streams — the classic sketch inner product (Cormode &
+    Muthukrishnan 2005 §4.2): per depth row, sum over buckets of
+    cntA * cntB; the estimate is the min over depths. One-sided like
+    the point query: collisions only ADD cross terms, so est >= true
+    |A JOIN B| always. This is the planner-grade question — "how big
+    is this join going to be?" — answered from kilobyte sketch tables
+    WITHOUT running the join or rescanning either side; sketches built
+    once per ingest shard serve every later pairing."""
+    keys = keys or []
+    a = cms_a.withColumnRenamed("cnt", "cnt_a")
+    b = cms_b.withColumnRenamed("cnt", "cnt_b")
+    per_depth = (
+        a.join(b, [*keys, "depth", "bucket"])
+        .groupBy(*keys, "depth")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("s"))
+    )
+    # depth SPINE: a depth whose rows share no bucket at all has inner
+    # product 0 and must dominate the min — an inner-join-only form
+    # silently drops it and overestimates disjoint-key joins
+    depths = cms_a.select(*keys, "depth").distinct()
+    return (
+        depths.join(per_depth, [*keys, "depth"], "left")
+        .groupBy(*keys)
+        .agg(F.min(F.coalesce("s", F.lit(0))).cast("bigint")
+             .alias("est_pairs"))
+    )

@@ -408,3 +408,82 @@ def q_join_health(spark, sf_dir):
         .agg(F.count("*").alias("line_orphan_keys"))
     )
     return main.crossJoin(F.broadcast(orphans))
+
+
+@query(
+    "q_join_size_est",
+    oracle=r"""
+    WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+    kb AS (SELECT CAST(c_custkey AS VARCHAR) AS v FROM customer),
+    ca AS (
+        SELECT i AS depth,
+               ('0x' || substr(md5(v), 4 * i + 1, 4))::BIGINT % 8192
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt_a
+        FROM ka, range(0, 5) r(i) GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT i AS depth,
+               ('0x' || substr(md5(v), 4 * i + 1, 4))::BIGINT % 8192
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt_b
+        FROM kb, range(0, 5) r(i) GROUP BY 1, 2
+    ),
+    per_depth AS (
+        SELECT ca.depth, SUM(ca.cnt_a * cb.cnt_b) AS s
+        FROM ca JOIN cb USING (depth, bucket)
+        GROUP BY ca.depth
+    ),
+    est AS (
+        SELECT CAST(MIN(COALESCE(p.s, 0)) AS BIGINT) AS est_pairs
+        FROM (SELECT DISTINCT depth FROM ca) d
+        LEFT JOIN per_depth p USING (depth)
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est_pairs, exact_pairs,
+           CAST(est_pairs - exact_pairs AS BIGINT) AS overestimate
+    FROM est, exact
+    """,
+)
+def q_join_size_est(spark, sf_dir):
+    """Join-cardinality estimation from mergeable count-min sketches
+    (operators/sketches.cms_join_size): sketch the orders.o_custkey
+    and customer.c_custkey streams independently (one map-side-
+    combined pass each, <= d*w counter rows per side), then estimate
+    |orders JOIN customer| as the min-over-depths bucket inner
+    product — the planner's pre-flight answer to "how big is this
+    join?" with NEITHER side rescanned nor joined. The exact count is
+    computed alongside so the (one-sided) sketch error is visible;
+    at 100 TB the sketches come from ingest-shard partials merged by
+    sum (merge_cms), and the estimate costs d*w multiplies. Portable
+    md5-chunk hashing makes the whole pipeline engine-exact, hence
+    the DuckDB hash-match."""
+    from team_02_spark.operators.sketches import (
+        cms_join_size, merge_cms, shard_cms,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cms_a = merge_cms(
+        shard_cms(orders.select(F.col("o_custkey").alias("v")),
+                  keys=[], value="v"),
+        keys=[],
+    )
+    cms_b = merge_cms(
+        shard_cms(cust.select(F.col("c_custkey").alias("v")),
+                  keys=[], value="v"),
+        keys=[],
+    )
+    est = cms_join_size(cms_a, cms_b)
+    exact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .agg(F.count("*").cast("bigint").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_pairs", "exact_pairs",
+        (F.col("est_pairs") - F.col("exact_pairs")).cast("bigint")
+        .alias("overestimate"),
+    )

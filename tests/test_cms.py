@@ -100,3 +100,36 @@ def test_param_guards():
         cms_bucket_cols(F.lit("x"), depth=9)
     with pytest.raises(ValueError):
         cms_bucket_cols(F.lit("x"), width=1 << 17)
+
+
+def test_join_size_estimate_one_sided_and_exact_when_wide(spark):
+    from team_02_spark.operators.sketches import cms_join_size
+
+    # A: key k appears k times (k=1..20); B: each key once → true
+    # join size = sum(1..20) = 210
+    a = spark.createDataFrame(
+        [(f"k{k:02d}",) for k in range(1, 21) for _ in range(k)],
+        "v string")
+    b = spark.createDataFrame(
+        [(f"k{k:02d}",) for k in range(1, 21)], "v string")
+    cms_a = merge_cms(shard_cms(a, keys=[], value="v"), keys=[])
+    cms_b = merge_cms(shard_cms(b, keys=[], value="v"), keys=[])
+    est = cms_join_size(cms_a, cms_b).collect()[0].est_pairs
+    assert est == 210  # 20 keys vs 8192 buckets: no collisions
+
+    # narrow width forces collisions: estimate may inflate, never under
+    na = merge_cms(shard_cms(a, keys=[], value="v", width=4), keys=[])
+    nb = merge_cms(shard_cms(b, keys=[], value="v", width=4), keys=[])
+    nest = cms_join_size(na, nb).collect()[0].est_pairs
+    assert nest >= 210
+
+
+def test_join_size_estimate_disjoint_keys_near_zero(spark):
+    from team_02_spark.operators.sketches import cms_join_size
+
+    a = spark.createDataFrame([(f"a{k}",) for k in range(30)], "v string")
+    b = spark.createDataFrame([(f"b{k}",) for k in range(30)], "v string")
+    cms_a = merge_cms(shard_cms(a, keys=[], value="v"), keys=[])
+    cms_b = merge_cms(shard_cms(b, keys=[], value="v"), keys=[])
+    est = cms_join_size(cms_a, cms_b).collect()[0].est_pairs
+    assert est == 0  # 60 keys in 8192 buckets: no cross-collision
