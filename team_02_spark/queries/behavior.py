@@ -983,3 +983,51 @@ def q_engagement_score(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         dsum(F.col("value") * w).alias("engagement")
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_event
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type, next_event, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_event IS NOT NULL
+        GROUP BY event_type, next_event
+    )
+    SELECT event_type, next_event, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: for each (state, next-state) pair, the transition count
+    and row-normalized probability — the behavioral fingerprint
+    behind next-action prediction and bot detection. One window pass
+    partitioned by user (lead over (ts, event_id) — deterministic
+    under timestamp ties), then everything collapses to the
+    event-alphabet-squared matrix; the normalizing window runs over
+    that alphabet-sized table, never the corpus. At 100 TB: one
+    shuffle by user_id, one by state pair — both map-side combined."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_event"),
+    ).filter(F.col("next_event").isNotNull())
+    pairs = seq.groupBy("event_type", "next_event").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wnorm = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type", "next_event", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6)
+        .alias("p"),
+    )

@@ -354,3 +354,142 @@ def q_ks_drift(spark, sf_dir):
             6,
         ).alias("ks"),
     )
+
+
+@query(
+    "q_linreg_group",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sy,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4)))
+                    AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_linreg_group(spark, sf_dir):
+    """Per-group ordinary least squares in CLOSED FORM — slope,
+    intercept, r² of discount-vs-quantity per return flag — the
+    map-side-combinable regression shape: ONE aggregation pass
+    collects the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
+    and the algebra runs on the group-cardinality result, so a 100 TB
+    regression costs exactly what a group-by sum costs (contrast
+    MLlib's iterative LinearRegression for this 1-feature case).
+    Hash-discipline: every sum exits through DECIMAL(18,4) (operands
+    are 2dp×int products, exact at 4dp and < 2^53 scaled, so both
+    engines produce the identical double), and the derived ratios
+    round to 6dp."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_discount").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_discount")).cast(dec))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("l_discount") * F.col("l_discount")).cast(dec))
+        .cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q_pr_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    per_bin AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS DOUBLE) AS total_pos FROM per_bin),
+    cum AS (
+        SELECT bin,
+               CAST(SUM(n) OVER (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_pred,
+               CAST(SUM(pos) OVER (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS tp
+        FROM per_bin
+    )
+    SELECT bin, n_pred, tp,
+           ROUND(CAST(tp AS DOUBLE) / n_pred, 6) AS precision_at,
+           ROUND(CAST(tp AS DOUBLE) / (SELECT total_pos FROM tot), 6)
+             AS recall_at
+    FROM cum
+    """,
+)
+def q_pr_curve(spark, sf_dir):
+    """Precision-recall curve at quantized score thresholds — the
+    q_auc/q_ks_drift discipline applied to the PR plane: one grouped
+    count collapses the corpus to integer score bins (FLOOR, not
+    ROUND — floor of a binary double is engine-exact, round is not),
+    cumulative TP/predicted counts run top-down over the BIN-sized
+    table (never a corpus sort), and each bin emits the curve point
+    for "predict positive at score >= bin". At 100 TB the curve costs
+    one shuffle; the quantization is also what you'd plot anyway."""
+    ev = t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor("value").cast("bigint").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("n").over(w).cast("bigint").alias("n_pred"),
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+    )
+    total_pos = per_bin.agg(
+        F.sum("pos").cast("double").alias("total_pos")
+    )
+    return cum.crossJoin(F.broadcast(total_pos)).select(
+        "bin", "n_pred", "tp",
+        F.round(F.col("tp").cast("double") / F.col("n_pred"), 6)
+        .alias("precision_at"),
+        F.round(F.col("tp").cast("double") / F.col("total_pos"), 6)
+        .alias("recall_at"),
+    )

@@ -275,3 +275,61 @@ def q_locf(spark, sf_dir):
         "event_id",
         F.last(healthy, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query(
+    "q_max_open_orders",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS lo,
+               CAST(MAX(l.l_shipdate) AS DATE) AS hi
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT lo AS d, 1 AS x FROM iv
+        UNION ALL
+        SELECT hi + 1, -1 FROM iv
+    ),
+    agg AS (SELECT d, CAST(SUM(x) AS BIGINT) AS dd FROM deltas GROUP BY d),
+    run AS (
+        SELECT d,
+               SUM(dd) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS conc
+        FROM agg
+    )
+    SELECT CAST(conc AS BIGINT) AS peak_open_orders,
+           CAST(d AS DATE) AS peak_date
+    FROM run
+    ORDER BY conc DESC, d
+    LIMIT 1
+    """,
+)
+def q_max_open_orders(spark, sf_dir):
+    """Peak interval concurrency by SWEEP-LINE — the scale-correct
+    form of "how many orders were open at once": each order is an
+    interval [o_orderdate, last shipdate]; a naive answer self-joins
+    intervals on overlap (quadratic in the open set), the sweep-line
+    form emits +1/-1 boundary deltas, aggregates them per DATE
+    (calendar-bounded, ~2.5k rows regardless of corpus size — the
+    fact tables collapse BEFORE any ordering), and takes a running
+    sum. The single-partition window is over that calendar-sized
+    table only, never the data; at 100 TB the only corpus-scale work
+    is the per-order max-shipdate aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").cast("date").alias("hi"))
+        .select(F.col("o_orderdate").cast("date").alias("lo"), "hi")
+    )
+    deltas = iv.select(F.col("lo").alias("d"), F.lit(1).alias("x")).unionAll(
+        iv.select(F.date_add("hi", 1).alias("d"), F.lit(-1).alias("x"))
+    )
+    agg = deltas.groupBy("d").agg(F.sum("x").cast("bigint").alias("dd"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = agg.withColumn("conc", F.sum("dd").over(w))
+    return run.select(
+        F.col("conc").cast("bigint").alias("peak_open_orders"),
+        F.col("d").cast("date").alias("peak_date"),
+    ).orderBy(F.desc("peak_open_orders"), "peak_date").limit(1)
