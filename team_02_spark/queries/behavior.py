@@ -1031,3 +1031,65 @@ def q_event_transitions(spark, sf_dir):
         F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6)
         .alias("p"),
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS svv
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2
+    ),
+    stats AS (
+        SELECT user_id, n, sv / n AS mean,
+               (svv - sv * sv / n) / (n - 1) AS var
+        FROM s
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           ROUND((e.value - t.mean) / SQRT(t.var), 4) AS z
+    FROM events e JOIN stats t ON e.user_id = t.user_id
+    WHERE t.var > 0
+      AND ABS((e.value - t.mean) / SQRT(t.var)) > 3
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-user z-score anomaly detection: events whose value sits
+    more than 3 sample standard deviations from that user's mean —
+    the cheap first-pass outlier gate before any model. One grouped
+    pass collects exact-decimal sufficient statistics per user (value
+    is 2dp, so value and value² are exact at DECIMAL(18,4) and the
+    derived mean/variance are the IDENTICAL doubles in both engines —
+    the strict >3 boundary is therefore deterministic, not a float
+    coin-flip); the join back is user-keyed, map-side combinable on
+    both legs. SQRT is engine-safe (unlike LN/POWER); z rounds to 4dp
+    for display."""
+    ev = t(spark, sf_dir, "events")
+    dec = "decimal(18,4)"
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("value").cast(dec)).cast("double").alias("sv"),
+            F.sum((F.col("value") * F.col("value")).cast(dec))
+            .cast("double").alias("svv"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    stats = s.select(
+        "user_id",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("var") > 0) & (F.abs(z) > 3))
+        .select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
+    )

@@ -1905,3 +1905,170 @@ def q_cms_topk(spark, sf_dir):
         ).alias("token")
     )
     return cms_heavy_hitters(toks, value="token", k=20)
+
+
+@query(
+    "q_dedup_substring_strip",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents
+    ),
+    base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+    occ0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 10 + 2),
+                      i -> {'pos': i - 1,
+                            'gram': array_to_string(toks[i:i+9], ' ')}),
+                      recursive := true)
+        FROM base WHERE n_tokens >= 10
+    ),
+    occ AS (
+        SELECT doc_id, pos, gram, doc_id * 1000000 + pos AS okey FROM occ0
+    ),
+    ga AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd, MIN(okey) AS mk
+        FROM occ GROUP BY gram
+    ),
+    dup AS (
+        SELECT o.doc_id, o.pos AS s, o.pos + 9 AS e
+        FROM occ o JOIN ga ON o.gram = ga.gram
+        WHERE ga.nd >= 2 AND o.okey <> ga.mk
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1 THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    dead AS (
+        SELECT doc_id, unnest(range(ss, se + 1)) AS pos FROM spans
+    ),
+    stream AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {'pos': i - 1, 'tok': toks[i]}),
+                      recursive := true)
+        FROM tok
+    ),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.tok
+        FROM stream s LEFT JOIN dead d
+          ON s.doc_id = d.doc_id AND s.pos = d.pos
+        WHERE d.pos IS NULL
+    )
+    SELECT b.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+    FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def q_dedup_substring_strip(spark, sf_dir):
+    """The destructive half of the ExactSubstr lane, oracle-checked on
+    the REBUILT TEXT itself: every cross-document duplicated >=10-token
+    span (all-but-canonical copies) is removed positionally and the
+    survivors re-joined — string-for-string parity with the DuckDB
+    twin proves span positions, interval merge, and reassembly all at
+    once. Same cost shape as q_dedup_substring plus one anti-join on
+    (doc, pos) keys (dead-position volume == duplicated tokens, a
+    corpus-shrinking quantity) and one per-doc sorted rebuild."""
+    from team_02_spark.operators.dedup import strip_cross_duplicate_spans
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_cross_duplicate_spans(
+        ensure_parallelism(docs), "doc_id", "text", k=10
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+    top AS (
+        SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+        FROM cnt
+        QUALIFY r <= 100
+    ),
+    pts AS (
+        SELECT LN(CAST(r AS DOUBLE)) AS lx, LN(CAST(c AS DOUBLE)) AS ly
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus frequency distribution: OLS slope
+    of log-frequency on log-rank over the top-100 tokens — the
+    one-number corpus-health readout that separates natural language
+    (slope near -1) from templated/spam text. The corpus collapses to
+    vocab-sized counts in one pass; rank, logs and the closed-form
+    regression all run on a 100-row table (TakeOrdered top-k, tiny
+    window). 4dp rounding absorbs the cross-engine LN ulp (the
+    q_dsir_select precedent)."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = ensure_parallelism(docs).select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), r"\W+"), "")
+        ).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "tok").limit(100).withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), "tok"))
+    )
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
