@@ -333,3 +333,60 @@ def q_max_open_orders(spark, sf_dir):
         F.col("conc").cast("bigint").alias("peak_open_orders"),
         F.col("d").cast("date").alias("peak_date"),
     ).orderBy(F.desc("peak_open_orders"), "peak_date").limit(1)
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders
+        GROUP BY 1
+    ),
+    dow AS (
+        SELECT isodow(d) AS iso_dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+        FROM daily
+        GROUP BY 1
+    ),
+    overall AS (
+        SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS base FROM daily
+    )
+    SELECT iso_dow, n_days,
+           ROUND(avg_rev, 4) AS avg_rev,
+           ROUND(avg_rev / (SELECT base FROM overall), 6) AS seasonal_index
+    FROM dow
+    """,
+)
+def q_seasonal_index(spark, sf_dir):
+    """Day-of-week seasonality index: average daily revenue per ISO
+    weekday divided by the overall daily average — the multiplicative
+    seasonal factor behind staffing/capacity curves and the
+    denominator for deseasonalized anomaly checks. Two cheap levels:
+    the corpus collapses to calendar-days (exact-decimal revenue per
+    day), then to 7 weekday rows; the base joins in as a broadcast
+    1-row aggregate. ISO weekday (Mon=1) on both engines — Spark's
+    default dayofweek is Sun=1 while DuckDB's is Sun=0, the classic
+    cross-engine off-by-one this lane deliberately sidesteps via
+    weekday()+1 ≡ isodow()."""
+    orders = t(spark, sf_dir, "orders")
+    dec = "decimal(18,4)"
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).alias("rev"))
+    dow = daily.groupBy(
+        (F.weekday("d") + 1).cast("bigint").alias("iso_dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum("rev").cast("double") / F.count("*")).alias("avg_rev"),
+    )
+    overall = daily.agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("base")
+    )
+    return dow.crossJoin(F.broadcast(overall)).select(
+        "iso_dow", "n_days",
+        F.round("avg_rev", 4).alias("avg_rev"),
+        F.round(F.col("avg_rev") / F.col("base"), 6).alias("seasonal_index"),
+    )
