@@ -80,6 +80,41 @@ def stream_dedup(events: DataFrame, keys: list[str],
     return events.dropDuplicates(keys)
 
 
+def windowed_cms(events: DataFrame, value: str = "event_type",
+                 window_width: str = "1 hour",
+                 watermark: str | None = None, *,
+                 depth: int | None = None,
+                 buckets: int | None = None) -> DataFrame:
+    """Per-window count-min sketch PARTIALS over a stream — the
+    frequency companion to the windowed aggregates above: each window
+    emits its (depth, bucket, cnt) counter table (bounded at d*w rows
+    per window regardless of stream volume), so per-window heavy
+    hitters / join-size estimates are answered later from counters
+    alone, with the raw stream never stored. This is a plain windowed
+    groupBy, so Structured Streaming gives it watermark-driven state
+    eviction for free — no custom stateful operator needed; window
+    rollups merge downstream by counter SUM (operators/sketches.
+    merge_cms with the window column as a key). Identical semantics in
+    batch mode; the batch==stream test pins it."""
+    from team_02_spark.operators.sketches import (
+        CMS_DEPTH, CMS_WIDTH, cms_bucket_cols,
+    )
+
+    d = depth or CMS_DEPTH
+    w = buckets or CMS_WIDTH
+    src = events.withWatermark("ts", watermark) if watermark else events
+    bcols = F.array(*cms_bucket_cols(F.col(value), d, w))
+    return (
+        src.select("ts", F.posexplode(bcols).alias("depth", "bucket"))
+        .groupBy(F.window("ts", window_width).alias("w"), "depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "depth", "bucket", "cnt",
+        )
+    )
+
+
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """`events` as a file stream: the landing-directory pattern — at
     scale this is `readStream` on a date-partitioned bucket or Kafka;

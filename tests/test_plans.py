@@ -397,3 +397,47 @@ def test_metric_lanes_single_corpus_pass(spark):
         text = explain_str(_q(spark, name))
         n_scans = text.count("Scan parquet")
         assert n_scans <= max_scans, (name, n_scans)
+
+
+def test_round6_lane_plans(spark):
+    """Round-6 lanes keep their scale shapes: no Python stages in any
+    of them (all pure Column algebra), the CMS probe joins a
+    parameter-bounded sketch via broadcast, and the ExactSubstr lane
+    scans the corpus a bounded number of times (gram pass + stats
+    join-back), never pairwise."""
+    for name in ("q_dedup_substring", "q_cms_topk", "q_join_size_est",
+                 "q_max_open_orders", "q_event_transitions",
+                 "q_linreg_group", "q_pr_curve", "q_zipf_fit",
+                 "q_anomaly_zscore", "q_seasonal_index",
+                 "q_weighted_median"):
+        assert not uses_python_udf(_q(spark, name)), name
+    assert has_broadcast_join(_q(spark, "q_cms_topk"))
+    assert has_broadcast_join(_q(spark, "q_pr_curve"))
+
+
+def test_linreg_single_aggregation_pass(spark):
+    """Closed-form OLS must cost exactly one grouped aggregate over
+    the fact table: one scan, one shuffle."""
+    from team_02_spark.plans import explain_str
+
+    df = _q(spark, "q_linreg_group")
+    # one physical scan node (formatted explain prints each node once
+    # in the tree and once in the detail list -> count locations)
+    assert explain_str(df).count("Location: InMemoryFileIndex") == 1
+    assert shuffle_count(df) <= 1
+
+
+def test_sweepline_orders_only_calendar_rows(spark):
+    """q_max_open_orders' single-partition window must sit above the
+    per-date aggregate (calendar-sized input), not above the fact
+    scan: the plan has an aggregate between every scan and the
+    window sort."""
+    from team_02_spark.plans import explain_str
+
+    text = explain_str(_q(spark, "q_max_open_orders"))
+    # the global window sort appears after (above) a HashAggregate in
+    # the plan tree — crude but effective: the window's Sort node must
+    # not be adjacent to a Scan
+    assert "Window" in text
+    win = text.index("Window")
+    assert "HashAggregate" in text[win:], "window runs on unaggregated rows"

@@ -385,3 +385,37 @@ def test_progress_recorder_captures_batch_metrics(spark, tmp_path):
         assert flushed.filter("num_input_rows = 7").count() >= 1
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_windowed_cms_batch_equals_stream_and_estimates_exact(spark):
+    """Streaming per-window CMS partials must equal the batch build
+    row-for-row, and the merged counters must reproduce per-window
+    exact event_type counts (width >> alphabet => no collisions)."""
+    from team_02_spark.operators.sketches import estimate_cms
+    from team_02_spark.streaming.windows import windowed_cms
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = windowed_cms(ev, "event_type", "6 hours").toPandas()
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    stream = _run_stream_to_batch(
+        spark, windowed_cms(stream_src, "event_type", "6 hours")
+    )
+    _assert_frames_equal(
+        batch, stream, ["window_start", "depth", "bucket"]
+    )
+
+    # estimates off the counters == exact per-window counts
+    cms = windowed_cms(ev, "event_type", "6 hours")
+    exact = (
+        ev.groupBy(
+            F.window("ts", "6 hours")["start"].alias("window_start"),
+            F.col("event_type"),
+        )
+        .count()
+        .withColumnRenamed("count", "exact")
+    )
+    est = estimate_cms(
+        cms, exact, value="event_type", keys=["window_start"]
+    )
+    bad = est.filter(F.col("est") != F.col("exact")).count()
+    assert bad == 0 and est.count() > 0

@@ -58,6 +58,10 @@ HEADLINE = {
     "q_psi_drift": "one scan, one map-side-combined (type, bin) aggregate; totals join back at alphabet size — drift costs one shuffle of bin partials",
     "q_ks_drift": "rows collapse to per-DISTINCT-value counts first; ECDF windows run over the vocab-sized table, never a corpus sort",
     "q_source_overlap": "distinct (source, token) collapses the corpus to vocab-sized sets; pair fan-out per token bounded by the source alphabet",
+    "q_dedup_substring": "ExactSubstr: ONE corpus explode to stride-1 gram anchors; gram-keyed aggregate is vocab-sized; join-back occurrence-keyed (no pairwise term); per-doc interval merge windows on doc_id",
+    "q_cms_topk": "CMS build is one map-side-combined explode pass bounded at d*w counter rows; probe joins the parameter-sized sketch back (broadcast); min over d depths per token",
+    "q_join_size_est": "join size WITHOUT the join: two independent key-stream sketch passes; the estimate joins two <=d*w tables; exact side kept alongside for error visibility",
+    "q_max_open_orders": "sweep-line: fact tables collapse to per-order intervals then calendar-dated deltas BEFORE any ordering; the only global window runs over ~calendar-sized rows",
 }
 
 
