@@ -1093,3 +1093,69 @@ def q_anomaly_zscore(spark, sf_dir):
         .filter((F.col("var") > 0) & (F.abs(z) > 3))
         .select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    lagd AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS sid
+        FROM lagd
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_no,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization by gap islands — the lag/cumsum idiom
+    behind every clickstream warehouse (30-minute inactivity gap):
+    one window pass marks session breaks, a running sum numbers the
+    sessions, one aggregate emits per-session start/size/duration.
+    The streaming twin is q_window_session (F.session_window — Spark
+    merges state); this is the REPROCESSING form, one shuffle on
+    user_id serving both windows and the final group. Deterministic
+    under timestamp ties via (ts, event_id) ordering; times exit as
+    integer epoch-microseconds (unix_micros ≡ DuckDB epoch_us — the
+    FIXTURES.md timestamp discipline)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagd = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagd.withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("session_no")
+    ).agg(
+        F.min("us").cast("bigint").alias("start_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+    )
