@@ -64,6 +64,11 @@ HEADLINE = [
     "q_ks_drift",
     "q_source_overlap",
     "q_ngram_dup_rate",
+    # round 6 (NEW keys — the prior 32 stay frozen for r5/r6
+    # comparability): cross-doc ExactSubstr dedup and the count-min
+    # heavy-hitter lane
+    "q_dedup_substring",
+    "q_cms_topk",
 ]
 
 
