@@ -626,7 +626,10 @@ def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     Returns one row per merged span: (id_col, span_start, span_end,
     span_tokens), token positions 0-based inclusive.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
     tok = df.select(F.col(id_col), toks.alias("__toks")).filter(
         F.size("__toks") >= k
     )
@@ -678,7 +681,10 @@ def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
     )
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
     base = df.select(id_col, F.size(toks).cast("bigint").alias("n_tokens"))
     return base.join(per_doc, id_col, "left").select(
         id_col,
@@ -714,7 +720,10 @@ def strip_cross_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         id_col,
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
     stream = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
     kept = stream.join(dead, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

@@ -139,3 +139,19 @@ def test_fixture_non_vacuous(spark):
     stats = substring_dedup_stats(docs, k=10)
     assert stats.filter(F.col("dup_tokens") > 0).count() > 0
     assert stats.count() == docs.count()
+
+
+def test_null_and_empty_text_are_safe(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f g h i j"),
+         (4, "a b c d e f g h i j")],
+        "doc_id bigint, text string")
+    stats = {r.doc_id: r for r in
+             substring_dedup_stats(docs, k=K).collect()}
+    assert stats[1].n_tokens == 0 and stats[1].dup_tokens == 0
+    assert stats[2].n_tokens == 0
+    out = {r.doc_id: r.text for r in
+           strip_cross_duplicate_spans(docs, k=K).collect()}
+    assert out[1] == "" and out[2] == ""
+    assert out[3] == "a b c d e f g h i j"  # canonical kept
+    assert out[4] == ""                     # full-dup doc emptied
