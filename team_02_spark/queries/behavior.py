@@ -1159,3 +1159,87 @@ def q_sessionize(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_events"),
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0
+        FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS (
+        SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM first GROUP BY m0
+    ),
+    rev AS (
+        SELECT f.m0,
+               date_diff('month', f.m0,
+                         CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                 AS age_months,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+                 AS active_customers,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT r.m0 AS cohort_month,
+           CAST(r.age_months AS BIGINT) AS age_months,
+           c.n_customers, r.active_customers, r.rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.m0 ORDER BY
+                r.age_months ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) // c.n_customers AS BIGINT)
+             AS cum_ltv_cents
+    FROM rev r JOIN cohort_size c ON r.m0 = c.m0
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month; per (cohort, age-in-months), active customers, revenue, and
+    the running LTV per cohort member — the retention economics view
+    behind acquisition decisions. INTEGER-CENTS discipline throughout:
+    2dp money becomes exact BIGINT cents, the cumulative sum is
+    integer, and per-customer LTV is a floor division — no double ever
+    enters, so no ROUND boundary can split the engines (the first
+    draft's ROUND(cum/size, 4) mismatched at a .5 ulp boundary; see
+    FIXTURES.md §C). The corpus collapses to per-cohort-age cells
+    (calendar² cardinality) before any window; two shuffles at any
+    scale."""
+    orders = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("m0")
+    )
+    cohort_size = first.groupBy("m0").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    om = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "m0",
+            (F.months_between(om, F.col("m0"))).cast("bigint")
+            .alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint")
+            .alias("active_customers"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
+        )
+    )
+    w = Window.partitionBy("m0").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(cohort_size, "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            "age_months", "n_customers", "active_customers", "rev_cents",
+            F.expr("SUM(rev_cents) OVER (PARTITION BY m0 ORDER BY "
+                   "age_months ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                   "CURRENT ROW) DIV n_customers")
+            .cast("bigint").alias("cum_ltv_cents"),
+        )
+    )

@@ -2072,3 +2072,63 @@ def q_zipf_fit(spark, sf_dir):
             4,
         ).alias("r2"),
     )
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH sets AS ({_NGRAM_SETS_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    cand AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.ida, c.idb, c.inter,
+           CAST(x.sz AS BIGINT) AS sza, CAST(y.sz AS BIGINT) AS szb,
+           ROUND(CAST(c.inter AS DOUBLE) / LEAST(x.sz, y.sz), 6)
+             AS containment
+    FROM cand c
+    JOIN sizes x ON c.ida = x.doc_id
+    JOIN sizes y ON c.idb = y.doc_id
+    WHERE CAST(c.inter AS DOUBLE) / LEAST(x.sz, y.sz) >= 0.8
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Shingle-set CONTAINMENT pairs — the asymmetric cousin of the
+    Jaccard dedup lanes: containment = |A∩B| / min(|A|,|B|) catches
+    quote/expansion relationships (one doc embedded in a longer one)
+    that symmetric Jaccard dilutes below threshold. Same bounded
+    candidate generation as q_dedup_ngram (pairs sharing >= 1 shingle
+    — complete, never all-pairs); the DECIMAL-free ratio is a quotient
+    of exact integers so the strict >= 0.8 gate is deterministic."""
+    docs = t(spark, sf_dir, "documents")
+    sets_df = ensure_parallelism(docs).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sizes = sets_df.select("doc_id", F.size("sh").alias("sz"))
+    ratio = F.col("inter").cast("double") / F.least("sza", "szb")
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "ida")
+                  .withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("doc_id", "idb")
+              .withColumnRenamed("sz", "szb"), "idb")
+        .filter(ratio >= 0.8)
+        .select(
+            "ida", "idb", "inter",
+            F.col("sza").cast("bigint").alias("sza"),
+            F.col("szb").cast("bigint").alias("szb"),
+            F.round(ratio, 6).alias("containment"),
+        )
+    )

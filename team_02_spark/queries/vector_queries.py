@@ -559,3 +559,81 @@ def q_mmr_diverse(spark, sf_dir):
     )
     return mmr_diversify(probes, emb, k=5, shortlist_n=20,
                          lam=0.7, pen_weight=0.3)
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT label,
+               CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+               embedding
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, snap, i.i - 1 AS dim,
+               CAST(SUM(CAST(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                             AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS c
+        FROM tagged, range(1, 65) i(i)
+        GROUP BY label, snap, dim
+    ),
+    ab AS (
+        SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+        WHERE a.snap = 'a' AND b.snap = 'b'
+    ),
+    dots AS (
+        SELECT label, SUM(ca * cb) AS num,
+               SUM(ca * ca) AS na, SUM(cb * cb) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS dims
+        FROM ab GROUP BY label
+    )
+    SELECT label, dims,
+           ROUND(num / (SQRT(na) * SQRT(nb)), 4) AS centroid_cosine,
+           ROUND(1.0 - num / (SQRT(na) * SQRT(nb)), 4) AS drift
+    FROM dots
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two corpus snapshots: split the
+    vectors deterministically (vec_id parity — stand-in for
+    time-window snapshots), compute each label's per-snapshot centroid
+    (the q_embed_centroid pass, decimal-exact element means), and
+    report per-label centroid cosine / drift — the gate that catches a
+    re-embedded or shifted corpus before an index rebuild. All heavy
+    work is the two map-side-combined centroid aggregates over
+    (label, snap, dim) keys; the cosine runs on |labels|x64 rows. 4dp
+    rounding absorbs the 64-term double-sum ulp (order differs across
+    engines only past ~1e-14 relative)."""
+    emb = t(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cent = tagged.groupBy("label", "snap", "dim").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(18,4)"))
+            .cast("double") / F.count("*")
+        ).alias("c")
+    )
+    a = cent.filter(F.col("snap") == "a").select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("snap") == "b").select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    dots = a.join(b, ["label", "dim"]).groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        F.sum(F.col("ca") * F.col("ca")).alias("na"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        F.count("*").cast("bigint").alias("dims"),
+    )
+    cos = F.col("num") / (F.sqrt("na") * F.sqrt("nb"))
+    return dots.select(
+        "label", "dims",
+        F.round(cos, 4).alias("centroid_cosine"),
+        F.round(F.lit(1.0) - cos, 4).alias("drift"),
+    )
