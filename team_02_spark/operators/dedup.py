@@ -625,6 +625,11 @@ def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     Returns one row per merged span: (id_col, span_start, span_end,
     span_tokens), token positions 0-based inclusive.
+
+    Canonical-occurrence keys pack ``id*1e6 + pos`` into one BIGINT,
+    bounding ids at ~9.2e12 and positions at 1e6 tokens/document;
+    both hold at any realistic shard (re-key ids per shard if a
+    global id space ever exceeds the bound).
     """
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),

@@ -205,6 +205,12 @@ def estimate_cms(cms: DataFrame, items: DataFrame, *, value: str,
     data-sized), so Spark's planner broadcasts it under AQE — the
     probe is a map-side join plus a d-row min per item."""
     keys = keys or []
+    clash = {"depth", "bucket", "cnt", "est"} & set(items.columns)
+    if clash:
+        raise ValueError(
+            f"estimate_cms: rename item columns {sorted(clash)} — they "
+            "collide with the sketch-table schema"
+        )
     buckets = F.array(*cms_bucket_cols(F.col(value), depth, width))
     probes = items.select(
         *items.columns, F.posexplode(buckets).alias("depth", "bucket")

@@ -133,3 +133,15 @@ def test_join_size_estimate_disjoint_keys_near_zero(spark):
     cms_b = merge_cms(shard_cms(b, keys=[], value="v"), keys=[])
     est = cms_join_size(cms_a, cms_b).collect()[0].est_pairs
     assert est == 0  # 60 keys in 8192 buckets: no cross-collision
+
+
+def test_estimate_rejects_colliding_item_columns(spark):
+    import pytest
+
+    from team_02_spark.operators.sketches import estimate_cms
+
+    df = spark.createDataFrame([("x",)], "v string")
+    cms = merge_cms(shard_cms(df, keys=[], value="v"), keys=[])
+    items = spark.createDataFrame([("x", 1)], "v string, cnt bigint")
+    with pytest.raises(ValueError, match="collide"):
+        estimate_cms(cms, items, value="v")
