@@ -1243,3 +1243,94 @@ def q_cohort_ltv(spark, sf_dir):
             .cast("bigint").alias("cum_ltv_cents"),
         )
     )
+
+
+@query(
+    "q_session_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    lagd AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS sid
+        FROM lagd
+    ),
+    per_session AS (
+        SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+        FROM sess GROUP BY user_id, sid
+    ),
+    bucketed AS (
+        SELECT CASE WHEN n_events = 1 THEN '1'
+                    WHEN n_events <= 3 THEN '2-3'
+                    WHEN n_events <= 7 THEN '4-7'
+                    ELSE '8+' END AS len_bucket,
+               converted
+        FROM per_session
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM bucketed
+    GROUP BY len_bucket
+    """,
+)
+def q_session_conversion(spark, sf_dir):
+    """Conversion rate by session length — the funnel readout layered
+    on gap-island sessionization (q_sessionize's idiom): sessions
+    bucket by event count (1 / 2-3 / 4-7 / 8+; single-event sessions
+    are the bounce rate), conversion = session contains a purchase.
+    Everything after the one user_id window pass runs on session- then
+    bucket-cardinality tables; integer counts exit as BIGINT, the rate
+    as ROUND(exact-int ratio, 6)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagd = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagd.withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return per_session.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )
