@@ -631,13 +631,25 @@ def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     both hold at any realistic shard (re-key ids per shard if a
     global id space ever exceeds the bound).
     """
+    tok = _substr_tokenize(df, id_col, text_col)
+    return _substr_spans_from_tok(tok, id_col, k)
+
+
+def _substr_tokenize(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """One (id, __toks) frame per doc — the ONLY place the wide text
+    column is read; every ExactSubstr consumer derives from it so the
+    composed ops (stats, strip) tokenize once, not per sub-pipeline."""
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != "",
     )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
-    tok = df.select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= k
-    )
+    return df.select(F.col(id_col), toks.alias("__toks"))
+
+
+def _substr_spans_from_tok(tok_all: DataFrame, id_col: str,
+                           k: int) -> DataFrame:
+    tok = tok_all.filter(F.size("__toks") >= k)
     occ = tok.select(
         id_col,
         F.posexplode(
@@ -680,17 +692,20 @@ def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
     """Per-document cross-doc duplicated-substring stats: token count,
     duplicated-token count (union of merged spans), span count, and
     dup_ratio — the corpus-health readout for the ExactSubstr lane.
-    Docs with no duplicated span report zeros (left join keeps them)."""
-    spans = substring_duplicate_spans(df, id_col, text_col, k)
+    Docs with no duplicated span report zeros (left join keeps them).
+
+    The tokenized frame is lazily checkpointed and shared between the
+    span pipeline and the per-doc token counts, so the wide text
+    column is scanned and split ONCE (the q_ngram_dup_rate pattern)."""
+    tok = _substr_tokenize(df, id_col, text_col).localCheckpoint(eager=False)
+    spans = _substr_spans_from_tok(tok, id_col, k)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
     )
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
-    base = df.select(id_col, F.size(toks).cast("bigint").alias("n_tokens"))
+    base = tok.select(
+        id_col, F.size("__toks").cast("bigint").alias("n_tokens")
+    )
     return base.join(per_doc, id_col, "left").select(
         id_col,
         "n_tokens",
@@ -720,16 +735,13 @@ def strip_cross_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     token stream anti-joins on (id, pos), and one groupBy rebuilds the
     text via a sorted struct collect — no per-doc driver work.
     """
-    spans = substring_duplicate_spans(df, id_col, text_col, k)
+    tok = _substr_tokenize(df, id_col, text_col).localCheckpoint(eager=False)
+    spans = _substr_spans_from_tok(tok, id_col, k)
     dead = spans.select(
         id_col,
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )  # null-safe: a NULL doc tokenizes to [] (F.size(null) is -1)
-    stream = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    stream = tok.select(id_col, F.posexplode("__toks").alias("pos", "tok"))
     kept = stream.join(dead, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -175,13 +175,24 @@ def shard_cms(df: DataFrame, *, keys: list[str], value: str,
     Persist these kilobyte-scale partials like the HLL/KLL shards."""
     shard = (F.col(shard_col) if shard_col
              else F.spark_partition_id().alias("__shard"))
-    buckets = F.array(*[c for c in cms_bucket_cols(F.col(value), depth, width)])
-    return (
+    # pre-aggregate the raw stream to per-shard DISTINCT values first
+    # (map-side combined): the md5 hashing and the d-way explode then
+    # run on vocab-sized rows with a weight column, not on every
+    # occurrence — at corpus scale that is |vocab| hashes instead of
+    # N, and 1/d-th the explode volume feeding the counter aggregate.
+    per_value = (
         df.withColumn("__shard", shard)
-        .select("__shard", *keys,
-                F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("__shard", *keys, F.col(value).alias("__v"))
+        .agg(F.count("*").alias("__w"))
+    )
+    buckets = F.array(*cms_bucket_cols(F.col("__v"), depth, width))
+    return (
+        per_value.select(
+            "__shard", *keys, "__w",
+            F.posexplode(buckets).alias("depth", "bucket"),
+        )
         .groupBy("__shard", *keys, "depth", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
