@@ -182,6 +182,50 @@ def substring_probe(replication: int) -> None:
     spark.stop()
 
 
+def cms_probe(replication: int) -> None:
+    """Data-scaling sweep for the CMS lane (q_cms_topk shape): sf0.1
+    documents replicated N× (same text, so the vocab is CONSTANT while
+    the stream grows N×) — the sketch property under test: counter
+    rows stay bounded at d*w, build cost grows only with the scan, and
+    the vocab-sized hashing stage (post r6 pre-aggregation) does the
+    same md5 work at every N."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.sketches import merge_cms, shard_cms
+
+    spark = get_spark(f"scaling-cms-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        )
+    df = df.repartition(32).persist()
+    df.write.format("noop").mode("overwrite").save()  # warm
+
+    toks = df.select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), r"\W+"), "")
+        ).alias("token")
+    )
+    t0 = time.perf_counter()
+    cms = merge_cms(shard_cms(toks, keys=[], value="token"), keys=[]).persist()
+    rows = cms.count()
+    build_s = time.perf_counter() - t0
+    total = cms.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    print(json.dumps({
+        "mode": "cms", "replication": replication,
+        "build_sec": round(build_s, 2), "counter_rows": rows,
+        "stream_tokens": int(total // 5),
+    }))
+    spark.stop()
+
+
 def pairs_probe(replication: int) -> None:
     """Bounded-candidates evidence for the self-join lanes
     (q_cooccurrence, q_market_basket): candidate pairs must grow
@@ -654,6 +698,9 @@ def main() -> None:
         return
     from team_02_spark import get_spark
 
+    if mode == "cms":
+        cms_probe(arg)
+        return
     if mode == "substring":
         substring_probe(arg)
         return
