@@ -1,0 +1,107 @@
+"""Hypothesis property fuzzing for the round-6 lanes: the CMS
+one-sided-error / mass-conservation / mergeability contracts and the
+ExactSubstr coverage guarantee, on GENERATED inputs rather than the
+fixture (complements the fixed oracle rows with adversarial shapes:
+heavy skew, tiny widths, pathological duplication)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from team_02_spark.operators.dedup import substring_duplicate_spans
+from team_02_spark.operators.sketches import (
+    estimate_cms,
+    merge_cms,
+    shard_cms,
+)
+
+# small alphabets force collisions and duplication; weights force skew
+VALUES = st.lists(
+    st.sampled_from([f"v{i}" for i in range(12)]),
+    min_size=1, max_size=120,
+)
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SETTINGS
+@given(stream=VALUES, width=st.sampled_from([2, 16, 8192]))
+def test_cms_contract_on_random_streams(spark, stream, width):
+    """For ANY stream and ANY width: (a) per-depth counter mass equals
+    the stream length, (b) every estimate >= the exact count, and
+    (c) sharded build == single-partition build exactly."""
+    df = spark.createDataFrame([(v,) for v in stream], "item string")
+    cms = merge_cms(
+        shard_cms(df.repartition(4), keys=[], value="item", width=width),
+        keys=[],
+    )
+    mass = {r.depth: r.s for r in
+            cms.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(mass.values()) == {len(stream)}
+
+    exact = Counter(stream)
+    items = spark.createDataFrame(
+        [(v,) for v in exact], "item string")
+    est = estimate_cms(cms, items, value="item", width=width).collect()
+    for r in est:
+        assert r.est >= exact[r.item], (r.item, r.est, exact[r.item])
+
+    single = merge_cms(
+        shard_cms(df.coalesce(1), keys=[], value="item", width=width),
+        keys=[],
+    )
+    assert cms.exceptAll(single).count() == 0
+    assert single.exceptAll(cms).count() == 0
+
+
+DOC = st.lists(
+    st.sampled_from(list("abcdef")), min_size=1, max_size=14
+).map(lambda toks: " ".join(toks))
+
+
+@_SETTINGS
+@given(docs=st.lists(DOC, min_size=2, max_size=6))
+def test_substring_spans_cover_every_cross_doc_kgram(spark, docs):
+    """Ground-truth check on random corpora: for every token 3-gram
+    occurring in >= 2 documents, every occurrence EXCEPT exactly one
+    global canonical must fall inside a reported span — and spans
+    never touch docs with no cross-doc gram."""
+    k = 3
+    rows = list(enumerate(docs, start=1))
+    df = spark.createDataFrame(
+        [(i, d) for i, d in rows], "doc_id bigint, text string")
+    spans = substring_duplicate_spans(df, k=k).collect()
+    covered = {}
+    for r in spans:
+        covered.setdefault(r.doc_id, set()).update(
+            range(r.span_start, r.span_end + 1))
+
+    occs = {}
+    for i, d in rows:
+        toks = d.split()
+        for p in range(len(toks) - k + 1):
+            occs.setdefault(" ".join(toks[p:p + k]), []).append((i, p))
+    for gram, sites in occs.items():
+        if len({i for i, _ in sites}) < 2:
+            continue
+        canonical = min((i * 1_000_000 + p, i, p) for i, p in sites)
+        for i, p in sites:
+            if (i * 1_000_000 + p) == canonical[0]:
+                continue
+            span_range = set(range(p, p + k))
+            assert span_range <= covered.get(i, set()), (
+                f"occurrence of {gram!r} at doc {i} pos {p} uncovered")
+
+    dup_docs = {
+        i for gram, sites in occs.items()
+        if len({i for i, _ in sites}) >= 2
+        for i, _ in sites
+    }
+    assert set(covered) <= dup_docs
