@@ -322,3 +322,73 @@ def q_bitwise(spark, sf_dir):
         F.shiftleft(F.col("l_linenumber"), 4).cast("bigint").alias("shl4"),
         F.shiftright(F.col("l_orderkey"), 2).cast("bigint").alias("shr2"),
     )
+
+
+@query(
+    "q_try_arith",
+    oracle="""
+    WITH n AS (
+        SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS qty_c
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS total_cents,
+               COALESCE(n.n_items, 0) AS n_items,
+               COALESCE(n.qty_c, 0) AS qty_c
+        FROM orders o LEFT JOIN n ON o.o_orderkey = n.k
+    )
+    SELECT o_orderkey, n_items,
+           CAST(CASE WHEN n_items = 0 THEN NULL
+                     ELSE FLOOR(CAST(total_cents AS DOUBLE) / n_items)
+                END AS BIGINT) AS price_per_item_cents,
+           CAST(CASE WHEN qty_c = 0 THEN NULL
+                     ELSE FLOOR(CAST(total_cents AS DOUBLE) * 100
+                                / qty_c)
+                END AS BIGINT) AS price_per_unit_cents
+    FROM j
+    """,
+)
+def q_try_arith(spark, sf_dir):
+    """Error-safe arithmetic with Spark's ``try_*`` family: per-order
+    price-per-item and price-per-unit where 257 fixture orders have NO
+    line items — ``try_divide`` yields NULL instead of the
+    DIVIDE_BY_ZERO error that kills a 100 TB job under ANSI mode
+    (Spark 4's default); the null-on-zero contract lives in the
+    expression, not in upstream filters that can drift. Hash
+    discipline: money enters as exact BIGINT cents and the quotient
+    exits through FLOOR (engine-exact on the identical IEEE division
+    of exact operands) as integer cents — the ROUND(double,4) form of
+    this query mismatched on 18 four-decimal .5 boundaries (the
+    q_cohort_ltv lesson, FIXTURES.md §C)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+    n = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(cents("l_quantity")).cast("bigint").alias("qty_c"),
+    )
+    j = orders.join(n, orders["o_orderkey"] == n["k"], "left").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("total_cents"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("qty_c", F.lit(0)).alias("qty_c"),
+    )
+    return j.select(
+        "o_orderkey", "n_items",
+        F.floor(
+            F.try_divide(
+                F.col("total_cents").cast("double"),
+                F.nullif(F.col("n_items"), F.lit(0)),
+            )
+        ).cast("bigint").alias("price_per_item_cents"),
+        F.floor(
+            F.try_divide(
+                F.col("total_cents").cast("double") * 100,
+                F.nullif(F.col("qty_c"), F.lit(0)),
+            )
+        ).cast("bigint").alias("price_per_unit_cents"),
+    )

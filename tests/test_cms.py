@@ -145,3 +145,26 @@ def test_estimate_rejects_colliding_item_columns(spark):
     items = spark.createDataFrame([("x", 1)], "v string, cnt bigint")
     with pytest.raises(ValueError, match="collide"):
         estimate_cms(cms, items, value="v")
+
+
+def test_bitmap_distinct_exact_and_merge_lossless(spark):
+    from team_02_spark.operators.sketches import (
+        merge_bitmaps, shard_bitmaps,
+    )
+
+    # values straddle multiple 32k-bit buckets on purpose
+    rows = [("g1", v) for v in [0, 1, 5, 40000, 40000, 70000]] + [
+        ("g2", v) for v in [7, 7, 7, 99999]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v bigint")
+    sharded = merge_bitmaps(
+        shard_bitmaps(df.repartition(4), keys=["grp"], value="v"),
+        keys=["grp"],
+    )
+    got = {r.grp: r.exact_distinct for r in sharded.collect()}
+    assert got == {"g1": 5, "g2": 2}
+    single = merge_bitmaps(
+        shard_bitmaps(df.coalesce(1), keys=["grp"], value="v"),
+        keys=["grp"],
+    )
+    assert {r.grp: r.exact_distinct for r in single.collect()} == got
