@@ -390,3 +390,52 @@ def q_seasonal_index(spark, sf_dir):
         F.round("avg_rev", 4).alias("avg_rev"),
         F.round(F.col("avg_rev") / F.col("base"), 6).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           LAG(rev_cents) OVER (ORDER BY month) AS prev_cents,
+           CAST(CASE WHEN LAG(rev_cents) OVER (ORDER BY month) IS NULL
+                     THEN NULL
+                     ELSE ((rev_cents - LAG(rev_cents) OVER
+                            (ORDER BY month)) * 10000)
+                          // LAG(rev_cents) OVER (ORDER BY month)
+                END AS BIGINT) AS growth_bp
+    FROM m
+    """,
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth in integer BASIS POINTS — the
+    reporting staple, done with the exact-integer discipline end to
+    end: revenue as BIGINT cents, growth as (delta*10000) floor-DIV
+    prev — no double, no ROUND boundary (FIXTURES.md §C, the
+    q_cohort_ltv lesson; Spark `DIV` and DuckDB `//` BOTH truncate
+    toward zero on integers — checked explicitly, and the fixture's
+    41 negative-growth months exercise the negative branch). The
+    corpus collapses to calendar months
+    before the single tiny ordering window; the only corpus-scale
+    work is one map-side-combined month aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month", "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            F.expr("(rev_cents - LAG(rev_cents) OVER (ORDER BY month)) "
+                   "* 10000 DIV LAG(rev_cents) OVER (ORDER BY month)")
+        ).cast("bigint").alias("growth_bp"),
+    )
