@@ -1334,3 +1334,56 @@ def q_session_conversion(spark, sf_dir):
             F.sum("converted").cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(date_trunc('month', date_trunc('week', ts)) AS DATE)
+                 AS month
+        FROM events
+    ),
+    wau AS (
+        SELECT week, month,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM tagged GROUP BY week, month
+    ),
+    mau AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM tagged GROUP BY month
+    )
+    SELECT w.week, w.wau, m.mau,
+           CAST(w.wau * 10000 // m.mau AS BIGINT) AS stickiness_bp
+    FROM wau w JOIN mau m ON w.month = m.month
+    """,
+)
+def q_stickiness(spark, sf_dir):
+    """WAU/MAU stickiness per ISO week (both engines' date_trunc week
+    starts Monday) — the engagement ratio product teams track; weeks
+    attribute to the month containing their Monday so each week has
+    exactly one MAU denominator. Distinct counts are exact integers
+    and the ratio exits in integer BASIS POINTS (truncating DIV) —
+    the no-double discipline (FIXTURES.md §C). Two distinct-count
+    shuffles over calendar-bounded keys; MAU joins back at month
+    cardinality."""
+    ev = t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    tagged = ev.select(
+        "user_id",
+        week.alias("week"),
+        F.date_trunc("month", week).cast("date").alias("month"),
+    )
+    wau = tagged.groupBy("week", "month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    mau = tagged.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return wau.join(mau, "month").select(
+        "week", "wau", "mau",
+        F.expr("wau * 10000 DIV mau").cast("bigint")
+        .alias("stickiness_bp"),
+    )
