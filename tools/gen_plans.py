@@ -62,6 +62,8 @@ HEADLINE = {
     "q_cms_topk": "CMS build is one map-side-combined explode pass bounded at d*w counter rows; probe joins the parameter-sized sketch back (broadcast); min over d depths per token",
     "q_join_size_est": "join size WITHOUT the join: two independent key-stream sketch passes; the estimate joins two <=d*w tables; exact side kept alongside for error visibility",
     "q_max_open_orders": "sweep-line: fact tables collapse to per-order intervals then calendar-dated deltas BEFORE any ordering; the only global window runs over ~calendar-sized rows",
+    "q_bitmap_distinct": "exact mergeable distinct: per-shard bucket bitmaps (map-side construct_agg), lossless OR rollup; counts exit without rescanning raw rows",
+    "q_cohort_ltv": "integer-cents LTV: corpus collapses to per-customer first-month then cohort-age cells; the running-sum window is calendar-squared-sized",
 }
 
 
