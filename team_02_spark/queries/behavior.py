@@ -1387,3 +1387,90 @@ def q_stickiness(spark, sf_dir):
         F.expr("wau * 10000 DIV mau").cast("bigint")
         .alias("stickiness_bp"),
     )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def q_event_paths(spark, sf_dir):
+    """Top-10 three-step user paths (sequence mining's frequent-path
+    staple): two leads over one (user, ts, event_id) window emit each
+    consecutive event trigram; counts collapse to the alphabet³ path
+    table, and the top-k is a TakeOrdered over that tiny table — at
+    100 TB the whole query is one user-key shuffle plus a path-key
+    aggregate, both map-side combined. Deterministic tie-break by
+    path string."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "q_dwell_time",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_stays,
+           CAST(SUM(nxt - us) AS BIGINT) AS total_dwell_us,
+           CAST(SUM(nxt - us) // COUNT(*) AS BIGINT) AS avg_dwell_us
+    FROM seq
+    WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_dwell_time(spark, sf_dir):
+    """Time-in-state per event type: dwell = gap to the user's next
+    event (epoch-µs integers end to end — totals and the truncating-
+    DIV average never touch a double, the FIXTURES.md §C money/time
+    discipline). One user-key window pass, then an alphabet-sized
+    aggregate; the per-state dwell profile that feeds engagement and
+    abandonment models."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_stays"),
+        F.sum(F.col("nxt") - F.col("us")).cast("bigint")
+        .alias("total_dwell_us"),
+        F.expr("SUM(nxt - us) DIV COUNT(*)").cast("bigint")
+        .alias("avg_dwell_us"),
+    )

@@ -419,3 +419,29 @@ def test_windowed_cms_batch_equals_stream_and_estimates_exact(spark):
     )
     bad = est.filter(F.col("est") != F.col("exact")).count()
     assert bad == 0 and est.count() > 0
+
+
+def test_gap_island_sessions_equal_session_window(spark):
+    """Cross-validation of the two sessionization lanes: the batch
+    lag/cumsum gap-island form (q_sessionize) and Spark's native
+    session_window must produce IDENTICAL sessions — same (user,
+    start, event-count) multiset — for the same 30-minute gap."""
+    from team_02_spark.queries.registry import QUERIES
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    native = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+    islands = QUERIES["q_sessionize"].fn(spark, SF_SMOKE).select(
+        "user_id", "start_us", "n_events"
+    )
+    assert native.exceptAll(islands).count() == 0
+    assert islands.exceptAll(native).count() == 0
