@@ -1,0 +1,661 @@
+"""Statistical / data-quality analytics lanes: gaps-and-islands
+streaks, churn, Benford digit audit, market concentration (HHI),
+bigram language-model scoring, autocorrelation, Spearman rank
+correlation, chi-square independence cells, per-key mode,
+inter-purchase gaps, and readability scoring.
+
+Reference scope: /root/reference/src/main.py only ever counts raw
+events and rows (133-160); these are the statistical audits a
+practitioner runs on the same tables before trusting them as training
+inputs — distributional sanity (Benford, chi-square), concentration
+(HHI, Pareto's sibling), temporal structure (streaks, churn,
+autocorrelation), and corpus quality (bigram LM, readability).
+
+Scale posture: every lane is one or two keyed shuffles (window on a
+user/customer/day key, or a group-by on a bounded alphabet). The
+bigram-LM lane's count tables are vocabulary-sized, never corpus-
+sized; no lane self-joins the fact table.
+
+Determinism discipline (FIXTURES.md §C): ratios exit as scaled
+integers via `DIV` (Spark) ≡ `//` (DuckDB); money is BIGINT cents;
+moment sums go through exact DECIMAL; windowed integer sums in the
+oracles are wrapped `CAST(.. AS BIGINT)` against DuckDB's HUGEINT
+promotion; rank tie-breaks are total orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import t
+
+# Portable epoch-day number: Spark datediff(day, 1970-01-01) ==
+# DuckDB date_diff('day', DATE '1970-01-01', day) — integer days,
+# no timezone surface (both sides truncate the same UTC-pinned ts).
+_DAYNUM_SQL = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+@query(
+    "q_gaps_islands",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, {_DAYNUM_SQL} AS day_num FROM events
+    ),
+    isl AS (
+        SELECT user_id, day_num,
+               day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY day_num) AS island
+        FROM days
+    ),
+    per_island AS (
+        SELECT user_id, island, COUNT(*) AS len FROM isl
+        GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM per_island GROUP BY user_id
+    """,
+)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: per user, runs of consecutive active days
+    (day_num - row_number is constant within a run). One shuffle keyed
+    on user_id; the island aggregate reuses the same partitioning.
+    All outputs are exact integers."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+            "day_num"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    isl = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    per_island = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return per_island.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").alias("n_islands"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+@query(
+    "q_churn_rate",
+    oracle="""
+    WITH cutoff AS (
+        SELECT MAX(ts) - INTERVAL 7 DAY AS c FROM events
+    ),
+    prior AS (
+        SELECT DISTINCT user_id FROM events, cutoff WHERE ts < c
+    ),
+    recent AS (
+        SELECT DISTINCT user_id FROM events, cutoff WHERE ts >= c
+    ),
+    churned AS (
+        SELECT user_id FROM prior
+        EXCEPT SELECT user_id FROM recent
+    )
+    SELECT (SELECT COUNT(*) FROM prior)   AS n_prior,
+           (SELECT COUNT(*) FROM recent)  AS n_recent,
+           (SELECT COUNT(*) FROM churned) AS n_churned,
+           (SELECT COUNT(*) FROM churned) * 10000
+             // (SELECT COUNT(*) FROM prior) AS churn_bp
+    """,
+)
+def q_churn_rate(spark, sf_dir):
+    """Churn audit: users active before the final 7-day window who
+    never return inside it. The cutoff is max(ts) - 7 days (exact
+    integer-microsecond arithmetic, engine-identical); the rate exits
+    as integer basis points via DIV — no double is produced.
+
+    ONE events pass: the broadcast 1-row cutoff tags each event, a
+    per-user aggregate folds to two booleans (any-prior, any-recent),
+    and the three counts are conditional sums over the user-sized
+    table — 2 shuffles total (user_id agg + final fold), vs the
+    naive three-distinct-sets + EXCEPT form's 11."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("c"))
+    per_user = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts") < F.col("c")).alias("prior"),
+            F.max(F.col("ts") >= F.col("c")).alias("recent"),
+        )
+    )
+    return per_user.agg(
+        F.count_if("prior").alias("n_prior"),
+        F.count_if("recent").alias("n_recent"),
+        F.count_if(F.col("prior") & ~F.col("recent")).alias("n_churned"),
+    ).select(
+        "n_prior",
+        "n_recent",
+        "n_churned",
+        F.expr("n_churned * 10000 DIV n_prior").alias("churn_bp"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counted AS (
+        SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST((n * 10000) // CAST(SUM(n) OVER () AS BIGINT)
+                AS BIGINT) AS freq_bp
+    FROM counted
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit on order totals — the classic
+    fabricated-data screen. The leading digit is read off the exact
+    DECIMAL(18,2) string form (both engines print plain positional
+    notation for DECIMAL; the >= 1 guard excludes any '0.' prefix, and
+    the fixture's minimum price is ~1013). Frequencies exit as integer
+    basis points. One tiny (<=9 group) aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    return counted.withColumn(
+        "freq_bp",
+        F.expr("n * 10000 DIV CAST(SUM(n) OVER () AS BIGINT)").cast("bigint"),
+    )
+
+
+@query(
+    "q_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS seg_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+    ),
+    shares AS (
+        SELECT n_name,
+               seg_cents * 10000
+                 // CAST(SUM(seg_cents) OVER (PARTITION BY n_name)
+                         AS BIGINT) AS share_bp
+        FROM rev
+    )
+    SELECT n_name,
+           COUNT(*) AS n_segments,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) // 10000 AS hhi_bp
+    FROM shares GROUP BY n_name
+    """,
+)
+def q_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of order revenue across
+    market segments, per nation — the concentration screen next to
+    q_pareto/q_gini. Money is exact BIGINT cents; shares and the index
+    exit as floor-DIV basis points (no double anywhere). The dims
+    (customer, nation) broadcast under AQE; the only fact-table
+    shuffle is the (nation, segment) aggregate over a 125-key space."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.sum(cents).cast("bigint").alias("seg_cents"))
+    )
+    wn = Window.partitionBy("n_name")
+    shares = rev.select(
+        "n_name",
+        F.expr(
+            "seg_cents * 10000 DIV CAST(SUM(seg_cents) "
+            "OVER (PARTITION BY n_name) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+    return shares.groupBy("n_name").agg(
+        F.count("*").alias("n_segments"),
+        F.expr("CAST(SUM(share_bp * share_bp) AS BIGINT) DIV 10000").alias(
+            "hhi_bp"
+        ),
+    )
+
+
+# Whitespace tokens, lowercased — the q_vocab_coverage tokenization
+# (simpler than clean_tokens: the LM wants raw surface forms).
+_WS_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WS_TOKS_SQL} AS tk FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> {{'w1': tk[CAST(i AS INT)],
+                            'w2': tk[CAST(i AS INT) + 1]}}),
+                      recursive := true)
+        FROM toks
+    ),
+    first_counts AS (
+        SELECT w1, COUNT(*) AS n_first FROM pairs GROUP BY w1
+    ),
+    bg_counts AS (
+        SELECT w1, w2, COUNT(*) AS n_xy FROM pairs GROUP BY w1, w2
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(b.n_xy * 1000000000 // f.n_first) AS BIGINT)
+             // COUNT(*) AS avg_p_e9
+    FROM pairs p
+    JOIN bg_counts b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN first_counts f ON p.w1 = f.w1
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """Bigram language-model fluency score per document: the corpus
+    MLE p(w2|w1) = n(w1 w2) / n(w1 ·) averaged over each document's
+    bigrams. High scores mark repetitive / formulaic text — a
+    corpus-quality signal next to q_lm_perplexity (which uses ln; this
+    lane stays in exact integer fixed point: each probability is
+    n_xy * 1e9 DIV n_first, the document score a floor-DIV mean).
+
+    ONE tokenize pass: tokens explode once to (doc, pos) and bigrams
+    come from a lead() over the (doc_id, pos) window. Both count
+    tables are vocabulary-sized; the joins back to the pair stream are
+    key-partitioned (and broadcastable when the vocab fits)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("tk"),
+    )
+    exploded = toks.select("doc_id", F.posexplode("tk").alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        exploded.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    first_counts = pairs.groupBy("w1").agg(F.count("*").alias("n_first"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    scored = (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(first_counts, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("n_xy * 1000000000 DIV n_first").alias("p_e9"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("CAST(SUM(p_e9) AS BIGINT) DIV COUNT(*)").alias("avg_p_e9"),
+    )
+
+
+_DAILY_CENTS_SQL = """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+def _autocorr_oracle(lag: int) -> str:
+    return f"""
+    SELECT CAST({lag} AS BIGINT) AS lag_days,
+           COUNT(y) AS n_pairs,
+           ROUND(
+             (COUNT(y) * CAST(SUM(CAST(x AS DECIMAL(19,0))
+                                  * CAST(y AS DECIMAL(19,0))) AS DOUBLE)
+              - CAST(SUM(CASE WHEN y IS NOT NULL
+                              THEN CAST(x AS DECIMAL(38,0)) END) AS DOUBLE)
+                * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))
+             / SQRT(
+                 (COUNT(y) * CAST(SUM(CASE WHEN y IS NOT NULL
+                        THEN CAST(x AS DECIMAL(19,0))
+                             * CAST(x AS DECIMAL(19,0)) END) AS DOUBLE)
+                  - CAST(SUM(CASE WHEN y IS NOT NULL
+                        THEN CAST(x AS DECIMAL(38,0)) END) AS DOUBLE)
+                    * CAST(SUM(CASE WHEN y IS NOT NULL
+                        THEN CAST(x AS DECIMAL(38,0)) END) AS DOUBLE))
+                 * (COUNT(y) * CAST(SUM(CAST(y AS DECIMAL(19,0))
+                                        * CAST(y AS DECIMAL(19,0)))
+                                    AS DOUBLE)
+                    - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                      * CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE))
+             ), 6) AS autocorr
+    FROM lagged_{lag}
+    """
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lagged_1 AS (
+        SELECT cents AS x, LAG(cents, 1) OVER (ORDER BY d) AS y FROM daily
+    ),
+    lagged_7 AS (
+        SELECT cents AS x, LAG(cents, 7) OVER (ORDER BY d) AS y FROM daily
+    )
+    {_autocorr_oracle(1)}
+    UNION ALL
+    {_autocorr_oracle(7)}
+    """,
+)
+def q_autocorr(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of daily order revenue — the
+    seasonality probe next to q_seasonal_index. Daily revenue is exact
+    BIGINT cents, so every lagged pair is integer; the Pearson closed
+    form runs on exact DECIMAL(38,0) moment sums (pairwise products
+    <= ~1e16 stay inside BIGINT), exits once per aggregate to double,
+    and ROUNDs to 6. The ~2.4k-row daily table aggregates in one
+    shuffle; both windows share its sort."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+
+    def corr_for(lag: int):
+        lagged = daily.select(
+            F.col("cents").alias("x"),
+            F.lag("cents", lag).over(w).alias("y"),
+        )
+        n = F.count("y")
+        dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+        x19, y19 = F.col("x").cast(dec19), F.col("y").cast(dec19)
+        present = F.col("y").isNotNull()
+        sx = F.sum(F.when(present, F.col("x").cast(dec))).cast("double")
+        sy = F.sum(F.col("y").cast(dec)).cast("double")
+        sxy = F.sum(x19 * y19).cast("double")
+        sxx = F.sum(F.when(present, x19 * x19)).cast("double")
+        syy = F.sum(y19 * y19).cast("double")
+        corr = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return lagged.agg(
+            F.lit(lag).cast("bigint").alias("lag_days"),
+            n.alias("n_pairs"),
+            F.round(corr, 6).alias("autocorr"),
+        )
+
+    return corr_for(1).unionAll(corr_for(7))
+
+
+@query(
+    "q_rank_corr",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+               CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)), 0) AS BIGINT)
+                 AS spend_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    ),
+    ranked AS (
+        SELECT c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rx,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY spend_cents, c_custkey) AS ry
+        FROM spend
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(CAST(1 AS DOUBLE)
+                 - CAST(6 * SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+                   / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)), 6)
+             AS spearman
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def q_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between a customer's account balance
+    and their lifetime spend, per market segment. Spend is exact cents
+    (a double sum would make the rank order partition-dependent);
+    ranks are row_number with a c_custkey tiebreak (total order), so
+    sum(d^2) is an exact BIGINT and the closed form is one double
+    division of exact integers."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("spend_cents"))
+    )
+    wx = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wy = Window.partitionBy("c_mktsegment").orderBy("spend_cents", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+    spearman = F.lit(1.0) - (6 * d2).cast("double") / (n * (n * n - 1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n"), F.round(spearman, 6).alias("spearman")
+    )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    margins AS (
+        SELECT o_orderpriority, o_orderstatus, observed,
+               CAST(SUM(observed) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS rt,
+               CAST(SUM(observed) OVER (PARTITION BY o_orderstatus)
+                    AS BIGINT) AS ct,
+               CAST(SUM(observed) OVER () AS BIGINT) AS n
+        FROM obs
+    )
+    SELECT o_orderpriority, o_orderstatus, observed,
+           ROUND(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
+           ROUND((observed - CAST(rt * ct AS DOUBLE) / n)
+                 * (observed - CAST(rt * ct AS DOUBLE) / n)
+                 / (CAST(rt * ct AS DOUBLE) / n), 6) AS contrib
+    FROM margins
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence cells for order priority x status: the
+    contingency table with expected counts and per-cell chi-square
+    contributions (the summed statistic would be an order-dependent
+    15-term double fold; the cells themselves are deterministic —
+    rt*ct is an exact BIGINT product and every double op repeats the
+    same algebraic shape on both engines). One 15-group aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("observed")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wg = Window.partitionBy()
+    margins = obs.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.sum("observed").over(wr).cast("bigint").alias("rt"),
+        F.sum("observed").over(wc).cast("bigint").alias("ct"),
+        F.sum("observed").over(wg).cast("bigint").alias("n"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return margins.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6).alias(
+            "contrib"
+        ),
+    )
+
+
+@query(
+    "q_mode_per_key",
+    oracle="""
+    WITH counted AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counted
+    )
+    SELECT user_id, event_type AS top_type, n FROM ranked WHERE rk = 1
+    """,
+)
+def q_mode_per_key(spark, sf_dir):
+    """Per-user modal event type with a deterministic tie-break (max
+    count, then lexicographic) — builtin mode() is tie-arbitrary
+    across engines, so the lane spells out the total order. One
+    count aggregate + one window, both keyed on user_id."""
+    ev = t(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+@query(
+    "q_interpurchase",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(CAST(o_orderdate AS DATE))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap) * 100 AS BIGINT) // COUNT(*) AS avg_gap_x100
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q_interpurchase(spark, sf_dir):
+    """Inter-purchase intervals per customer: integer day gaps between
+    consecutive orders (orderkey tiebreak; same-day repeats contribute
+    exact 0 gaps), max and a x100 floor-DIV mean. The retention-
+    modeling companion to q_rfm/q_lead_time. One window shuffle keyed
+    on o_custkey."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_orders"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        F.expr("CAST(SUM(gap) * 100 AS BIGINT) DIV COUNT(*)").alias(
+            "avg_gap_x100"
+        ),
+    )
+
+
+@query(
+    "q_readability",
+    oracle=r"""
+    WITH split AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                               s -> regexp_matches(s, '\w'))) AS n_sent,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words * 100 // CAST(GREATEST(n_sent, 1) AS BIGINT)
+             AS words_per_sent_x100,
+           n_chars * 100 // CAST(GREATEST(n_words, 1) AS BIGINT)
+             AS chars_per_word_x100
+    FROM split
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Readability surface statistics per document: sentence count
+    (word-bearing [.!?] segments), word count, and the two Flesch
+    inputs — words/sentence and chars/word — as x100 floor-DIV
+    integers (the float Flesch composite would be engine-rounding
+    bait; its integer inputs carry the same signal for filtering).
+    Narrow projection, no shuffle at all — a pure map lane."""
+    docs = t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: s.rlike(r"\w")
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    split = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(sents).alias("n_sent"),
+        F.size(words).alias("n_words"),
+    )
+    return split.select(
+        "doc_id",
+        F.col("n_sent").cast("bigint").alias("n_sent"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.expr(
+            "n_words * 100 DIV CAST(GREATEST(n_sent, 1) AS BIGINT)"
+        ).alias("words_per_sent_x100"),
+        F.expr(
+            "n_chars * 100 DIV CAST(GREATEST(n_words, 1) AS BIGINT)"
+        ).alias("chars_per_word_x100"),
+    )

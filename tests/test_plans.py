@@ -441,3 +441,27 @@ def test_sweepline_orders_only_calendar_rows(spark):
     assert "Window" in text
     win = text.index("Window")
     assert "HashAggregate" in text[win:], "window runs on unaggregated rows"
+
+
+def test_stats_lane_plans(spark):
+    """Round-6b statistical lanes: everything JVM-side; readability is
+    a pure map (zero exchanges); the rest stay inside small fixed
+    shuffle budgets (keyed window/agg chains, vocab-sized LM count
+    tables — never a corpus self-join)."""
+    budgets = {
+        "q_readability": 0,
+        "q_interpurchase": 1,
+        "q_gaps_islands": 2,
+        "q_benford": 2,
+        "q_hhi": 2,
+        "q_rank_corr": 2,
+        "q_chi_square": 2,
+        "q_mode_per_key": 2,
+        "q_churn_rate": 3,
+        "q_autocorr": 4,
+        "q_bigram_lm": 5,
+    }
+    for name, budget in budgets.items():
+        df = _q(spark, name)
+        assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
+        assert not uses_python_udf(df), f"{name} crossed into Python"
