@@ -63,6 +63,8 @@ HEADLINE = {
     "q_join_size_est": "join size WITHOUT the join: two independent key-stream sketch passes; the estimate joins two <=d*w tables; exact side kept alongside for error visibility",
     "q_max_open_orders": "sweep-line: fact tables collapse to per-order intervals then calendar-dated deltas BEFORE any ordering; the only global window runs over ~calendar-sized rows",
     "q_bitmap_distinct": "exact mergeable distinct: per-shard bucket bitmaps (map-side construct_agg), lossless OR rollup; counts exit without rescanning raw rows",
+    "q_bigram_lm": "ONE tokenize pass; bigrams from lead() on the (doc,pos) window; both count tables vocab-sized and key-joined back (broadcastable); doc score is a keyed agg — never a corpus self-join",
+    "q_gaps_islands": "distinct (user, day) collapses the event stream first; island keys and per-user stats reuse the single user_id partitioning",
     "q_cohort_ltv": "integer-cents LTV: corpus collapses to per-customer first-month then cohort-age cells; the running-sum window is calendar-squared-sized",
 }
 
