@@ -659,3 +659,186 @@ def q_readability(spark, sf_dir):
             "n_chars * 100 DIV CAST(GREATEST(n_words, 1) AS BIGINT)"
         ).alias("chars_per_word_x100"),
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy self-join for entity resolution: near-identical part
+    names by edit distance <= 4. The corpus collapses to DISTINCT
+    names FIRST (name-alphabet-sized, the collapse any 100 TB entity
+    matcher does), then candidates are blocked on the first token —
+    levenshtein only runs inside blocks, never all-pairs. Both engines
+    implement classic Levenshtein identically."""
+    part = t(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("bigint").alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4,
+               (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS dt_s
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS total_s,
+           CAST(SUM(v4 * dt_s) AS BIGINT)
+             // CAST(SUM(dt_s) AS BIGINT) AS twap_x10000
+    FROM seq WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY event_type
+    """,
+)
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per event type: each observation's
+    value holds until the user's next event (state-sampling
+    semantics); the weight is the whole-second interval. Everything is
+    integer — value enters as exact x10000 fixed point (one decimal
+    cast per input datum), intervals are truncating epoch-second
+    diffs, and the TWAP exits as a floor-DIV x10000 integer. Sum
+    bound: max_v4(~5e6) x total_s(~4e9 at sf0.1) ~ 2e16 << BIGINT.
+    One user_id window shuffle + one alphabet-sized aggregate."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "v4"
+        ),
+        F.expr("(LEAD(unix_micros(ts)) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id) - unix_micros(ts)) DIV 1000000").alias(
+            "dt_s"
+        ),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_s").cast("bigint").alias("total_s"),
+        F.expr(
+            "CAST(SUM(v4 * dt_s) AS BIGINT) DIV CAST(SUM(dt_s) AS BIGINT)"
+        ).alias("twap_x10000"),
+    )
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_WS_TOKS_SQL}) AS w FROM documents
+    ),
+    counts AS (
+        SELECT source, w, COUNT(*) AS n FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // COUNT(*) AS hapax_bp
+    FROM counts GROUP BY source
+    """,
+)
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth audit per source: token volume,
+    vocabulary size, and the hapax-legomenon share (the fraction of
+    vocabulary seen exactly once — high hapax share means the source's
+    vocabulary is still growing; near-zero means templated text). The
+    companion corpus-health gate to q_zipf_fit. One tokenize pass into
+    a (source, token)-keyed count — vocab-sized thereafter."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    counts = toks.groupBy("source", "w").agg(F.count("*").alias("n"))
+    return counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000 "
+            "DIV COUNT(*)"
+        ).alias("hapax_bp"),
+    )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS first_d FROM active GROUP BY user_id
+    )
+    SELECT a.d,
+           CAST(SUM(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN a.d = f.first_d THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_returning,
+           CAST(SUM(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 // COUNT(*) AS new_share_bp
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY a.d
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split — the acquisition/retention
+    decomposition of DAU (companion to q_dau/q_stickiness). The event
+    stream collapses to distinct (user, day) FIRST; first-seen days
+    come from a window min over the same user_id partitioning (no
+    second scan), and the daily split is a calendar-sized aggregate.
+    Shares exit as integer basis points."""
+    ev = t(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wu = Window.partitionBy("user_id")
+    flagged = active.withColumn("first_d", F.min("d").over(wu))
+    is_new = F.when(F.col("d") == F.col("first_d"), 1).otherwise(0)
+    return flagged.groupBy("d").agg(
+        F.sum(is_new).cast("bigint").alias("n_new"),
+        F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+        F.expr(
+            "CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) "
+            "* 10000 DIV COUNT(*)"
+        ).alias("new_share_bp"),
+    )

@@ -460,6 +460,10 @@ def test_stats_lane_plans(spark):
         "q_churn_rate": 3,
         "q_autocorr": 4,
         "q_bigram_lm": 5,
+        "q_fuzzy_join": 2,
+        "q_twap": 2,
+        "q_heaps_law": 2,
+        "q_new_vs_returning": 3,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)
