@@ -661,6 +661,63 @@ def skew_probe(replication: int) -> None:
     spark.stop()
 
 
+def bigram_lm_probe(replication: int) -> None:
+    """Data-scaling sweep for the bigram-LM lane (q_bigram_lm shape):
+    sf0.1 documents replicated Nx under fresh doc_ids (same text, so
+    the VOCAB and both count tables are CONSTANT while the pair stream
+    grows Nx). The property under test: scoring cost grows only with
+    the corpus scan + pair shuffle — the count-table joins never become
+    corpus-sized, so runtime is near-linear in N."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+
+    spark = get_spark(f"scaling-bigramlm-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        )
+    df = df.repartition(32).persist()
+    df.write.format("noop").mode("overwrite").save()  # warm
+
+    toks = df.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "").alias("tk"),
+    )
+    exploded = toks.select("doc_id", F.posexplode("tk").alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = exploded.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    t0 = time.perf_counter()
+    first_counts = pairs.groupBy("w1").agg(F.count("*").alias("n_first"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    scored = (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(first_counts, ["w1"])
+        .select("doc_id", F.expr("n_xy * 1000000000 DIV n_first").alias("p_e9"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.expr("CAST(SUM(p_e9) AS BIGINT) DIV COUNT(*)").alias("avg_p_e9"))
+    )
+    scored.write.format("noop").mode("overwrite").save()
+    score_s = time.perf_counter() - t0
+    vocab = bg_counts.count()
+    print(json.dumps({
+        "mode": "bigram_lm", "replication": replication,
+        "score_sec": round(score_s, 2), "bigram_vocab_rows": vocab,
+        "docs": n * replication,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "skew":
@@ -700,6 +757,9 @@ def main() -> None:
 
     if mode == "cms":
         cms_probe(arg)
+        return
+    if mode == "bigram_lm":
+        bigram_lm_probe(arg)
         return
     if mode == "substring":
         substring_probe(arg)
