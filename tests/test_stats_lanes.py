@@ -1,0 +1,216 @@
+"""Invariant tests for the statistical audit lanes
+(`queries/stats_queries.py`) — algebraic properties the oracles can't
+express: bounds, reconstruction identities, and cross-lane
+consistency. The exact-value gate is tests/test_oracle.py; these pin
+semantics that must survive refactors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _q(spark, name):
+    return QUERIES[name].fn(spark, SF_SMOKE)
+
+
+def test_gaps_islands_reconstruction(spark):
+    """Σ island lengths == active-day count; longest streak is a
+    length, so it is bounded by both; island count never exceeds the
+    active-day count."""
+    rows = _q(spark, "q_gaps_islands").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert 1 <= r.n_islands <= r.n_active_days
+
+
+def test_gaps_islands_matches_distinct_days(spark):
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    expected = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = _q(spark, "q_gaps_islands").select(
+        "user_id", F.col("n_active_days").alias("n")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_churn_rate_bounds(spark):
+    r = _q(spark, "q_churn_rate").collect()[0]
+    assert 0 <= r.n_churned <= r.n_prior
+    assert 0 <= r.churn_bp <= 10000
+
+
+def test_benford_partitions_all_orders(spark):
+    from team_02_spark.sources import load_table
+
+    rows = _q(spark, "q_benford").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+
+
+def test_hhi_bounds(spark):
+    """HHI in bp lies in (0, 10000]; a 5-segment equal split floors
+    at 2000 bp, monopoly at 10000."""
+    for r in _q(spark, "q_hhi").collect():
+        assert 0 < r.hhi_bp <= 10000
+        assert r.n_segments >= 1
+
+
+def test_bigram_lm_probability_bounds(spark):
+    """Fixed-point MLE averages are probabilities: 0 < avg <= 1e9
+    (every bigram's count is at least 1 and at most its first-word
+    count)."""
+    rows = _q(spark, "q_bigram_lm").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.avg_p_e9 <= 1_000_000_000
+        assert r.n_bigrams >= 1
+
+
+def test_autocorr_in_range(spark):
+    for r in _q(spark, "q_autocorr").collect():
+        assert r.lag_days in (1, 7)
+        assert -1.0 <= r.autocorr <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_rank_corr_in_range_and_monotone_invariant(spark):
+    """Spearman lies in [-1, 1]; and because it only consumes ranks,
+    it is invariant under any strictly monotone transform of either
+    variable — checked by recomputing with spend doubled (rank order
+    identical)."""
+    base = {r.c_mktsegment: r.spearman for r in _q(spark, "q_rank_corr").collect()}
+    assert base and all(-1.0 <= v <= 1.0 for v in base.values())
+
+    from pyspark.sql import Window
+
+    from team_02_spark.sources import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2"
+    )
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("s"))
+    )
+    wx = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wy = Window.partitionBy("c_mktsegment").orderBy("s", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    n = F.count(F.lit(1))
+    d2 = F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+    sp = F.round(
+        F.lit(1.0) - (6 * d2).cast("double") / (n * (n * n - 1)), 6
+    )
+    doubled = {
+        r.c_mktsegment: r.sp
+        for r in ranked.groupBy("c_mktsegment").agg(sp.alias("sp")).collect()
+    }
+    assert doubled == base
+
+
+def test_chi_square_margins(spark):
+    """Observed cells sum to the table total; expected cells sum to
+    the total too (within float slack); contributions are
+    non-negative."""
+    rows = _q(spark, "q_chi_square").collect()
+    total = sum(r.observed for r in rows)
+    assert abs(sum(r.expected for r in rows) - total) < 1e-3
+    assert all(r.contrib >= 0 for r in rows)
+
+
+def test_mode_per_key_is_argmax(spark):
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maxes = counted.groupBy("user_id").agg(F.max("n").alias("mx"))
+    got = _q(spark, "q_mode_per_key")
+    joined = got.join(maxes, "user_id")
+    assert joined.filter(F.col("n") != F.col("mx")).count() == 0
+    assert got.count() == got.select("user_id").distinct().count()
+
+
+def test_twap_within_value_range(spark):
+    """A time-weighted average is a convex combination of observed
+    values, so it lies inside the per-type [min, max]·1e4 envelope."""
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    env = ev.groupBy("event_type").agg(
+        F.expr("MIN(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))").alias("lo"),
+        F.expr("MAX(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))").alias("hi"),
+    )
+    joined = _q(spark, "q_twap").join(env, "event_type")
+    # floor-DIV can undershoot the true mean by <1 unit — allow it
+    bad = joined.filter(
+        (F.col("twap_x10000") < F.col("lo") - 1)
+        | (F.col("twap_x10000") > F.col("hi"))
+    )
+    assert bad.count() == 0
+
+
+def test_heaps_law_count_identities(spark):
+    rows = _q(spark, "q_heaps_law").collect()
+    assert rows
+    for r in rows:
+        assert r.n_hapax <= r.n_vocab <= r.n_tokens
+        assert 0 <= r.hapax_bp <= 10000
+
+
+def test_new_vs_returning_totals_match_dau(spark):
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dau = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    got = _q(spark, "q_new_vs_returning").select(
+        "d", (F.col("n_new") + F.col("n_returning")).alias("n")
+    )
+    assert got.exceptAll(dau).count() == 0
+    assert dau.exceptAll(got).count() == 0
+    # every user is new exactly once across the whole range
+    total_new = _q(spark, "q_new_vs_returning").agg(
+        F.sum("n_new").alias("s")
+    ).collect()[0].s
+    assert total_new == ev.select("user_id").distinct().count()
+
+
+def test_fuzzy_join_pairs_are_canonical_and_blocked(spark):
+    rows = _q(spark, "q_fuzzy_join").collect()
+    assert rows  # threshold chosen to be non-degenerate on fixtures
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.dist <= 4
+        assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
+
+
+def test_readability_counts_consistent(spark):
+    rows = _q(spark, "q_readability").collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n_sent >= 0 and r.n_words >= 0
+        if r.n_sent and r.n_words:
+            assert r.words_per_sent_x100 >= 100  # a sentence has >= 1 word
