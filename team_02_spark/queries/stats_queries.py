@@ -102,7 +102,7 @@ def q_gaps_islands(spark, sf_dir):
            (SELECT COUNT(*) FROM recent)  AS n_recent,
            (SELECT COUNT(*) FROM churned) AS n_churned,
            (SELECT COUNT(*) FROM churned) * 10000
-             // (SELECT COUNT(*) FROM prior) AS churn_bp
+             // GREATEST((SELECT COUNT(*) FROM prior), 1) AS churn_bp
     """,
 )
 def q_churn_rate(spark, sf_dir):
@@ -134,7 +134,9 @@ def q_churn_rate(spark, sf_dir):
         "n_prior",
         "n_recent",
         "n_churned",
-        F.expr("n_churned * 10000 DIV n_prior").alias("churn_bp"),
+        # GREATEST guard: empty input folds to n_prior = 0, which must
+        # yield churn_bp 0, not an ANSI DIVIDE_BY_ZERO kill.
+        F.expr("n_churned * 10000 DIV GREATEST(n_prior, 1)").alias("churn_bp"),
     )
 
 
@@ -841,4 +843,191 @@ def q_new_vs_returning(spark, sf_dir):
             "CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) "
             "* 10000 DIV COUNT(*)"
         ).alias("new_share_bp"),
+    )
+
+
+@query(
+    "q_funnel_timing",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                 AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id,
+               (t_purchase - t_signup) // 1000000 AS dt_s
+        FROM stages
+        WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+    ),
+    ranked AS (
+        SELECT dt_s,
+               ROW_NUMBER() OVER (ORDER BY dt_s, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dt_s END) AS BIGINT)
+             AS p50_s,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN dt_s END)
+                AS BIGINT) AS p90_s,
+           CAST(MAX(dt_s) AS BIGINT) AS max_s
+    FROM ranked
+    """,
+)
+def q_funnel_timing(spark, sf_dir):
+    """Time-to-convert distribution for the signup → purchase funnel
+    (the timing companion to q_funnel's counts): whole-second deltas
+    between each user's first signup and first later purchase, with
+    DISCRETE percentiles — the p50/p90 are actual observed values
+    selected by integer rank ((n+1) DIV 2, ceil(9n/10) as (9n+9) DIV
+    10), so no interpolation and no engine float surface anywhere.
+
+    One per-user conditional-min aggregate (the corpus-scale pass);
+    the percentile window then runs over the CONVERTER-sized table.
+    At extreme user counts swap the exact rank-select for the KLL
+    sketch lane (q_approx_percentiles) — documented trade."""
+    ev = t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts")))
+        ).alias("t_signup"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros(F.col("ts"))
+            )
+        ).alias("t_purchase"),
+    )
+    conv = stages.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        "user_id",
+        F.expr("(t_purchase - t_signup) DIV 1000000").alias("dt_s"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = conv.select(
+        "dt_s",
+        F.row_number().over(W.orderBy("dt_s", "user_id")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("dt_s")))
+        .cast("bigint")
+        .alias("p50_s"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("dt_s")))
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("dt_s").cast("bigint").alias("max_s"),
+    )
+
+
+@query(
+    "q_activity_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+               COUNT(*) AS n
+        FROM events GROUP BY isodow(ts), hour(ts)
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, hr, n,
+           n * 10000 // CAST(SUM(n) OVER () AS BIGINT) AS share_bp
+    FROM cells
+    """,
+)
+def q_activity_heatmap(spark, sf_dir):
+    """Weekday × hour activity heatmap — the load-profile table an
+    ops dashboard draws (Mon=1 ISO weekday via the portable
+    weekday()+1 ≡ isodow() idiom, FIXTURES.md §C). One calendar-
+    bounded (≤168 group) aggregate; shares exit as integer bp."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    return cells.withColumn(
+        "share_bp",
+        F.expr("n * 10000 DIV CAST(SUM(n) OVER () AS BIGINT)"),
+    )
+
+
+@query(
+    "q_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                      * 100 AS BIGINT)), 0) AS BIGINT)
+                 AS cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    tiled AS (
+        SELECT cents,
+               NTILE(10) OVER (ORDER BY cents, c_custkey) AS decile
+        FROM spend
+    ),
+    per_decile AS (
+        SELECT decile,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM tiled GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, decile_cents,
+           CAST(SUM(decile_cents)
+                OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) * 10000
+             // CAST(SUM(decile_cents) OVER () AS BIGINT)
+             AS cum_share_bp
+    FROM per_decile
+    """,
+)
+def q_lorenz_deciles(spark, sf_dir):
+    """Lorenz-curve decile table for customer spend — the curve
+    behind q_gini's scalar: customers ranked ascending by lifetime
+    cents (custkey tiebreak makes the NTILE boundary a total order,
+    FIXTURES.md §C), cumulative revenue share per decile in integer
+    basis points. The corpus-scale work is one spend aggregate; the
+    curve itself is a 10-row window."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cents_in = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    spend = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(cents_in), F.lit(0)).cast("bigint").alias("cents"))
+    )
+    tiled = spend.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "c_custkey")).alias("decile"),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy()
+    return per_decile.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum("decile_cents").over(wc).cast("bigint") * 10000
+        ).alias("_cum"),
+    ).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            "_cum DIV CAST(SUM(decile_cents) OVER () AS BIGINT)"
+        ).alias("cum_share_bp"),
     )

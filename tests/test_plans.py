@@ -464,6 +464,9 @@ def test_stats_lane_plans(spark):
         "q_twap": 2,
         "q_heaps_law": 2,
         "q_new_vs_returning": 3,
+        "q_funnel_timing": 2,
+        "q_activity_heatmap": 2,
+        "q_lorenz_deciles": 2,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

@@ -214,3 +214,41 @@ def test_readability_counts_consistent(spark):
         assert r.n_sent >= 0 and r.n_words >= 0
         if r.n_sent and r.n_words:
             assert r.words_per_sent_x100 >= 100  # a sentence has >= 1 word
+
+
+def test_funnel_timing_percentiles_ordered(spark):
+    r = _q(spark, "q_funnel_timing").collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.p50_s <= r.p90_s <= r.max_s
+
+
+def test_funnel_timing_consistent_with_funnel_counts(spark):
+    """Converter count can't exceed q_funnel's signup-then-purchase
+    upper bound (q_funnel requires signup<click<purchase; timing only
+    signup<purchase, so timing's n is >= the full-funnel count)."""
+    n_timing = _q(spark, "q_funnel_timing").collect()[0].n_converted
+    funnel = _q(spark, "q_funnel").collect()[0]
+    assert n_timing >= funnel.n_full_funnel
+    assert n_timing <= funnel.n_signup
+
+
+def test_activity_heatmap_covers_all_events(spark):
+    from team_02_spark.sources import load_table
+
+    rows = _q(spark, "q_activity_heatmap").collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hr <= 23 for r in rows)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == n_events
+
+
+def test_lorenz_deciles_monotone_convex(spark):
+    """A Lorenz curve is nondecreasing, ends at exactly 10000 bp, and
+    decile totals are nondecreasing in decile rank (ascending-spend
+    tiling)."""
+    rows = sorted(_q(spark, "q_lorenz_deciles").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_bp for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 10000
+    cents = [r.decile_cents for r in rows]
+    assert cents == sorted(cents)
