@@ -69,6 +69,10 @@ HEADLINE = [
     # heavy-hitter lane
     "q_dedup_substring",
     "q_cms_topk",
+    # round 6b (NEW keys): integer fixed-point bigram-LM scoring (the
+    # corpus-scale statistical lane) and the Heaps'-law vocab audit
+    "q_bigram_lm",
+    "q_heaps_law",
 ]
 
 
