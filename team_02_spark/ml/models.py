@@ -37,6 +37,7 @@ def _to_features(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
 def trainers(seed: int = 0) -> dict:
     """The reference's 5-model zoo, Spark-native (lazily constructed)."""
     from pyspark.ml.classification import (
+        GBTClassifier,
         LinearSVC,
         LogisticRegression,
         NaiveBayes,
@@ -48,6 +49,10 @@ def trainers(seed: int = 0) -> dict:
         "logistic_regression": LogisticRegression(),
         "linear_svc": LinearSVC(),
         "gaussian_nb": NaiveBayes(modelType="gaussian"),
+        # beyond the reference's zoo: gradient-boosted trees, the
+        # tabular workhorse a pipeline user reaches for next (shallow
+        # + few trees keeps local fits fast; seeded for determinism)
+        "gbt": GBTClassifier(maxDepth=3, maxIter=10, seed=seed),
         # "knn" intentionally absent here: it is not an estimator —
         # see operators/similarity.knn_classify.
     }

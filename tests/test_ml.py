@@ -61,7 +61,7 @@ def test_embedder_deterministic_across_partitions(spark):
 
 
 @pytest.mark.parametrize("name", ["random_forest", "logistic_regression",
-                                  "linear_svc", "gaussian_nb"])
+                                  "linear_svc", "gaussian_nb", "gbt"])
 def test_trainer_zoo(spark, name):
     """U3-U5/U7: each estimator fits on the embeddings fixture (binary
     label = label>=2) and beats random on the holdout."""
