@@ -1031,3 +1031,47 @@ def q_lorenz_deciles(spark, sf_dir):
             "_cum DIV CAST(SUM(decile_cents) OVER () AS BIGINT)"
         ).alias("cum_share_bp"),
     )
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS_TOKS_SQL}) AS w FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 4))::BIGINT % 64 AS bucket
+        FROM toks
+    )
+    SELECT doc_id, bucket, COUNT(*) AS cnt
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick feature extraction (the FeatureHasher /
+    HashingTF operation, engine-portably): each token hashes into one
+    of 64 buckets via the md5-chunk idiom (FIXTURES.md §C: Spark
+    CONV(substr(md5,1,4),16,10) ≡ DuckDB ('0x'||substr)::BIGINT — a
+    16-bit value, so the % 64 is on identical non-negative integers),
+    and the per-(doc, bucket) counts ARE the sparse feature vector.
+    One explode + one keyed aggregate; output bounded at docs × 64.
+    The dense-vector assembly for MLlib is a trivial pivot of this
+    table — the hashing itself is the part that must be deterministic
+    and engine-checkable."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint") % 64
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))

@@ -467,6 +467,7 @@ def test_stats_lane_plans(spark):
         "q_funnel_timing": 2,
         "q_activity_heatmap": 2,
         "q_lorenz_deciles": 2,
+        "q_feature_hash": 1,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)
