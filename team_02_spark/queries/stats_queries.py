@@ -1075,3 +1075,107 @@ def q_feature_hash(spark, sf_dir):
         ).alias("bucket"),
     )
     return hashed.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q_rolling_wau",
+    oracle=f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, {_DAYNUM_SQL} AS day_num FROM events
+    ),
+    bounds AS (SELECT MAX(day_num) AS max_d FROM active),
+    contrib AS (
+        SELECT user_id, unnest(list_transform(range(0, 7),
+                               i -> day_num + i)) AS target_d
+        FROM active
+    )
+    SELECT target_d AS day_num,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib, bounds
+    WHERE target_d <= max_d
+    GROUP BY target_d
+    """,
+)
+def q_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users per day — the trailing-window
+    distinct count that naive SQL writes as a day×day range self-join.
+    Scale-correct shape: each distinct (user, day) row EXPLODES into
+    the <=7 future days it keeps the user 'active' for (a bounded ×7
+    fan-out of the already-collapsed user-day table), then one
+    count-distinct per day. No self-join, no per-day rescan; the
+    trailing horizon is data-independent."""
+    ev = t(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+            "day_num"
+        ),
+    ).distinct()
+    bounds = active.agg(F.max("day_num").alias("max_d"))
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + F.lit(6))
+        ).alias("target_d"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_d") <= F.col("max_d"))
+        .groupBy(F.col("target_d").alias("day_num"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+@query(
+    "q_id_gaps",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    seq AS (
+        SELECT k, LEAD(k) OVER (ORDER BY k) AS nxt FROM keys
+    )
+    SELECT k + 1 AS gap_start,
+           CAST(nxt - k - 1 AS BIGINT) AS gap_len
+    FROM seq WHERE nxt - k > 1
+    """,
+)
+def q_id_gaps(spark, sf_dir):
+    """Missing-ID-range audit over the lineitem orderkey space (the
+    referential twin of q_try_arith's 'orders with no line items',
+    expressed as contiguous gap ranges — the data-quality check for
+    sequence allocators).
+
+    The oracle is the naive global LEAD — fine for DuckDB at fixture
+    scale, but a single-partition global sort at 100 TB. The Spark
+    plan partitions the key space by k DIV 10000 buckets: within-
+    bucket gaps come from a bucket-parallel window, and cross-bucket
+    gaps from a global window over the BUCKET-COUNT-sized min/max
+    table — the only serial pass touches ~|keyspace|/10000 rows. The
+    two forms produce identical gaps because buckets tile the key
+    space in order."""
+    li = t(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    bucketed = keys.withColumn("b", F.expr("k DIV 10000"))
+    win = Window.partitionBy("b").orderBy("k")
+    within = (
+        bucketed.withColumn("nxt", F.lead("k").over(win))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    edges = bucketed.groupBy("b").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    wedge = Window.orderBy("b")
+    cross = (
+        edges.withColumn("next_lo", F.lead("lo").over(wedge))
+        .filter(F.col("next_lo") - F.col("hi") > 1)
+        .select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("next_lo") - F.col("hi") - 1).cast("bigint").alias(
+                "gap_len"
+            ),
+        )
+    )
+    return within.unionAll(cross)

@@ -468,6 +468,8 @@ def test_stats_lane_plans(spark):
         "q_activity_heatmap": 2,
         "q_lorenz_deciles": 2,
         "q_feature_hash": 1,
+        "q_rolling_wau": 4,
+        "q_id_gaps": 4,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

@@ -252,3 +252,56 @@ def test_lorenz_deciles_monotone_convex(spark):
     assert shares[-1] == 10000
     cents = [r.decile_cents for r in rows]
     assert cents == sorted(cents)
+
+
+def test_rolling_wau_dominates_dau(spark):
+    """WAU(d) >= DAU(d) for every day, and equals DAU on the first
+    observed day only if no earlier activity exists (trivially true);
+    also WAU never exceeds the total user population."""
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dau = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+                "day_num"
+            ),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day_num")
+        .agg(F.count("*").alias("dau"))
+    )
+    wau = _q(spark, "q_rolling_wau")
+    joined = wau.join(dau, "day_num", "left").fillna(0, ["dau"])
+    assert joined.filter(F.col("wau") < F.col("dau")).count() == 0
+    n_users = ev.select("user_id").distinct().count()
+    assert wau.filter(F.col("wau") > n_users).count() == 0
+
+
+def test_id_gaps_bucketed_equals_global(spark):
+    """The bucket-parallel gap plan must produce EXACTLY the naive
+    global-lead gaps, and the gap ranges must re-sum to the missing-id
+    count."""
+    from team_02_spark.sources import load_table
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    naive = (
+        keys.withColumn("nxt", F.lead("k").over(W.orderBy("k")))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    got = _q(spark, "q_id_gaps")
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    stats = keys.agg(
+        F.max("k").alias("mx"), F.min("k").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    missing = (stats.mx - stats.mn + 1) - stats.n
+    total_gap = got.agg(F.coalesce(F.sum("gap_len"), F.lit(0)).alias("s")).collect()[0].s
+    assert total_gap == missing
