@@ -1179,3 +1179,226 @@ def q_id_gaps(spark, sf_dir):
         )
     )
     return within.unionAll(cross)
+
+
+_DAILY_CENTS_CTE = """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+@query(
+    "q_peaks",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_CTE}),
+    ctx AS (
+        SELECT d, cents,
+               LAG(cents)  OVER (ORDER BY d) AS prev,
+               LEAD(cents) OVER (ORDER BY d) AS nxt
+        FROM daily
+    )
+    SELECT d AS day, cents
+    FROM ctx
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND cents > prev AND cents > nxt
+    """,
+)
+def q_peaks(spark, sf_dir):
+    """Local-maximum detection over the daily revenue series (strict
+    peaks: above both neighbors; boundary days excluded). Revenue is
+    exact BIGINT cents so the strict > comparisons have no float
+    surface. The corpus collapses to the calendar-sized daily table
+    first; the neighbor window runs over ~2.4k rows."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    ctx = daily.select(
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    return ctx.filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cents") > F.col("prev"))
+        & (F.col("cents") > F.col("nxt"))
+    ).select("day", "cents")
+
+
+@query(
+    "q_max_drawdown",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_CTE}),
+    demeaned AS (
+        SELECT d,
+               cents - CAST(SUM(cents) OVER () AS BIGINT)
+                         // COUNT(*) OVER () AS net
+        FROM daily
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(net) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS equity
+        FROM demeaned
+    ),
+    dd AS (
+        SELECT d, equity,
+               CAST(MAX(equity) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - equity AS drawdown
+        FROM cum
+    )
+    SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dd
+    """,
+)
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the demeaned cumulative daily revenue
+    (equity-curve analysis: the deepest peak-to-trough drop of the
+    'surplus vs average day' series). Every step is integer cents —
+    the demeaning uses a floor-DIV daily average, the cumulative and
+    running-max windows run over the calendar-sized table. The
+    signal-analysis companion to q_trend/q_anomaly_zscore."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wg = Window.partitionBy()
+    demeaned = daily.select(
+        "d",
+        (
+            F.col("cents")
+            - F.expr(
+                "CAST(SUM(cents) OVER () AS BIGINT) DIV COUNT(*) OVER ()"
+            )
+        ).alias("net"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = demeaned.select(
+        "d", F.sum("net").over(wc).cast("bigint").alias("equity")
+    )
+    dd = cum.select(
+        "d",
+        (F.max("equity").over(wc).cast("bigint") - F.col("equity")).alias(
+            "drawdown"
+        ),
+    )
+    return dd.agg(
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle=f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, {_DAYNUM_SQL} AS d FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS first_d FROM active GROUP BY user_id
+    ),
+    flags AS (
+        SELECT a.user_id, a.d,
+               a.d = f.first_d AS is_new,
+               y.user_id IS NOT NULL AS active_yday
+        FROM active a
+        JOIN firsts f ON a.user_id = f.user_id
+        LEFT JOIN active y
+          ON y.user_id = a.user_id AND y.d = a.d - 1
+    ),
+    churn AS (
+        SELECT a.d + 1 AS d, COUNT(*) AS n
+        FROM active a
+        LEFT JOIN active t
+          ON t.user_id = a.user_id AND t.d = a.d + 1
+        WHERE t.user_id IS NULL
+        GROUP BY a.d + 1
+    )
+    SELECT g.d AS day_num,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN NOT is_new AND active_yday
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN NOT is_new AND NOT active_yday
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(MAX(c.n), 0) AS BIGINT) AS n_churned_from_prev
+    FROM flags g LEFT JOIN churn c ON c.d = g.d
+    GROUP BY g.d
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """DAU growth accounting — the product-analytics decomposition
+    active(d) = new + retained + resurrected, plus how many of
+    yesterday's actives did not return today (churned-from-previous).
+    All joins are equi-joins of the COLLAPSED user-day table against
+    itself shifted by one day via key arithmetic (d ± 1) — never a
+    window over the raw event stream and never a range join; cost is
+    O(user-days), partitioned by user_id."""
+    ev = t(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+    ).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    yday = active.select(
+        "user_id", (F.col("d") + 1).alias("d"), F.lit(True).alias("was_active")
+    )
+    flags = (
+        active.join(firsts, "user_id")
+        .join(yday, ["user_id", "d"], "left")
+        .select(
+            "d",
+            (F.col("d") == F.col("first_d")).alias("is_new"),
+            F.coalesce(F.col("was_active"), F.lit(False)).alias("active_yday"),
+        )
+    )
+    tmrw = active.select(
+        "user_id", (F.col("d") - 1).alias("d"), F.lit(True).alias("back")
+    )
+    churn = (
+        active.join(tmrw, ["user_id", "d"], "left")
+        .filter(F.col("back").isNull())
+        .groupBy((F.col("d") + 1).alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    day_rollup = flags.groupBy(F.col("d").alias("day_num")).agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(~F.col("is_new") & F.col("active_yday"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("active_yday"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return (
+        day_rollup.join(churn, day_rollup.day_num == churn.d, "left")
+        .select(
+            "day_num",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned_from_prev"),
+        )
+    )

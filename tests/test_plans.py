@@ -470,6 +470,9 @@ def test_stats_lane_plans(spark):
         "q_feature_hash": 1,
         "q_rolling_wau": 4,
         "q_id_gaps": 4,
+        "q_peaks": 2,
+        "q_max_drawdown": 2,
+        "q_growth_accounting": 7,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

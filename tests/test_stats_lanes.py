@@ -305,3 +305,50 @@ def test_id_gaps_bucketed_equals_global(spark):
     missing = (stats.mx - stats.mn + 1) - stats.n
     total_gap = got.agg(F.coalesce(F.sum("gap_len"), F.lit(0)).alias("s")).collect()[0].s
     assert total_gap == missing
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    rows = _q(spark, "q_peaks").count()
+    assert rows > 0
+    # a strict peak and its neighbor cannot both be peaks: days are
+    # unique and sorted, so consecutive peak days differ by >= 2 in
+    # the dense part of the calendar
+    days = sorted(r.day for r in _q(spark, "q_peaks").collect())
+    assert len(days) == len(set(days))
+
+
+def test_max_drawdown_nonnegative_and_bounded(spark):
+    r = _q(spark, "q_max_drawdown").collect()[0]
+    assert r.max_drawdown_cents >= 0
+    assert r.n_days > 0
+
+
+def test_growth_accounting_rebuilds_dau_and_conserves_users(spark):
+    from team_02_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    active = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+    ).distinct()
+    dau = active.groupBy(F.col("d").alias("day_num")).agg(
+        F.count("*").alias("dau")
+    )
+    got = _q(spark, "q_growth_accounting")
+    joined = got.join(dau, "day_num")
+    # new + retained + resurrected == DAU, every day
+    bad = joined.filter(
+        F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")
+        != F.col("dau")
+    )
+    assert bad.count() == 0
+    # flow conservation vs yesterday: retained + churned_from_prev ==
+    # DAU(d-1) for every day that has a predecessor
+    prev = dau.select((F.col("day_num") + 1).alias("day_num"),
+                      F.col("dau").alias("dau_prev"))
+    flow = got.join(prev, "day_num")
+    bad2 = flow.filter(
+        F.col("n_retained") + F.col("n_churned_from_prev")
+        != F.col("dau_prev")
+    )
+    assert bad2.count() == 0
