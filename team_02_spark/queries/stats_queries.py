@@ -1154,7 +1154,16 @@ def q_id_gaps(spark, sf_dir):
     space in order."""
     li = t(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_orderkey").alias("k")).distinct()
-    bucketed = keys.withColumn("b", F.expr("k DIV 10000"))
+    return gap_ranges(keys, bucket_size=10000)
+
+
+def gap_ranges(keys, bucket_size: int = 10000):
+    """Bucket-parallel missing-range detection over a distinct BIGINT
+    key column `k`: within-bucket gaps from a bucket-partitioned
+    window + cross-bucket gaps from a bucket-count-sized serial
+    window. Equivalent to the naive global LEAD for any key set and
+    any bucket size (fuzz-pinned in tests/test_property_fuzz_r6.py)."""
+    bucketed = keys.withColumn("b", F.expr(f"k DIV {bucket_size}"))
     win = Window.partitionBy("b").orderBy("k")
     within = (
         bucketed.withColumn("nxt", F.lead("k").over(win))

@@ -105,3 +105,32 @@ def test_substring_spans_cover_every_cross_doc_kgram(spark, docs):
         for i, _ in sites
     }
     assert set(covered) <= dup_docs
+
+
+KEY_SETS = st.lists(
+    st.integers(min_value=0, max_value=400),
+    min_size=1, max_size=80, unique=True,
+)
+
+
+@_SETTINGS
+@given(keys=KEY_SETS, bucket=st.sampled_from([1, 7, 64, 10000]))
+def test_gap_ranges_equal_sorted_scan(spark, keys, bucket):
+    """For ANY key set and ANY bucket size, the bucket-parallel gap
+    plan equals the plain sorted scan, and total gap length equals
+    the missing-key count."""
+    from team_02_spark.queries.stats_queries import gap_ranges
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r.gap_start, r.gap_len)
+        for r in gap_ranges(df.repartition(3), bucket_size=bucket).collect()
+    )
+    ks = sorted(keys)
+    expected = [
+        (a + 1, b - a - 1)
+        for a, b in zip(ks, ks[1:])
+        if b - a > 1
+    ]
+    assert got == expected
+    assert sum(g for _, g in got) == (ks[-1] - ks[0] + 1) - len(ks)
