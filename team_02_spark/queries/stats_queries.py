@@ -1411,3 +1411,243 @@ def q_growth_accounting(spark, sf_dir):
             .alias("n_churned_from_prev"),
         )
     )
+
+
+@query(
+    "q_same_day_orders",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(o_orderdate AS DATE) AS day,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM orders
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_same_day_orders(spark, sf_dir):
+    """Duplicate-payment screen: customers placing MULTIPLE orders on
+    the same day — the double-billing candidates an auditor reviews
+    first (exact-amount collisions are vanishingly rare under
+    continuous prices, so the day-level collapse is the operative
+    screen). One keyed aggregate on (custkey, day); amounts are exact
+    BIGINT cents."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "q_price_spread",
+    oracle="""
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000)
+                         AS BIGINT)) AS BIGINT) AS min_unit_x10000,
+           CAST(MAX(CAST(FLOOR(l_extendedprice / l_quantity * 10000)
+                         AS BIGINT)) AS BIGINT) AS max_unit_x10000
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING MAX(CAST(FLOOR(l_extendedprice / l_quantity * 10000) AS BIGINT))
+         > MIN(CAST(FLOOR(l_extendedprice / l_quantity * 10000) AS BIGINT))
+    """,
+)
+def q_price_spread(spark, sf_dir):
+    """Catalog-consistency audit: parts sold at more than one unit
+    price. The unit price is the raw IEEE division (identical bits in
+    both engines) quantized ONCE to x10000 fixed point at input — the
+    min/max/inequality then run on exact integers. One keyed
+    aggregate over l_partkey."""
+    li = t(spark, sf_dir, "lineitem")
+    # FLOOR of the identically-shaped IEEE (a/b)*10000 is engine-exact
+    # on the binary value; a per-term DECIMAL cast of a COMPUTED double
+    # is the documented cross-engine hazard at corpus volume
+    # (FIXTURES.md §C "Bin on FLOOR, never ROUND").
+    unit = F.expr(
+        "CAST(FLOOR(l_extendedprice / l_quantity * 10000) AS BIGINT)"
+    )
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min(unit).cast("bigint").alias("min_unit_x10000"),
+            F.max(unit).cast("bigint").alias("max_unit_x10000"),
+        )
+        .filter(F.col("max_unit_x10000") > F.col("min_unit_x10000"))
+    )
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM items
+    ),
+    item_counts AS (
+        SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n_xy
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.x, p.y, p.n_xy,
+           p.n_xy * 10000 // CAST(cx.n_item AS BIGINT) AS conf_x_to_y_bp,
+           p.n_xy * n.n * 10000
+             // CAST(cx.n_item * cy.n_item AS BIGINT) AS lift_x10000
+    FROM pairs p
+    JOIN item_counts cx ON cx.l_partkey = p.x
+    JOIN item_counts cy ON cy.l_partkey = p.y
+    CROSS JOIN n_orders n
+    """,
+)
+def q_assoc_rules(spark, sf_dir):
+    """Association rules on top of the market-basket pairs
+    (q_market_basket stops at support): confidence(x→y) and lift in
+    integer fixed point (conf_bp = n_xy·1e4 DIV n_x; lift·1e4 =
+    n_xy·N·1e4 DIV (n_x·n_y) — no double is ever produced). Pair
+    candidates block on the order key after distinct-ing items
+    (bounded by basket size); the item-count joins are
+    vocabulary-sized."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item_counts = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 3)
+    )
+    cx = item_counts.select(
+        F.col("l_partkey").alias("x"), F.col("n_item").alias("n_x")
+    )
+    cy = item_counts.select(
+        F.col("l_partkey").alias("y"), F.col("n_item").alias("n_y")
+    )
+    return (
+        pairs.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.expr("n_xy * 10000 DIV CAST(n_x AS BIGINT)").alias(
+                "conf_x_to_y_bp"
+            ),
+            F.expr(
+                "n_xy * n * 10000 DIV CAST(n_x * n_y AS BIGINT)"
+            ).alias("lift_x10000"),
+        )
+    )
+
+
+@query(
+    "q_mix_shift",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m, c.c_mktsegment,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY date_trunc('month', o_orderdate), c.c_mktsegment
+    ),
+    shares AS (
+        SELECT CAST(m AS DATE) AS month, c_mktsegment,
+               cents * 10000
+                 // CAST(SUM(cents) OVER (PARTITION BY m) AS BIGINT)
+                 AS share_bp
+        FROM monthly
+    )
+    SELECT month, c_mktsegment, share_bp, delta_bp FROM (
+        SELECT month, c_mktsegment, share_bp,
+               share_bp - LAG(share_bp)
+                 OVER (PARTITION BY c_mktsegment ORDER BY month)
+                 AS delta_bp
+        FROM shares
+    ) WHERE delta_bp IS NOT NULL
+    """,
+)
+def q_mix_shift(spark, sf_dir):
+    """Revenue-mix shift: each market segment's share of monthly
+    revenue in basis points, and its month-over-month delta — the
+    composition-drift companion to q_psi_drift (which gates count
+    distributions; this gates the money mix). Calendar² cells; shares
+    and deltas are exact integers."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"), "c_mktsegment"
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wm = Window.partitionBy("m")
+    shares = monthly.select(
+        F.col("m").cast("date").alias("month"),
+        "c_mktsegment",
+        F.expr(
+            "cents * 10000 DIV CAST(SUM(cents) OVER (PARTITION BY m) "
+            "AS BIGINT)"
+        ).alias("share_bp"),
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("month")
+    # each segment's first month has no predecessor: dropped (a NULL
+    # in an int column would arrive as float64 on both sides — avoid
+    # the dtype surface entirely)
+    return (
+        shares.select(
+            "month",
+            "c_mktsegment",
+            "share_bp",
+            (F.col("share_bp") - F.lag("share_bp").over(ws)).alias("delta_bp"),
+        )
+        .filter(F.col("delta_bp").isNotNull())
+    )

@@ -473,6 +473,10 @@ def test_stats_lane_plans(spark):
         "q_peaks": 2,
         "q_max_drawdown": 2,
         "q_growth_accounting": 7,
+        "q_same_day_orders": 1,
+        "q_price_spread": 1,
+        "q_assoc_rules": 9,
+        "q_mix_shift": 3,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

@@ -352,3 +352,42 @@ def test_growth_accounting_rebuilds_dau_and_conserves_users(spark):
         != F.col("dau_prev")
     )
     assert bad2.count() == 0
+
+
+def test_same_day_orders_all_multiple(spark):
+    rows = _q(spark, "q_same_day_orders").collect()
+    assert rows
+    assert all(r.n_orders >= 2 for r in rows)
+
+
+def test_price_spread_ordered(spark):
+    bad = _q(spark, "q_price_spread").filter(
+        F.col("min_unit_x10000") > F.col("max_unit_x10000")
+    )
+    assert bad.count() == 0
+
+
+def test_assoc_rules_consistent_with_market_basket(spark):
+    """Confidence is a probability (<= 10000 bp) and every rule's
+    support pair must appear in q_market_basket's support >= 2 set."""
+    rules = _q(spark, "q_assoc_rules")
+    assert rules.filter(
+        (F.col("conf_x_to_y_bp") <= 0) | (F.col("conf_x_to_y_bp") > 10000)
+    ).count() == 0
+    assert rules.filter(F.col("lift_x10000") <= 0).count() == 0
+    basket = _q(spark, "q_market_basket")
+    bcols = basket.columns
+    pair_cols = [c for c in bcols if "part" in c or c in ("x", "y")][:2]
+    pairs = basket.select(
+        F.col(pair_cols[0]).alias("x"), F.col(pair_cols[1]).alias("y")
+    )
+    missing = rules.select("x", "y").exceptAll(pairs)
+    assert missing.count() == 0
+
+
+def test_mix_shift_shares_bounded(spark):
+    rows = _q(spark, "q_mix_shift").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.share_bp <= 10000
+        assert -10000 <= r.delta_bp <= 10000
