@@ -1651,3 +1651,110 @@ def q_mix_shift(spark, sf_dir):
         )
         .filter(F.col("delta_bp").isNotNull())
     )
+
+
+@query(
+    "q_group_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_group_median(spark, sf_dir):
+    """Exact DISCRETE median per group by integer rank-select (the
+    observed value at rank (n+1) DIV 2 under a total order) —
+    engine-interpolating percentile functions disagree; an observed
+    value cannot. The group-partitioned window parallelizes across
+    groups; for extreme group sizes the KLL lane
+    (q_approx_percentiles) is the documented swap."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("l_quantity"))
+        ).alias("median_qty"),
+    )
+
+
+@query(
+    "q_rank_movers",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', l_shipdate) AS wk, l_partkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY date_trunc('week', l_shipdate), l_partkey
+    ),
+    ranked AS (
+        SELECT CAST(wk AS DATE) AS week, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY wk
+                                  ORDER BY cents DESC, l_partkey) AS rnk
+        FROM weekly
+    )
+    SELECT week, l_partkey, CAST(rnk AS BIGINT) AS rnk,
+           CAST(LAG(rnk) OVER (PARTITION BY l_partkey ORDER BY week)
+                - rnk AS BIGINT) AS delta
+    FROM ranked
+    QUALIFY LAG(rnk) OVER (PARTITION BY l_partkey ORDER BY week)
+            IS NOT NULL
+    """,
+)
+def q_rank_movers(spark, sf_dir):
+    """Trending analysis: each part's weekly revenue rank and its
+    movement vs the part's previous ACTIVE week (positive delta =
+    climbed). ISO-Monday date_trunc('week') agrees across engines;
+    revenue is exact cents; ranks are row_number with a partkey
+    tiebreak. Two window passes over the (week, part) collapse — the
+    per-week rank parallelizes across weeks, the per-part lag across
+    parts."""
+    li = t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.date_trunc("week", "l_shipdate").alias("wk"), "l_partkey"
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wr = Window.partitionBy("wk").orderBy(F.desc("cents"), F.asc("l_partkey"))
+    ranked = weekly.select(
+        F.col("wk").cast("date").alias("week"),
+        "l_partkey",
+        F.row_number().over(wr).alias("rnk"),
+    )
+    wl = Window.partitionBy("l_partkey").orderBy("week")
+    return (
+        ranked.select(
+            "week",
+            "l_partkey",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            (F.lag("rnk").over(wl) - F.col("rnk")).cast("bigint").alias(
+                "delta"
+            ),
+        )
+        .filter(F.col("delta").isNotNull())
+    )

@@ -477,6 +477,8 @@ def test_stats_lane_plans(spark):
         "q_price_spread": 1,
         "q_assoc_rules": 9,
         "q_mix_shift": 3,
+        "q_group_median": 1,
+        "q_rank_movers": 3,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

@@ -391,3 +391,35 @@ def test_mix_shift_shares_bounded(spark):
     for r in rows:
         assert 0 <= r.share_bp <= 10000
         assert -10000 <= r.delta_bp <= 10000
+
+
+def test_group_median_is_true_median(spark):
+    """Rank-selected median equals numpy's lower median of the sorted
+    group values."""
+    import numpy as np
+
+    from team_02_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {r.l_returnflag: (r.n, r.median_qty)
+           for r in _q(spark, "q_group_median").collect()}
+    for flag, (n, med) in got.items():
+        vals = np.sort(np.array([
+            r.l_quantity for r in
+            li.filter(F.col("l_returnflag") == flag).collect()
+        ]))
+        assert len(vals) == n
+        assert med == vals[(n + 1) // 2 - 1]
+
+
+def test_rank_movers_rank_validity(spark):
+    """Ranks are a permutation 1..k within each week; deltas bounded
+    by the week's rank range."""
+    got = _q(spark, "q_rank_movers")
+    per_week = got.groupBy("week").agg(
+        F.count("*").alias("c"),
+        F.count_distinct("rnk").alias("d"),
+        F.max("rnk").alias("mx"),
+    )
+    assert per_week.filter(F.col("c") != F.col("d")).count() == 0
+    assert got.filter(F.abs(F.col("delta")) >= F.lit(10**6)).count() == 0
