@@ -1758,3 +1758,68 @@ def q_rank_movers(spark, sf_dir):
         )
         .filter(F.col("delta").isNotNull())
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ),
+    ctx AS (
+        SELECT p_partkey, price_cents, size,
+               MIN(size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS min_cheaper,
+               MIN(size) OVER (PARTITION BY price_cents) AS min_same
+        FROM pts
+    )
+    SELECT p_partkey, price_cents, size
+    FROM ctx
+    WHERE size = min_same
+      AND (min_cheaper IS NULL OR size < min_cheaper)
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier, minimize price AND size): a part
+    survives iff no other part is <= on both dimensions and < on one.
+    The naive formulation is an all-pairs dominance anti-join (O(n²)
+    — 4·10¹⁴ candidate pairs at 100 TB); this lane uses the classic
+    sort + running-min rewrite instead: a point is on the frontier
+    iff its size is the minimum within its price tie-group AND
+    strictly below the running min over all strictly-cheaper points.
+    Price quantizes to exact cents so the RANGE frame keys on BIGINT
+    (FIXTURES.md §C: integer frames are engine-exact). Cost: one
+    sort-window pass; same-price duplicates at minimal size all
+    survive (neither dominates, strictness fails)."""
+    part = t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    ctx = pts.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.min("size").over(w_cheaper).alias("min_cheaper"),
+        F.min("size").over(w_same).alias("min_same"),
+    )
+    return ctx.filter(
+        (F.col("size") == F.col("min_same"))
+        & (
+            F.col("min_cheaper").isNull()
+            | (F.col("size") < F.col("min_cheaper"))
+        )
+    ).select("p_partkey", "price_cents", "size")

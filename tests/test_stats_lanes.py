@@ -423,3 +423,40 @@ def test_rank_movers_rank_validity(spark):
     )
     assert per_week.filter(F.col("c") != F.col("d")).count() == 0
     assert got.filter(F.abs(F.col("delta")) >= F.lit(10**6)).count() == 0
+
+
+def test_skyline_equals_naive_dominance(spark):
+    """The sort + running-min frontier must equal the all-pairs
+    dominance anti-join exactly (and be non-empty: a minimum always
+    exists)."""
+    from team_02_spark.sources import load_table
+
+    part = load_table(spark, SF_SMOKE, "part")
+    pts = part.select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = (
+        b.join(
+            a,
+            (F.col("a.price_cents") <= F.col("b.price_cents"))
+            & (F.col("a.size") <= F.col("b.size"))
+            & (
+                (F.col("a.price_cents") < F.col("b.price_cents"))
+                | (F.col("a.size") < F.col("b.size"))
+            ),
+            "left_semi",
+        )
+        .select("p_partkey")
+    )
+    naive = pts.join(dominated, "p_partkey", "left_anti").select(
+        "p_partkey", "price_cents", "size"
+    )
+    got = _q(spark, "q_skyline")
+    assert got.count() > 0
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
