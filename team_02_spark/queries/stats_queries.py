@@ -1792,10 +1792,14 @@ def q_skyline(spark, sf_dir):
     sort + running-min rewrite instead: a point is on the frontier
     iff its size is the minimum within its price tie-group AND
     strictly below the running min over all strictly-cheaper points.
-    Price quantizes to exact cents so the RANGE frame keys on BIGINT
-    (FIXTURES.md §C: integer frames are engine-exact). Cost: one
-    sort-window pass; same-price duplicates at minimal size all
-    survive (neither dominates, strictness fails)."""
+    Price quantizes to exact cents so every frame keys on BIGINT
+    (FIXTURES.md §C: integer frames are engine-exact). The Spark plan
+    avoids even the single-partition global sort the oracle uses: it
+    BANDS the price axis (cents DIV 1e5), computes the running min
+    inside each band in parallel, and carries the cross-band prefix
+    min through a band-count-sized serial window — the same
+    partition-then-tiny-serial-pass shape as gap_ranges(). Fuzz-pinned
+    ≡ the naive dominance join."""
     part = t(spark, sf_dir, "part")
     pts = part.select(
         "p_partkey",
@@ -1804,17 +1808,42 @@ def q_skyline(spark, sf_dir):
         ).alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w_cheaper = (
-        Window.orderBy("price_cents")
+    return skyline_frontier(pts)
+
+
+def skyline_frontier(pts, band_size: int = 100000):
+    """Banded 2-D skyline (minimize price_cents AND size) over columns
+    (p_partkey, price_cents, size): frontier = points whose size is
+    minimal within their exact-price tie-group and strictly below the
+    min size of every strictly-cheaper point. min-over-cheaper splits
+    into a band-parallel running min plus a prefix min over the
+    band-count-sized band-minima table — no global sort of the data."""
+    banded = pts.withColumn("band", F.expr(f"price_cents DIV {band_size}"))
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_same = Window.partitionBy("price_cents")
-    ctx = pts.select(
+    local = banded.select(
         "p_partkey",
+        "band",
         "price_cents",
         "size",
-        F.min("size").over(w_cheaper).alias("min_cheaper"),
+        F.min("size").over(w_local).alias("local_min"),
         F.min("size").over(w_same).alias("min_same"),
+    )
+    band_mins = banded.groupBy("band").agg(F.min("size").alias("band_min"))
+    w_prefix = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = band_mins.select(
+        "band", F.min("band_min").over(w_prefix).alias("prefix_min")
+    )
+    ctx = local.join(F.broadcast(prefix), "band").withColumn(
+        # least() skips NULLs in both engines; NULL only if both are
+        "min_cheaper",
+        F.least("local_min", "prefix_min"),
     )
     return ctx.filter(
         (F.col("size") == F.col("min_same"))

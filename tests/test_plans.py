@@ -479,7 +479,7 @@ def test_stats_lane_plans(spark):
         "q_mix_shift": 3,
         "q_group_median": 1,
         "q_rank_movers": 3,
-        "q_skyline": 3,
+        "q_skyline": 4,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

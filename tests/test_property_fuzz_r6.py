@@ -134,3 +134,36 @@ def test_gap_ranges_equal_sorted_scan(spark, keys, bucket):
     ]
     assert got == expected
     assert sum(g for _, g in got) == (ks[-1] - ks[0] + 1) - len(ks)
+
+
+POINTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=300000),
+              st.integers(min_value=1, max_value=20)),
+    min_size=1, max_size=60,
+)
+
+
+@_SETTINGS
+@given(points=POINTS, band=st.sampled_from([1, 1000, 100000]))
+def test_skyline_banded_equals_naive(spark, points, band):
+    """For ANY point set and ANY band size, the banded frontier
+    equals brute-force dominance filtering."""
+    from team_02_spark.queries.stats_queries import skyline_frontier
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(points)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, price_cents long, size long"
+    ).repartition(3)
+    got = sorted(
+        (r.p_partkey, r.price_cents, r.size)
+        for r in skyline_frontier(df, band_size=band).collect()
+    )
+    expected = sorted(
+        (i, p, s)
+        for i, p, s in rows
+        if not any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s))
+            for _, p2, s2 in rows
+        )
+    )
+    assert got == expected
