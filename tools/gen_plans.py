@@ -65,6 +65,8 @@ HEADLINE = {
     "q_bitmap_distinct": "exact mergeable distinct: per-shard bucket bitmaps (map-side construct_agg), lossless OR rollup; counts exit without rescanning raw rows",
     "q_bigram_lm": "ONE tokenize pass; bigrams from lead() on the (doc,pos) window; both count tables vocab-sized and key-joined back (broadcastable); doc score is a keyed agg — never a corpus self-join",
     "q_gaps_islands": "distinct (user, day) collapses the event stream first; island keys and per-user stats reuse the single user_id partitioning",
+    "q_skyline": "banded Pareto frontier: band-parallel running mins + band-count-sized prefix pass + broadcast join-back — no global sort, no all-pairs dominance",
+    "q_rolling_wau": "trailing-window distinct via bounded x7 explode of the collapsed user-day table — no day-range self-join; one count-distinct shuffle",
     "q_cohort_ltv": "integer-cents LTV: corpus collapses to per-customer first-month then cohort-age cells; the running-sum window is calendar-squared-sized",
 }
 
