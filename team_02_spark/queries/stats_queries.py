@@ -993,7 +993,9 @@ def q_lorenz_deciles(spark, sf_dir):
     cents (custkey tiebreak makes the NTILE boundary a total order,
     FIXTURES.md §C), cumulative revenue share per decile in integer
     basis points. The corpus-scale work is one spend aggregate; the
-    curve itself is a 10-row window."""
+    NTILE sorts the CUSTOMER-sized collapse (swap to KLL-threshold
+    bucketing past ~10⁸ customers); the curve itself is a 10-row
+    window."""
     from pyspark.sql import Window as W
 
     cust = t(spark, sf_dir, "customer")
@@ -1892,7 +1894,14 @@ def q_decile_lift(spark, sf_dir):
     positive capture in bp, and per-decile lift ×10⁴ — all truncating
     integer arithmetic, no rate ever materializes as a double. The
     model-triage companion to AUC/PR: 'how much of the signal do the
-    top-k% catch'."""
+    top-k% catch'.
+
+    Scale bound: exact NTILE is one global sort of the EVAL SET (the
+    table a lift table is computed on — samples, not the corpus). For
+    corpus-scale scoring, cut deciles at KLL thresholds
+    (q_approx_percentiles) and keep this exact form as the oracle on
+    the sample — the same exact-vs-sketch swap q_funnel_timing
+    documents."""
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
