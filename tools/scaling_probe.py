@@ -718,6 +718,58 @@ def bigram_lm_probe(replication: int) -> None:
     spark.stop()
 
 
+def basket_probe(replication: int) -> None:
+    """Data-scaling sweep for the market-basket / association-rules
+    lanes: the sf0.1 (order, part) item set replicated Nx under fresh
+    orderkeys — baskets grow Nx while the per-basket size distribution
+    is CONSTANT. The property under test: candidate pairs are bounded
+    per basket (sum of C(|basket|,2)), so pair generation and the rule
+    joins scale linearly with baskets — never corpus-quadratically."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+
+    spark = get_spark(f"scaling-basket-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    span = base.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select(
+                (F.col("l_orderkey") + F.lit(i * span)).alias("l_orderkey"),
+                "l_partkey",
+            )
+        )
+    df = df.repartition(32).persist()
+    df.write.format("noop").mode("overwrite").save()  # warm
+
+    t0 = time.perf_counter()
+    a, b = df.alias("a"), df.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count("*").alias("n_xy"))
+    )
+    n_pairs = pairs.agg(F.sum("n_xy").alias("s")).collect()[0]["s"]
+    pair_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "basket", "replication": replication,
+        "pair_sec": round(pair_s, 2),
+        "candidate_pairs": int(n_pairs),
+        "baskets": int(df.select("l_orderkey").distinct().count()),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "skew":
@@ -760,6 +812,9 @@ def main() -> None:
         return
     if mode == "bigram_lm":
         bigram_lm_probe(arg)
+        return
+    if mode == "basket":
+        basket_probe(arg)
         return
     if mode == "substring":
         substring_probe(arg)
