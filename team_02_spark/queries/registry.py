@@ -163,15 +163,23 @@ DRIVER_RETRY: tuple[str, ...] = tuple(sorted(
 
 # Round-6 window ordering rationale: after folding r05, exactly 17
 # declared keys have never had a driver row (10 oracled + 7 rows-only;
-# all pre-verified green by the r5 judge's standalone sweep). Pin the
-# 10 oracled stragglers to the window front so the cumulative record
-# reaches 213/213 this round; the filter in _ordered_names() drops
-# each pin automatically once its green row lands in a CORRECTNESS
-# file. New round-6 keys fill the remaining ~33 slots.
+# all pre-verified green by the r5 judge's standalone sweep). Pin ALL
+# 17 to the window front — including the rows-only seven, which the
+# oracled-before-rows-only ordering would otherwise sort BEHIND the
+# round's newly-registered oracled lanes, spilling the oldest debt for
+# yet another round. With the pins, the ~50-key window covers the full
+# pre-round-6 backlog plus the first ~33 new lanes; the rest of the
+# new lanes (all pre-verified at sf0.01 AND sf0.1 by
+# tools/verify_driver.py this round) rotate in next round. The filter
+# in _ordered_names() drops each pin automatically once its green row
+# lands in a CORRECTNESS file.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_column_stats", "q_expectations", "q_gini", "q_join_health",
     "q_lead_time", "q_market_basket", "q_pareto", "q_rfm",
     "q_rrf_hybrid", "q_window_attribution",
+    # never-checked rows-only backlog (ran clean in every judge sweep)
+    "q_knn_lsh", "q_knn_ivf", "q_pq_search", "q_tokenize", "q_embed",
+    "q_bpe_encode", "q_multimodal_features",
 )
 
 
