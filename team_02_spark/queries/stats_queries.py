@@ -1935,3 +1935,86 @@ def q_decile_lift(spark, sf_dir):
             "DIV (n * CAST(SUM(n_pos) OVER () AS BIGINT))"
         ).alias("lift_x10000"),
     )
+
+
+@query(
+    "q_conversion_horizons",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                 AS t_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT t_purchase - t_signup AS dt_us,
+               t_signup IS NOT NULL AS signed,
+               t_signup IS NOT NULL AND t_purchase > t_signup AS converted
+        FROM stages
+    )
+    SELECT CAST(SUM(CASE WHEN signed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN converted AND dt_us <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // GREATEST(CAST(SUM(CASE WHEN signed THEN 1 ELSE 0 END)
+                              AS BIGINT), 1) AS within_1h_bp,
+           CAST(SUM(CASE WHEN converted AND dt_us <= 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // GREATEST(CAST(SUM(CASE WHEN signed THEN 1 ELSE 0 END)
+                              AS BIGINT), 1) AS within_1d_bp,
+           CAST(SUM(CASE WHEN converted AND dt_us <= 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             // GREATEST(CAST(SUM(CASE WHEN signed THEN 1 ELSE 0 END)
+                              AS BIGINT), 1) AS within_7d_bp
+    FROM conv
+    """,
+)
+def q_conversion_horizons(spark, sf_dir):
+    """Conversion CDF at fixed horizons: of users who signed up, what
+    share purchased within 1 hour / 1 day / 7 days of first signup —
+    the horizon view complementing q_funnel_timing's percentiles.
+    Deltas are exact epoch-µs integers; shares exit as basis points
+    over the signup base with the GREATEST empty-input guard
+    (FIXTURES.md §C). One per-user conditional-min pass + one global
+    fold."""
+    ev = t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts")))
+        ).alias("t_signup"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros(F.col("ts"))
+            )
+        ).alias("t_purchase"),
+    )
+    conv = stages.select(
+        (F.col("t_purchase") - F.col("t_signup")).alias("dt_us"),
+        F.col("t_signup").isNotNull().alias("signed"),
+        (
+            F.col("t_signup").isNotNull()
+            & (F.col("t_purchase") > F.col("t_signup"))
+        ).alias("converted"),
+    )
+    n_signed = "CAST(SUM(CASE WHEN signed THEN 1 ELSE 0 END) AS BIGINT)"
+
+    def horizon(us: int, alias: str):
+        return F.expr(
+            f"CAST(SUM(CASE WHEN converted AND dt_us <= {us} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) * 10000 "
+            f"DIV GREATEST({n_signed}, 1)"
+        ).alias(alias)
+
+    return conv.agg(
+        F.expr(n_signed).alias("n_signup"),
+        F.expr(
+            "CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_converted"),
+        horizon(3_600_000_000, "within_1h_bp"),
+        horizon(86_400_000_000, "within_1d_bp"),
+        horizon(604_800_000_000, "within_7d_bp"),
+    )

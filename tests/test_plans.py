@@ -481,6 +481,7 @@ def test_stats_lane_plans(spark):
         "q_rank_movers": 3,
         "q_skyline": 4,
         "q_decile_lift": 1,
+        "q_conversion_horizons": 2,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)

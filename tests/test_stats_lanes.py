@@ -474,3 +474,11 @@ def test_decile_lift_identities(spark):
 
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert sum(r.n for r in rows) == n_events
+
+
+def test_conversion_horizons_monotone(spark):
+    r = _q(spark, "q_conversion_horizons").collect()[0]
+    assert 0 <= r.within_1h_bp <= r.within_1d_bp <= r.within_7d_bp <= 10000
+    assert r.n_converted <= r.n_signup
+    # consistency with funnel timing's converter count
+    assert r.n_converted == _q(spark, "q_funnel_timing").collect()[0].n_converted
