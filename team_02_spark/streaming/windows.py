@@ -148,3 +148,40 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def windowed_value_counts(events: DataFrame, value: str = "event_type",
+                          window_width: str = "6 hours",
+                          watermark: str | None = None) -> DataFrame:
+    """Per-window value counts — the streamable HALF of windowed
+    top-k: a plain windowed groupBy (append-mode-safe under a
+    watermark, state evicted per window). Ranking is NOT append-mode
+    streamable (a rank can change until the window closes), so the
+    top-k cut lives in ``topk_of_window_counts`` and runs on CLOSED
+    windows — in foreachBatch, or on the materialized sink table.
+    Identical semantics in batch mode; the batch==stream test pins
+    the counts stage row-for-row."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window_width).alias("w"), F.col(value))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), value, "cnt")
+    )
+
+
+def topk_of_window_counts(counts: DataFrame, value: str = "event_type",
+                          k: int = 3) -> DataFrame:
+    """Rank finisher for ``windowed_value_counts``: top-k values per
+    closed window with a deterministic (count desc, value asc) total
+    order. Runs per-window (WindowGroupLimit keeps a k-heap per
+    group), over window-count x alphabet rows — never the stream."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc(value)
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("window_start", value, "cnt", F.col("rnk").cast("bigint").alias("rnk"))
+    )

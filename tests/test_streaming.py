@@ -445,3 +445,33 @@ def test_gap_island_sessions_equal_session_window(spark):
     )
     assert native.exceptAll(islands).count() == 0
     assert islands.exceptAll(native).count() == 0
+
+
+def test_windowed_topk_batch_equals_stream(spark):
+    """The streamable counts stage must equal the batch build
+    row-for-row, and the rank finisher applied to the streamed counts
+    must equal the full-batch top-k (deterministic count-desc,
+    value-asc order)."""
+    from team_02_spark.streaming.windows import (
+        topk_of_window_counts,
+        windowed_value_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_counts = windowed_value_counts(ev, "event_type", "6 hours")
+    stream_src = read_events_stream(spark, SF_SMOKE)
+    streamed = _run_stream_to_batch(
+        spark, windowed_value_counts(stream_src, "event_type", "6 hours")
+    )
+    _assert_frames_equal(
+        batch_counts.toPandas(), streamed, ["window_start", "event_type"]
+    )
+
+    batch_topk = topk_of_window_counts(batch_counts, k=3).toPandas()
+    stream_topk = topk_of_window_counts(
+        spark.createDataFrame(streamed), k=3
+    ).toPandas()
+    _assert_frames_equal(
+        batch_topk, stream_topk, ["window_start", "rnk"]
+    )
+    assert (batch_topk.groupby("window_start").size() <= 3).all()
