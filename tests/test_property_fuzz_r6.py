@@ -236,3 +236,61 @@ def test_islands_and_growth_identities_on_random_activity(spark, pairs):
         assert r.n_new + r.n_retained + r.n_resurrected == len(users)
         prev = active_by_day.get(d - 1, set())
         assert r.n_retained + r.n_churned_from_prev == len(prev)
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),      # user
+              st.integers(min_value=0, max_value=500000), # seconds offset
+              st.sampled_from(["a", "b"]),                # type
+              st.integers(min_value=1, max_value=40000)), # value x100
+    min_size=2, max_size=50,
+)
+
+
+@_SETTINGS
+@given(evs=EVENTS)
+def test_twap_matches_python_fold_on_random_streams(spark, evs):
+    """For ANY event stream, q_twap's integer output must equal an
+    exact python reimplementation of the spec (value held until the
+    user's next event, whole-second weights, floor-DIV exits)."""
+    import datetime
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from team_02_spark.queries.stats_queries import q_twap
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=s, microseconds=i % 997),
+         u, ty, v / 100.0, "{}")
+        for i, (u, s, ty, v) in enumerate(evs)
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    got = {r.event_type: (r.n_intervals, r.total_s, r.twap_x10000)
+           for r in q_twap(spark, tmp).collect()}
+
+    per_user = defaultdict(list)
+    for i, (u, s, ty, v) in enumerate(evs):
+        us = s * 1_000_000 + (i % 997)
+        per_user[u].append((us, i, ty, v * 100))  # v4 = x100 value * 100
+    agg = defaultdict(lambda: [0, 0, 0])  # type -> [n, sum_dt, sum_v4dt]
+    for u, lst in per_user.items():
+        lst.sort()
+        for (us, _, ty, v4), (us2, _, _, _) in zip(lst, lst[1:]):
+            dt_s = (us2 - us) // 1_000_000
+            if dt_s > 0:
+                a = agg[ty]
+                a[0] += 1
+                a[1] += dt_s
+                a[2] += v4 * dt_s
+    expected = {
+        ty: (n, sdt, sv // sdt) for ty, (n, sdt, sv) in agg.items() if n
+    }
+    assert got == expected
