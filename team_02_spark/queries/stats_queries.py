@@ -1533,11 +1533,16 @@ def q_assoc_rules(spark, sf_dir):
     n_xy·N·1e4 DIV (n_x·n_y) — no double is ever produced). Pair
     candidates block on the order key after distinct-ing items
     (bounded by basket size); the item-count joins are
-    vocabulary-sized."""
+    vocabulary-sized. The distinct item set feeds FOUR consumers
+    (both pair-join sides, the item counts, the order total), so it
+    is lazily localCheckpointed — one corpus scan + one distinct
+    shuffle instead of five of each (the q_ngram_dup_rate shared-pass
+    idiom; measured 5 scans / 0 reuse without it)."""
     items = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = items.agg(
         F.count_distinct("l_orderkey").alias("n")

@@ -475,7 +475,7 @@ def test_stats_lane_plans(spark):
         "q_growth_accounting": 7,
         "q_same_day_orders": 1,
         "q_price_spread": 1,
-        "q_assoc_rules": 9,
+        "q_assoc_rules": 5,
         "q_mix_shift": 3,
         "q_group_median": 1,
         "q_rank_movers": 3,
