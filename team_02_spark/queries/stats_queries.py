@@ -284,10 +284,13 @@ def q_bigram_lm(spark, sf_dir):
     lane stays in exact integer fixed point: each probability is
     n_xy * 1e9 DIV n_first, the document score a floor-DIV mean).
 
-    ONE tokenize pass: tokens explode once to (doc, pos) and bigrams
-    come from a lead() over the (doc_id, pos) window. Both count
-    tables are vocabulary-sized; the joins back to the pair stream are
-    key-partitioned (and broadcastable when the vocab fits)."""
+    TWO corpus passes total: tokens explode to (doc, pos), bigrams
+    come from a lead() over the (doc_id, pos) window, and ONE pair
+    aggregate builds the vocabulary-sized bigram table (lazily
+    localCheckpointed — it feeds two joins); the denominator table is
+    DERIVED from it (n_first(w1) = Σ n_xy over pairs starting with w1
+    — an exact identity, no second corpus aggregate). The only other
+    corpus pass is the score join-back."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -305,8 +308,14 @@ def q_bigram_lm(spark, sf_dir):
         )
         .filter(F.col("w2").isNotNull())
     )
-    first_counts = pairs.groupBy("w1").agg(F.count("*").alias("n_first"))
-    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    bg_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
+    first_counts = bg_counts.groupBy("w1").agg(
+        F.sum("n_xy").cast("bigint").alias("n_first")
+    )
     scored = (
         pairs.join(bg_counts, ["w1", "w2"])
         .join(first_counts, ["w1"])
@@ -379,14 +388,21 @@ def q_autocorr(spark, sf_dir):
     form runs on exact DECIMAL(38,0) moment sums (pairwise products
     <= ~1e16 stay inside BIGINT), exits once per aggregate to double,
     and ROUNDs to 6. The ~2.4k-row daily table aggregates in one
-    shuffle; both windows share its sort."""
+    shuffle; both lag paths then read the lazily localCheckpointed
+    calendar-sized daily table (one corpus scan, not two)."""
     orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(
-            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
         )
-        .cast("bigint")
-        .alias("cents")
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("d")
 
@@ -1105,14 +1121,20 @@ def q_rolling_wau(spark, sf_dir):
     the <=7 future days it keeps the user 'active' for (a bounded ×7
     fan-out of the already-collapsed user-day table), then one
     count-distinct per day. No self-join, no per-day rescan; the
-    trailing horizon is data-independent."""
+    trailing horizon is data-independent. The collapsed user-day set
+    feeds the bound probe AND the explode, so it is lazily
+    localCheckpointed — one corpus scan."""
     ev = t(spark, sf_dir, "events")
-    active = ev.select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
-            "day_num"
-        ),
-    ).distinct()
+    active = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("day_num"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bounds = active.agg(F.max("day_num").alias("max_d"))
     contrib = active.select(
         "user_id",
@@ -1155,7 +1177,12 @@ def q_id_gaps(spark, sf_dir):
     two forms produce identical gaps because buckets tile the key
     space in order."""
     li = t(spark, sf_dir, "lineitem")
-    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    # the distinct key set feeds both gap passes — one scan + distinct
+    keys = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return gap_ranges(keys, bucket_size=10000)
 
 
@@ -1360,12 +1387,20 @@ def q_growth_accounting(spark, sf_dir):
     All joins are equi-joins of the COLLAPSED user-day table against
     itself shifted by one day via key arithmetic (d ± 1) — never a
     window over the raw event stream and never a range join; cost is
-    O(user-days), partitioned by user_id."""
+    O(user-days), partitioned by user_id. The collapse feeds five
+    consumers, so it is lazily localCheckpointed — ONE corpus scan +
+    one distinct (was five of each)."""
     ev = t(spark, sf_dir, "events")
-    active = ev.select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("d"),
-    ).distinct()
+    active = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     firsts = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
     yday = active.select(
         "user_id", (F.col("d") + 1).alias("d"), F.lit(True).alias("was_active")
@@ -1825,7 +1860,9 @@ def skyline_frontier(pts, band_size: int = 100000):
     min size of every strictly-cheaper point. min-over-cheaper splits
     into a band-parallel running min plus a prefix min over the
     band-count-sized band-minima table — no global sort of the data."""
-    banded = pts.withColumn("band", F.expr(f"price_cents DIV {band_size}"))
+    banded = pts.withColumn(
+        "band", F.expr(f"price_cents DIV {band_size}")
+    ).localCheckpoint(eager=False)  # feeds the local window AND band mins
     w_local = (
         Window.partitionBy("band")
         .orderBy("price_cents")

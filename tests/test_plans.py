@@ -458,8 +458,8 @@ def test_stats_lane_plans(spark):
         "q_chi_square": 2,
         "q_mode_per_key": 2,
         "q_churn_rate": 3,
-        "q_autocorr": 4,
-        "q_bigram_lm": 5,
+        "q_autocorr": 2,
+        "q_bigram_lm": 2,
         "q_fuzzy_join": 2,
         "q_twap": 2,
         "q_heaps_law": 2,
@@ -468,11 +468,11 @@ def test_stats_lane_plans(spark):
         "q_activity_heatmap": 2,
         "q_lorenz_deciles": 2,
         "q_feature_hash": 1,
-        "q_rolling_wau": 4,
-        "q_id_gaps": 4,
+        "q_rolling_wau": 3,
+        "q_id_gaps": 3,
         "q_peaks": 2,
         "q_max_drawdown": 2,
-        "q_growth_accounting": 7,
+        "q_growth_accounting": 3,
         "q_same_day_orders": 1,
         "q_price_spread": 1,
         "q_assoc_rules": 5,
