@@ -282,6 +282,10 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
     ≥ 1 of the 4 blocks by pigeonhole; it is missed only if EVERY
     block it shares is hot, so recall degrades gracefully and only on
     pathological corpora. Cap None disables the guard."""
+    # the block frame feeds every pigeonhole join side plus the four
+    # hot-bucket probes (up to 12 consumers) — lazily localCheckpoint
+    # so the fingerprint derivation runs ONCE, not per consumer (an
+    # unshared plan recomputed the corpus fingerprints 17 times)
     blocks = fps.select(
         id_col,
         "simhash",
@@ -289,7 +293,7 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
             F.col("simhash").bitwiseAND(_slit(0xFFFF << (16 * i))).alias(f"blk{i}")
             for i in range(4)
         ],
-    )
+    ).localCheckpoint(eager=False)
     pair_frames = []
     for i in range(4):
         side = blocks

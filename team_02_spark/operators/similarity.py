@@ -663,10 +663,15 @@ def mmr_diversify(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
         .withColumn("rel", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("rel"), F.col(c_id))
+    # the shortlist is tiny (queries x shortlist_n) but derives from
+    # the corpus-scale scoring pass — lazily localCheckpoint so both
+    # pair sides reuse ONE scoring pass instead of re-scoring the
+    # corpus per consumer
     short = (
         scored.withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") <= shortlist_n)
         .select(q_id, c_id, "rel")
+        .localCheckpoint(eager=False)
     )
     vecs = corpus.select(F.col(c_id), F.col(c_vec))
     a = (

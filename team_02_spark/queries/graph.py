@@ -229,7 +229,10 @@ def q_triangles(spark, sf_dir):
 
     Per-order supplier pairs are bounded by order width (~7 lines),
     so the pair-building self-join never blows up; one distinct
-    shuffle dedups multi-order pairs."""
+    shuffle dedups multi-order pairs. The pair, degree, and oriented
+    frames each feed 3-4 consumers, so all three are lazily
+    localCheckpointed — ONE lineitem scan total (an unshared plan
+    re-derived the edge list 44 times)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -237,11 +240,13 @@ def q_triangles(spark, sf_dir):
                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("n"))
         .unionAll(pairs.select(F.col("v").alias("n")))
         .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -253,6 +258,7 @@ def q_triangles(spark, sf_dir):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .localCheckpoint(eager=False)
     )
     od = oriented.join(
         deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")), "dst")

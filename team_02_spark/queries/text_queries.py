@@ -1464,6 +1464,9 @@ def q_setsim_join(spark, sf_dir):
             ).alias("tk")
         )
         .withColumn("sz", F.size("tk"))
+        # feeds both prefix sides AND both verify sides — lazily
+        # localCheckpoint so tokenize+freq+collect runs ONCE, not 4x
+        .localCheckpoint(eager=False)
     )
     pref_len = (F.col("sz") - F.ceil(0.8 * F.col("sz")) + 1).cast("int")
     prefixes = sets.select(
