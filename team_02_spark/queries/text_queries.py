@@ -277,9 +277,11 @@ def q_dedup_ngram(spark, sf_dir):
     This is the exact-verifiable variant; q_dedup_near is the
     MinHash-LSH scale path (probabilistic recall → rows-only)."""
     docs = t(spark, sf_dir, "documents")
+    # the shingle-set frame feeds both candidate sides and both size
+    # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -1025,9 +1027,11 @@ def _dup_component_roots(spark, sf_dir):
     from team_02_spark.operators.dedup import connected_components
 
     docs = t(spark, sf_dir, "documents")
+    # the shingle-set frame feeds both candidate sides and both size
+    # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -2108,9 +2112,11 @@ def q_containment_pairs(spark, sf_dir):
     — complete, never all-pairs); the DECIMAL-free ratio is a quotient
     of exact integers so the strict >= 0.8 gate is deterministic."""
     docs = t(spark, sf_dir, "documents")
+    # the shingle-set frame feeds both candidate sides and both size
+    # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
