@@ -219,6 +219,36 @@ def q_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_xml_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_xml_roundtrip(spark, sf_dir):
+    """S-format breadth: Spark 4 built-in XML sink -> schema'd XML
+    scan round-trip (rowTag records), the partner-feed format next to
+    the JSONL lane above. Oracle = the source projection: doubles
+    survive the text round trip exactly (shortest-repr printing), and
+    the schema'd read keeps the types engine-stable."""
+    import os
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), "team02_xml_roundtrip")
+    orders.write.mode("overwrite").format("xml").option(
+        "rowTag", "order"
+    ).save(out)
+    return (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+
+
+@query(
     "q_cross_join",
     oracle="""
     SELECT r.r_name, n.n_name
