@@ -140,11 +140,19 @@ def train_bpe(docs: DataFrame, n_merges: int = 50,
     char_seq = F.concat(
         F.split(F.col("word"), ""), F.array(F.lit(END))
     ).alias("seq")
-    if words.count() <= local_finish_threshold:
-        rows = words.select("cnt", char_seq).collect()
-        return _train_bpe_local(
-            [(r["cnt"], r["seq"]) for r in rows], n_merges
+    # ONE materialization decides the path: collect threshold+1 rows —
+    # if the probe comes back <= threshold it IS the whole word table
+    # and feeds the local finish directly (no separate count() pass
+    # re-running the corpus-scale aggregation).
+    if local_finish_threshold > 0:
+        probe = (
+            words.select("cnt", char_seq)
+            .limit(local_finish_threshold + 1).collect()
         )
+        if len(probe) <= local_finish_threshold:
+            return _train_bpe_local(
+                [(r["cnt"], r["seq"]) for r in probe], n_merges
+            )
     # char-split with end-of-word marker; cache — every iteration reads it
     seqs = words.select("cnt", char_seq).persist()
     merges: list[tuple[str, str]] = []

@@ -29,7 +29,7 @@ from team_02_spark.functions.vectors import (
     band_buckets, cosine, hyperplane_bucket, normalize, pdot, punit,
     remap_hot_buckets,
 )
-from team_02_spark.util import ensure_parallelism
+from team_02_spark.util import ensure_parallelism, shared_pass
 
 
 # ------------------------------------------------------------- exact
@@ -293,7 +293,7 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
             F.col("simhash").bitwiseAND(_slit(0xFFFF << (16 * i))).alias(f"blk{i}")
             for i in range(4)
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(shared_pass)
     pair_frames = []
     for i in range(4):
         side = blocks
@@ -591,7 +591,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # split-gate projection), and an un-checkpointed return would
         # re-evaluate the whole pair-generation subtree per consumer —
         # the r4 plan audit caught exactly that (15→31 shuffles).
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels.transform(shared_pass, eager=True)
         if not changed:
             return labels
     raise RuntimeError(
@@ -613,7 +613,7 @@ def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     Semantics (deterministic): a token k-gram occurring in >= 2
     DISTINCT documents marks every occurrence EXCEPT the canonical one
-    (global min of ``id*1e6 + pos``) as duplicated; each marked
+    (global min of the ``(id, pos)`` pair) as duplicated; each marked
     occurrence covers tokens [pos, pos+k-1]; overlapping/adjacent
     covers within a doc merge into maximal spans. Any duplicated run
     of length >= k is covered exactly (stride-1 anchors), which is the
@@ -630,10 +630,9 @@ def substring_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     Returns one row per merged span: (id_col, span_start, span_end,
     span_tokens), token positions 0-based inclusive.
 
-    Canonical-occurrence keys pack ``id*1e6 + pos`` into one BIGINT,
-    bounding ids at ~9.2e12 and positions at 1e6 tokens/document;
-    both hold at any realistic shard (re-key ids per shard if a
-    global id space ever exceeds the bound).
+    The canonical occurrence is the struct-min of ``(id, pos)`` —
+    unbounded (no packed-key id/position limits) and valid for any
+    orderable id type, not just numeric ids.
     """
     tok = _substr_tokenize(df, id_col, text_col)
     return _substr_spans_from_tok(tok, id_col, k)
@@ -662,7 +661,10 @@ def _substr_spans_from_tok(tok_all: DataFrame, id_col: str,
                 lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
             )
         ).alias("pos", "gram"),
-    ).withColumn("__okey", F.col(id_col) * 1_000_000 + F.col("pos"))
+    ).withColumn(
+        "__okey",
+        F.struct(F.col(id_col).alias("oid"), F.col("pos").alias("opos")),
+    )
     ga = occ.groupBy("gram").agg(
         F.countDistinct(id_col).alias("__nd"),
         F.min("__okey").alias("__mk"),
@@ -701,7 +703,7 @@ def substring_dedup_stats(df: DataFrame, id_col: str = "doc_id",
     The tokenized frame is lazily checkpointed and shared between the
     span pipeline and the per-doc token counts, so the wide text
     column is scanned and split ONCE (the q_ngram_dup_rate pattern)."""
-    tok = _substr_tokenize(df, id_col, text_col).localCheckpoint(eager=False)
+    tok = _substr_tokenize(df, id_col, text_col).transform(shared_pass)
     spans = _substr_spans_from_tok(tok, id_col, k)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_spans"),
@@ -739,7 +741,7 @@ def strip_cross_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     token stream anti-joins on (id, pos), and one groupBy rebuilds the
     text via a sorted struct collect — no per-doc driver work.
     """
-    tok = _substr_tokenize(df, id_col, text_col).localCheckpoint(eager=False)
+    tok = _substr_tokenize(df, id_col, text_col).transform(shared_pass)
     spans = _substr_spans_from_tok(tok, id_col, k)
     dead = spans.select(
         id_col,

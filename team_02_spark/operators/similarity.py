@@ -31,6 +31,7 @@ from team_02_spark.functions.vectors import (
     hyperplane_bucket,
     remap_hot_buckets,
 )
+from team_02_spark.util import shared_pass
 
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
@@ -671,7 +672,7 @@ def mmr_diversify(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
         scored.withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") <= shortlist_n)
         .select(q_id, c_id, "rel")
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     vecs = corpus.select(F.col(c_id), F.col(c_vec))
     a = (

@@ -39,3 +39,17 @@ def davg_sql(expr: str) -> str:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def run_dir(spark: SparkSession, label: str) -> str:
+    """Per-application scratch dir for sink/scan round-trip lanes.
+
+    Keyed by the Spark applicationId so two concurrent sessions
+    (parallel test workers, simultaneous driver + bench runs) never
+    clobber each other's output directory mid-read. Deterministic
+    within a session, so overwrite-mode re-runs stay idempotent."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"team02_{label}_{app}")

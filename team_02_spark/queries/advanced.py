@@ -9,9 +9,6 @@ ANSI oracle.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -21,7 +18,7 @@ from team_02_spark.operators.multimodal import (
     synthesize_media,
 )
 from team_02_spark.queries.registry import query
-from team_02_spark.queries._util import t
+from team_02_spark.queries._util import run_dir, t
 
 
 @query(
@@ -181,7 +178,7 @@ def q_csv_scan(spark, sf_dir):
     and header handling). Oracle = the source table itself: the
     round-trip must be lossless, which IS the property being checked."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    out = os.path.join(tempfile.gettempdir(), "team02_csv_roundtrip")
+    out = run_dir(spark, "csv_roundtrip")
     docs.write.mode("overwrite").option("header", True).csv(out)
     return (
         spark.read.schema("doc_id long, lang string, text string")

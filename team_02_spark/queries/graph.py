@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import shared_pass
 
 # PageRank state is FIXED-POINT INTEGER (units of 1e-9): every
 # operation is bigint multiply / integer-DIV / sum, so the iterated
@@ -240,13 +241,13 @@ def q_triangles(spark, sf_dir):
                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     deg = (
         pairs.select(F.col("u").alias("n"))
         .unionAll(pairs.select(F.col("v").alias("n")))
         .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -258,7 +259,7 @@ def q_triangles(spark, sf_dir):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     od = oriented.join(
         deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")), "dst")

@@ -32,6 +32,7 @@ from pyspark.sql import Window, functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import shared_pass
 
 # Whitespace tokens, empty-free — the house tokenization
 # (text_queries.py q_token_count uses the same split on both engines).
@@ -767,7 +768,7 @@ def q_source_overlap(spark, sf_dir):
     # checkpointed frame is vocab-sized, not corpus-sized
     tok = docs.select(
         "source", F.explode(_toks(F.col("text"))).alias("tok")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(shared_pass)
     sizes = tok.groupBy("source").agg(F.count("*").alias("sz"))
     a = tok.select(F.col("source").alias("source_a"), "tok")
     b = tok.select(F.col("source").alias("source_b"), "tok")

@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
-from team_02_spark.queries._util import t
+from team_02_spark.queries._util import run_dir, t
 
 
 @query(
@@ -206,11 +206,8 @@ def q_json_roundtrip(spark, sf_dir):
     round-trip (the landing-file format for the REST/stream sources).
     Oracle = the source projection: doubles survive the text round
     trip exactly (shortest-repr printing is lossless)."""
-    import os
-    import tempfile
-
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = os.path.join(tempfile.gettempdir(), "team02_json_roundtrip")
+    out = run_dir(spark, "json_roundtrip")
     ev.write.mode("overwrite").json(out)
     return (
         spark.read.schema("event_id long, event_type string, value double")
@@ -228,13 +225,10 @@ def q_xml_roundtrip(spark, sf_dir):
     the JSONL lane above. Oracle = the source projection: doubles
     survive the text round trip exactly (shortest-repr printing), and
     the schema'd read keeps the types engine-stable."""
-    import os
-    import tempfile
-
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = os.path.join(tempfile.gettempdir(), "team02_xml_roundtrip")
+    out = run_dir(spark, "xml_roundtrip")
     orders.write.mode("overwrite").format("xml").option(
         "rowTag", "order"
     ).save(out)

@@ -145,21 +145,27 @@ _STATIC_VERIFIED: frozenset[str] = frozenset({
 
 _DRIVER_ROWS: dict[str, bool] = _load_driver_rows()
 
-# Green keys from every committed CORRECTNESS round (latest wins),
-# folded automatically — no more hand edits after each round.
-DRIVER_VERIFIED: frozenset[str] = _STATIC_VERIFIED | frozenset(
-    k for k, green in _DRIVER_ROWS.items() if green
+# Keys whose LATEST driver row is red (hash mismatch / hard error).
+# Computed from the rows alone so a red row always wins — even for a
+# key in the static seed: the latest driver row is the operative
+# verdict, and the seed only fills in keys with no row at all.
+_RED_LATEST: frozenset[str] = frozenset(
+    k for k, green in _DRIVER_ROWS.items() if not green
 )
 
-# Keys whose LATEST driver row is red (hash mismatch / hard error):
-# they sort to the very front of the window so the fix gets re-checked
-# next round. Derived, not hand-maintained. Currently empty — the only
-# historical reds (r3: q_dup_rate_by_source, q_cv_agreement) came back
-# green in r04.
-DRIVER_RETRY: tuple[str, ...] = tuple(sorted(
-    k for k, green in _DRIVER_ROWS.items()
-    if not green and k not in DRIVER_VERIFIED
-))
+# Green keys from every committed CORRECTNESS round (latest wins),
+# folded automatically — no more hand edits after each round. A key
+# whose latest row is red is NOT verified, regardless of the seed.
+DRIVER_VERIFIED: frozenset[str] = (
+    _STATIC_VERIFIED
+    | frozenset(k for k, green in _DRIVER_ROWS.items() if green)
+) - _RED_LATEST
+
+# Red-latest keys sort to the very front of the window so the fix gets
+# re-checked next round. Derived, not hand-maintained. Currently empty
+# — the only historical reds (r3: q_dup_rate_by_source,
+# q_cv_agreement) came back green in r04.
+DRIVER_RETRY: tuple[str, ...] = tuple(sorted(_RED_LATEST))
 
 # Round-6 window ordering rationale: after folding r05, exactly 17
 # declared keys have never had a driver row (10 oracled + 7 rows-only;

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import shared_pass
 
 # Portable epoch-day number: Spark datediff(day, 1970-01-01) ==
 # DuckDB date_diff('day', DATE '1970-01-01', day) — integer days,
@@ -311,7 +312,7 @@ def q_bigram_lm(spark, sf_dir):
     bg_counts = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("n_xy"))
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     first_counts = bg_counts.groupBy("w1").agg(
         F.sum("n_xy").cast("bigint").alias("n_first")
@@ -402,7 +403,7 @@ def q_autocorr(spark, sf_dir):
             .cast("bigint")
             .alias("cents")
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     w = Window.orderBy("d")
 
@@ -1133,7 +1134,7 @@ def q_rolling_wau(spark, sf_dir):
             ).alias("day_num"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     bounds = active.agg(F.max("day_num").alias("max_d"))
     contrib = active.select(
@@ -1181,7 +1182,7 @@ def q_id_gaps(spark, sf_dir):
     keys = (
         li.select(F.col("l_orderkey").alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     return gap_ranges(keys, bucket_size=10000)
 
@@ -1399,7 +1400,7 @@ def q_growth_accounting(spark, sf_dir):
             ).alias("d"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     firsts = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
     yday = active.select(
@@ -1577,7 +1578,7 @@ def q_assoc_rules(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     n_orders = items.agg(
         F.count_distinct("l_orderkey").alias("n")
@@ -1862,7 +1863,7 @@ def skyline_frontier(pts, band_size: int = 100000):
     band-count-sized band-minima table — no global sort of the data."""
     banded = pts.withColumn(
         "band", F.expr(f"price_cents DIV {band_size}")
-    ).localCheckpoint(eager=False)  # feeds the local window AND band mins
+    ).transform(shared_pass)  # feeds the local window AND band mins
     w_local = (
         Window.partitionBy("band")
         .orderBy("price_cents")

@@ -29,7 +29,7 @@ from team_02_spark.operators.dedup import (
 )
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
-from team_02_spark.util import ensure_parallelism
+from team_02_spark.util import ensure_parallelism, shared_pass
 
 # SQL fragments shared by oracles -------------------------------------
 
@@ -281,7 +281,7 @@ def q_dedup_ngram(spark, sf_dir):
     # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_pass)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -1031,7 +1031,7 @@ def _dup_component_roots(spark, sf_dir):
     # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_pass)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -1470,7 +1470,7 @@ def q_setsim_join(spark, sf_dir):
         .withColumn("sz", F.size("tk"))
         # feeds both prefix sides AND both verify sides — lazily
         # localCheckpoint so tokenize+freq+collect runs ONCE, not 4x
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     pref_len = (F.col("sz") - F.ceil(0.8 * F.col("sz")) + 1).cast("int")
     prefixes = sets.select(
@@ -1692,7 +1692,7 @@ def q_ngram_dup_rate(spark, sf_dir):
             F.count("*").alias("cnt"),
             F.countDistinct("doc_id").alias("nd_s"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_pass)
     )
     spread = gs.groupBy("gram").agg(F.sum("nd_s").alias("nd"))
     dup_cnt = F.when(F.col("nd") > 1, F.col("cnt")).otherwise(F.lit(0))
@@ -2116,7 +2116,7 @@ def q_containment_pairs(spark, sf_dir):
     # joins — lazily localCheckpoint so shingling runs ONCE, not 4x
     sets_df = ensure_parallelism(docs).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_pass)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (

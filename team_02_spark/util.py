@@ -31,6 +31,48 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+# Session conf gating the shared-pass materialization strategy:
+# "auto" (default) picks by master, "true"/"false" force the
+# reliable / local strategy regardless of master.
+SHARED_PASS_RELIABLE_CONF = "spark.team02.reliableSharedPass"
+
+
+def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
+    """Materialize-once seam for frames with many downstream consumers
+    (use via ``frame.transform(shared_pass)``).
+
+    Local mode: ``localCheckpoint`` — truncates lineage so the
+    N-consumer plan derives the frame once instead of N times. That is
+    the right call on one JVM, but localCheckpoint stores blocks
+    UNREPLICATED on executors with the lineage gone, so on a real
+    cluster an executor loss (or dynamic-allocation decommission)
+    fails the job unrecoverably. So in cluster mode (master not
+    local*, or ``spark.team02.reliableSharedPass=true``) this uses a
+    reliable strategy instead: ``checkpoint()`` when a checkpoint dir
+    is configured (replicated to the checkpoint FS, lineage truncated
+    — also the right choice for iterative callers), else
+    ``persist(MEMORY_AND_DISK_2)`` (2× replicated blocks WITH lineage
+    intact, so a lost block recomputes instead of failing the job).
+
+    ``eager`` forces materialization now — iterative callers
+    (connected components) need it to cap plan growth per round.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    mode = str(spark.conf.get(SHARED_PASS_RELIABLE_CONF, "auto")).lower()
+    local = sc.master.startswith("local")
+    if mode == "true" or (mode == "auto" and not local):
+        if sc.getCheckpointDir():
+            return df.checkpoint(eager=eager)
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        if eager:
+            out.count()
+        return out
+    return df.localCheckpoint(eager=eager)
+
+
 def knuth_uniform(key):
     """Deterministic uniform draw in (0,1) from an integer id column —
     the Knuth multiplicative hash in exact decimal arithmetic
