@@ -1,0 +1,438 @@
+"""Round-7 lanes: SQL-surface breadth (QUALIFY-style windows, LATERAL
+VIEW OUTER, null-safe joins, multi-distinct, recursive CTE), storage
+breadth (ORC round-trip, partition-pruned scan), sampling breadth
+(systematic), statistics breadth (exact moments, rolling correlation,
+business-day arithmetic, quantile-bucket join), the salted two-stage
+aggregation scale pattern, a cogrouped applyInPandas lane, and the
+fixed-point KL-divergence drift gate.
+
+Every lane follows the FIXTURES.md §C determinism discipline: decimal
+or integer exits, discrete rank-select percentiles, md5 (never engine
+hash) for deterministic orders, and identical column aliases on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import dsum_sql, run_dir, t
+from team_02_spark.util import shared_pass
+
+
+# ---------------------------------------------------------------- SQL surface
+
+
+@query(
+    "q_qualify_topn",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal,
+           CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                   ORDER BY c.c_acctbal DESC,
+                                            c.c_custkey) AS INT) AS rnk
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    QUALIFY rnk <= 3
+    """,
+)
+def q_qualify_topn(spark, sf_dir):
+    """QUALIFY-style filtered window: top-3 customers per nation by
+    account balance, expressed declaratively (window + post-filter —
+    the DataFrame form of DuckDB/Snowflake QUALIFY, which the oracle
+    uses verbatim). Catalyst folds the filter into the window stage;
+    ties break on the key so ranks are total-ordered."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "c_custkey", "c_acctbal",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q_lateral_outer",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           x -> length(x) >= 8) AS l
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+    FROM arr
+    """,
+)
+def q_lateral_outer(spark, sf_dir):
+    """LATERAL VIEW OUTER semantics: explode a per-document array of
+    rare (>= 8-char) tokens, KEEPING documents whose array is empty as
+    a NULL row — `explode_outer`, the DataFrame form of
+    `LATERAL VIEW OUTER explode`. The oracle emulates OUTER in DuckDB
+    by substituting [NULL] for empty lists before unnest."""
+    docs = t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) >= 8
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH lhs AS (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+    ),
+    rhs AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               COUNT(*) AS seg_n
+        FROM customer GROUP BY NULLIF(c_mktsegment, 'BUILDING')
+    )
+    SELECT l.c_custkey, l.seg, r.seg_n
+    FROM lhs l JOIN rhs r ON l.seg IS NOT DISTINCT FROM r.seg
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of dropping, the semantics ETL needs when
+    a sentinel category is nulled out upstream. Still a hash-
+    partitionable equi-join at scale — null-safe equality is a valid
+    shuffle key (all NULLs co-locate)."""
+    cust = t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    lhs = cust.select("c_custkey", seg)
+    rhs = cust.select(seg).groupBy("seg").agg(F.count("*").alias("seg_n"))
+    return (
+        lhs.alias("l")
+        .join(rhs.alias("r"), F.col("l.seg").eqNullSafe(F.col("r.seg")))
+        .select("c_custkey", "l.seg", "seg_n")
+    )
+
+
+@query(
+    "q_multi_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           COUNT(DISTINCT l_orderkey) AS nd_order,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice')} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark, sf_dir):
+    """Several COUNT(DISTINCT) over different columns in ONE aggregate
+    — Catalyst plans this with a single Expand (one pass over the
+    input fans each row out per distinct-column) instead of N self-
+    joins; the plain count/sum ride along in the same job."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("nd_part"),
+        F.count_distinct("l_suppkey").alias("nd_supp"),
+        F.count_distinct("l_orderkey").alias("nd_order"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(mon) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+        WHERE mon < DATE '2001-12-01'
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT s.mon, COALESCE(r.n_orders, 0) AS n_orders,
+           COALESCE(r.cents, 0) AS cents
+    FROM spine s LEFT JOIN rev r ON s.mon = r.mon
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the 1995-2001
+    month spine recursively, then left-join monthly order revenue so
+    gap months surface as explicit zeros. The recursion is the tiny
+    (84-row) side — the order aggregate stays a distributed group-by
+    and the join broadcasts the spine."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v_r7")
+    return spark.sql("""
+        WITH RECURSIVE spine(mon) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM spine
+            WHERE mon < DATE '2001-12-01'
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders_v_r7 GROUP BY 1
+        )
+        SELECT s.mon, COALESCE(r.n_orders, 0) AS n_orders,
+               COALESCE(r.cents, 0) AS cents
+        FROM spine s LEFT JOIN rev r ON s.mon = r.mon
+    """)
+
+
+# ------------------------------------------------------------ storage breadth
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """S-format breadth: ORC sink -> schema'd ORC scan round-trip —
+    the third columnar format next to parquet (native) and the text
+    formats (CSV/JSONL/XML lanes). Oracle = the source projection:
+    ORC stores doubles/longs natively, so the round trip is exact."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = run_dir(spark, "orc_roundtrip")
+    orders.write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema(
+            "o_orderkey long, o_orderpriority string, o_totalprice double"
+        ).orc(out)
+    )
+
+
+@query(
+    "q_partition_pruning",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_partition_pruning(spark, sf_dir):
+    """Hive-style partitioned layout + partition-pruned scan: write
+    events partitioned by event_type, read back ONLY the 'purchase'
+    directory — the scan's PartitionFilters prune 4/5 of the data
+    before any I/O (the layout pattern that makes 100 TB tables
+    queryable; tests/test_plans pins the PartitionFilters entry).
+    The partition column is dropped on output (it is constant)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = run_dir(spark, "part_prune")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# ------------------------------------------------------------ sampling breadth
+
+
+@query(
+    "q_sample_systematic",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                    AS INT) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, rn FROM ranked WHERE rn % 5 = 1
+    """,
+)
+def q_sample_systematic(spark, sf_dir):
+    """Systematic (every-Nth) sampling per stratum: order each
+    customer's orders on (date, key) and keep ranks 1, 6, 11, ... —
+    the deterministic complement to the Bernoulli / stratified-exact-N
+    / weighted A-Res lanes. Partition-local windows: no global sort,
+    scales with the stratum count."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") % 5 == 1)
+    )
+
+
+# ---------------------------------------------------------- statistics breadth
+
+
+@query(
+    "q_moments",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s1,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS s2,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS s3,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_q,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 4)
+               AS var_q,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * SQRT(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n))), 4) AS skew_q
+    FROM sums
+    """,
+)
+def q_moments(spark, sf_dir):
+    """Exact higher moments per group (mean / variance / skewness of
+    l_quantity) from raw integer power sums — the column-profiler
+    statistic beyond q_column_stats. Quantities are integral, so the
+    power sums are exact BIGINTs (one map-side-combining aggregate);
+    the moment formulas then run on exact inputs in IEEE doubles —
+    identical text, identical results in both engines (sqrt is
+    correctly rounded; no libm-divergent calls). Engine skewness()
+    builtins disagree on bias correction, which is why the lane
+    derives from sums."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    var = e2 - m1 * m1
+    m3c = e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(m1, 4).alias("mean_q"),
+        F.round(var, 4).alias("var_q"),
+        F.round(m3c / (var * F.sqrt(var)), 4).alias("skew_q"),
+    )
+
+
+@query(
+    "q_business_days",
+    oracle="""
+    WITH bd AS (
+        SELECT o.o_orderpriority,
+               (5 * ((date_diff('day', DATE '1970-01-01',
+                                CAST(l.l_shipdate AS DATE)) + 3) // 7)
+                + LEAST((date_diff('day', DATE '1970-01-01',
+                                   CAST(l.l_shipdate AS DATE)) + 3) % 7, 5))
+               - (5 * ((date_diff('day', DATE '1970-01-01',
+                                  CAST(o.o_orderdate AS DATE)) + 3) // 7)
+                  + LEAST((date_diff('day', DATE '1970-01-01',
+                                     CAST(o.o_orderdate AS DATE)) + 3) % 7, 5))
+                   AS bdays
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(bdays * 100) AS BIGINT) // COUNT(*) AS avg_bd_e2,
+           CAST(MAX(bdays) AS BIGINT) AS max_bd
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def q_business_days(spark, sf_dir):
+    """Business-day (Mon-Fri) lead time between order and ship date —
+    pure integer calendar arithmetic, no engine weekday builtins
+    (their day-numbering conventions differ): with s = epoch_day + 3
+    (so s % 7 == 0 on a Monday), g(d) = 5*(s DIV 7) + LEAST(s%7, 5)
+    counts weekdays before d, and the lead is g(ship) - g(order).
+    Everything is non-negative integer DIV/% — engine-identical."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    # build via SQL expr text once — identical arithmetic both engines
+    def g_sql(c):
+        s = f"(datediff(to_date({c}), DATE '1970-01-01') + 3)"
+        return f"(5 * ({s} DIV 7) + LEAST({s} % 7, 5))"
+
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.expr(f"{g_sql('l_shipdate')} - {g_sql('o_orderdate')}")
+        .alias("bdays"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(bdays * 100) AS BIGINT) DIV COUNT(*)")
+        .alias("avg_bd_e2"),
+        F.max("bdays").cast("bigint").alias("max_bd"),
+    )
+
+
+# ------------------------------------------------------------- scale patterns
+
+
+@query(
+    "q_twostage_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_twostage_agg(spark, sf_dir):
+    """Salted two-stage aggregation — the skew-proof group-by: stage 1
+    aggregates on (key, salt) so a hot key spreads over 8 reducers,
+    stage 2 merges the 8 partials per key. The result is exactly the
+    plain group-by (the oracle), the plan is two small exchanges
+    instead of one skewed one. Counts and integer cents merge
+    losslessly across stages (any associative agg does)."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    stage1 = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_orderkey") % 8).alias("__salt"),
+            cents.alias("cents"),
+        )
+        .groupBy("l_returnflag", "__salt")
+        .agg(F.count("*").alias("pn"), F.sum("cents").alias("pc"))
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.sum("pc").cast("bigint").alias("cents"),
+    )
