@@ -493,3 +493,127 @@ def q_pr_curve(spark, sf_dir):
         F.round(F.col("tp").cast("double") / F.col("total_pos"), 6)
         .alias("recall_at"),
     )
+
+
+# ---------------------------------------------------------------- KL drift
+
+# Fixed-point natural log for the KL lane: L(c) = round-ish(ln(c)*1e9)
+# as BIGINT, for integer counts c >= 1, computed with ONLY integer
+# multiply / truncating-divide / shift — bit-identical in Spark (DIV,
+# shiftleft) and DuckDB (//, <<), unlike libm LN which differs in the
+# last ulp. Range reduction c = m * 2^k with m in [1,2) via the binary
+# length (length(bin(c)) - 1), then atanh series ln m = 2 * (z + z^3/3
+# + ... + z^15/15) with z = (m-1)/(m+1) <= 1/3; truncation error
+# ~1e-8 in ln units (validated against math.log over 1..9e9).
+# Bound: c * 1e9 must fit BIGINT => c <= 9.2e9 (token counts at any
+# realistic shard; re-shard the corpus split if a half ever exceeds it).
+
+_LN2_E9 = 693147181
+_E9 = 1_000_000_000
+
+
+def _ln_chain(src: str, cols: list[str], tag: str, *, duck: bool) -> tuple[str, str]:
+    """Emit chained CTEs that add a ``<col>_l`` BIGINT column
+    (= ln(col) * 1e9) for every col of ``src``. Returns
+    (cte_fragment, final_cte_name). Identical arithmetic in both
+    dialects; only the DIV/shift spellings differ."""
+    div = "//" if duck else "DIV"
+
+    def shl(k: str) -> str:
+        return (f"(CAST(1 AS BIGINT) << {k})" if duck
+                else f"shiftleft(CAST(1 AS BIGINT), {k})")
+
+    def sel(exprs: list[str]) -> str:
+        return "SELECT *, " + ", ".join(exprs)
+
+    steps = [
+        (f"{tag}_k", sel([f"length(bin({c})) - 1 AS {c}_k" for c in cols]), src),
+        (f"{tag}_m", sel([
+            f"(CAST({c} AS BIGINT) * {_E9}) {div} {shl(f'{c}_k')} AS {c}_m"
+            for c in cols]), f"{tag}_k"),
+        (f"{tag}_z", sel([
+            f"(({c}_m - {_E9}) * {_E9}) {div} ({c}_m + {_E9}) AS {c}_z"
+            for c in cols]), f"{tag}_m"),
+        (f"{tag}_z2", sel([
+            f"({c}_z * {c}_z) {div} {_E9} AS {c}_z2" for c in cols]),
+            f"{tag}_z"),
+        (f"{tag}_p3", sel([
+            f"({c}_z * {c}_z2) {div} {_E9} AS {c}_p3" for c in cols]),
+            f"{tag}_z2"),
+    ]
+    for d in (5, 7, 9, 11, 13, 15):
+        steps.append((f"{tag}_p{d}", sel([
+            f"({c}_p{d - 2} * {c}_z2) {div} {_E9} AS {c}_p{d}"
+            for c in cols]), f"{tag}_p{d - 2}"))
+    series = lambda c: " + ".join(  # noqa: E731
+        [f"{c}_z"] + [f"({c}_p{d} {div} {d})" for d in (3, 5, 7, 9, 11, 13, 15)]
+    )
+    steps.append((f"{tag}_l", sel([
+        f"CAST({c}_k AS BIGINT) * {_LN2_E9} + 2 * ({series(c)}) AS {c}_l"
+        for c in cols]), f"{tag}_p15"))
+    frag = ",\n".join(f"{name} AS ({body} FROM {frm})"
+                      for name, body, frm in steps)
+    return frag, f"{tag}_l"
+
+
+def _kl_sql(*, duck: bool) -> str:
+    """The full q_kl_drift query in either dialect. P = add-1-smoothed
+    token distribution of even doc_ids, Q = odd doc_ids, over the
+    union vocabulary; KL(P||Q) = S_pq/(N*1e9) + (L(M)-L(N))/1e9 with
+    S_pq = sum np*(L(np)-L(mq)) — exact BIGINT until the final
+    int->double conversions (correctly rounded identically in both
+    engines)."""
+    if duck:
+        tok = ("SELECT doc_id % 2 AS half, unnest(list_filter("
+               "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w "
+               "FROM documents")
+        src = "documents"  # noqa: F841 — dialect marker
+    else:
+        tok = ("SELECT doc_id % 2 AS half, explode(filter("
+               "split(lower(text), '\\\\s+'), x -> x <> '')) AS w "
+               "FROM docs_kl_v")
+    counts = ("SELECT w, COUNT(*) FILTER (WHERE half = 0) + 1 AS np, "
+              "COUNT(*) FILTER (WHERE half = 1) + 1 AS mq "
+              "FROM tok GROUP BY w")
+    chain1, fin1 = _ln_chain("counts", ["np", "mq"], "c", duck=duck)
+    agg = (f"SELECT COUNT(*) AS n_vocab, "
+           f"CAST(SUM(np) AS BIGINT) AS tot_p, "
+           f"CAST(SUM(mq) AS BIGINT) AS tot_q, "
+           f"CAST(SUM(np * (np_l - mq_l)) AS BIGINT) AS s_pq, "
+           f"CAST(SUM(mq * (mq_l - np_l)) AS BIGINT) AS s_qp "
+           f"FROM {fin1}")
+    chain2, fin2 = _ln_chain("agg", ["tot_p", "tot_q"], "g", duck=duck)
+    return f"""
+    WITH tok AS ({tok}),
+    counts AS ({counts}),
+    {chain1},
+    agg AS ({agg}),
+    {chain2}
+    SELECT CAST(n_vocab AS BIGINT) AS n_vocab, tot_p, tot_q,
+           ROUND(CAST(s_pq AS DOUBLE) / tot_p / 1e9
+                 + CAST(tot_q_l - tot_p_l AS DOUBLE) / 1e9, 6) AS kl_pq,
+           ROUND(CAST(s_qp AS DOUBLE) / tot_q / 1e9
+                 + CAST(tot_p_l - tot_q_l AS DOUBLE) / 1e9, 6) AS kl_qp
+    FROM {fin2}
+    """
+
+
+@query("q_kl_drift", oracle=_kl_sql(duck=True))
+def q_kl_drift(spark, sf_dir):
+    """KL-divergence corpus-drift gate — completes the PSI / KS /
+    embedding-centroid drift trio: KL(P||Q) and KL(Q||P) between the
+    add-1-smoothed token distributions of two corpus halves (even vs
+    odd doc_id — in production, yesterday's shard vs today's).
+
+    Determinism (the reason this lane was deferred until a fixed-point
+    ln design existed): ln runs in e9 fixed point over BIGINTs — range
+    reduction by binary length, atanh series to z^15 — so both engines
+    execute the IDENTICAL integer arithmetic; the only float ops are
+    final int->double conversions and two divides, correctly rounded
+    the same everywhere (~1e-8 accuracy, validated vs math.log).
+
+    Scale: one token explode + one vocabulary-sized aggregate; the ln
+    chain is per-vocabulary-row columnar arithmetic (whole-stage
+    codegen, no UDF); the global fold is a 1-row reduce."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_kl_v")
+    return spark.sql(_kl_sql(duck=False))

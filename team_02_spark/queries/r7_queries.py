@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import dsum_sql, run_dir, t
-from team_02_spark.util import shared_pass
 
 
 # ---------------------------------------------------------------- SQL surface
@@ -436,3 +435,275 @@ def q_twostage_agg(spark, sf_dir):
         F.sum("pn").cast("bigint").alias("n_rows"),
         F.sum("pc").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "q_quantile_bucket_join",
+    oracle="""
+    WITH by_price AS (
+        SELECT o_totalprice AS p, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT p, SUM(cnt) OVER (ORDER BY p) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM by_price
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN cum >= GREATEST((n + 1) // 4, 1) THEN p END)
+                   AS q1,
+               MIN(CASE WHEN cum >= GREATEST((n + 1) // 2, 1) THEN p END)
+                   AS q2,
+               MIN(CASE WHEN cum >= GREATEST(3 * (n + 1) // 4, 1) THEN p END)
+                   AS q3
+        FROM cum
+    )
+    SELECT CASE WHEN o_totalprice < b.q1 THEN 'q1'
+                WHEN o_totalprice < b.q2 THEN 'q2'
+                WHEN o_totalprice < b.q3 THEN 'q3'
+                ELSE 'q4' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+)
+def q_quantile_bucket_join(spark, sf_dir):
+    """Percentile-bucket join: exact DISCRETE quartile boundaries of
+    order value (rank-select over the DISTINCT-price table, the AUC
+    trick — the cumulative window runs over distinct values, not rows,
+    so the sort input is value-cardinality-sized), broadcast as a
+    1-row frame, then every order CASE-bucketed against them and
+    aggregated per bucket. The discrete boundaries are observed
+    values, so both engines agree exactly."""
+    orders = t(spark, sf_dir, "orders")
+    by_price = orders.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.count("*").alias("cnt")
+    )
+    cum = by_price.select(
+        "p",
+        F.sum("cnt").over(Window.orderBy("p")).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.expr("cum >= GREATEST((n + 1) DIV 4, 1)"),
+                     F.col("p"))).alias("q1"),
+        F.min(F.when(F.expr("cum >= GREATEST((n + 1) DIV 2, 1)"),
+                     F.col("p"))).alias("q2"),
+        F.min(F.when(F.expr("cum >= GREATEST(3 * (n + 1) DIV 4, 1)"),
+                     F.col("p"))).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), "q1")
+        .when(F.col("o_totalprice") < F.col("q2"), "q2")
+        .when(F.col("o_totalprice") < F.col("q3"), "q3")
+        .otherwise("q4")
+    )
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), cents.alias("c"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("c").cast("bigint").alias("cents"))
+    )
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) // 100 AS x,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    win AS (
+        SELECT day,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CASE WHEN (cnt * sxx - sx * sx) = 0 OR (cnt * syy - sy * sy) = 0
+                THEN NULL
+                ELSE ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE)
+                           / (SQRT(CAST(cnt * sxx - sx * sx AS DOUBLE))
+                              * SQRT(CAST(cnt * syy - sy * sy AS DOUBLE))), 4)
+           END AS corr7
+    FROM win WHERE cnt = 7
+    """,
+)
+def q_rolling_corr(spark, sf_dir):
+    """7-day rolling Pearson correlation between daily revenue
+    (integer dollars) and daily quantity — exact BIGINT window sums of
+    x, y, xy, x², y² (the co-moment identity), with the only float ops
+    two int->double conversions, two sqrt (correctly rounded), one
+    divide — engine-identical. The window runs over the DAILY table
+    (calendar-bounded, thousands of rows at any corpus size), not over
+    raw lineitems; the daily fold is the only corpus-scale pass."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+                "AS BIGINT)) AS BIGINT) DIV 100"
+            ).alias("x"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.count("*").over(w).cast("bigint").alias("cnt"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    dx = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when((dx == 0) | (dy == 0), F.lit(None)).otherwise(
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 4
+        )
+    )
+    return win.filter(F.col("cnt") == 7).select("day", corr.alias("corr7"))
+
+
+@query(
+    "q_cogroup_pandas",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)) AS BIGINT), 0) AS order_cents,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS acctbal_cents
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def q_cogroup_pandas(spark, sf_dir):
+    """U-surface breadth: cogrouped applyInPandas — customer and
+    orders cogrouped on custkey, one Arrow batch pair per key group,
+    the escape hatch for per-entity logic no join/agg expresses
+    (sequence alignment, per-entity model scoring). Here the pandas fn
+    computes an SQL-checkable aggregate so the oracle can verify the
+    cogroup plumbing end-to-end. Exact integer cents via rint (prices
+    are 2dp-valued doubles, so rint lands the same integer as the
+    engines' decimal cast)."""
+    import pandas as pd
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def fold(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left):
+            key = int(left["c_custkey"].iloc[0])
+            bal = int(np.rint(float(left["c_acctbal"].iloc[0]) * 100))
+        else:  # order referencing an absent customer: not in fixtures,
+            return pd.DataFrame(  # but the seam stays total
+                columns=["c_custkey", "n_orders", "order_cents",
+                         "acctbal_cents"]
+            )
+        cents = np.rint(right["o_totalprice"].to_numpy(dtype="float64")
+                        * 100).astype("int64")
+        return pd.DataFrame({
+            "c_custkey": [key],
+            "n_orders": [int(len(right))],
+            "order_cents": [int(cents.sum())],
+            "acctbal_cents": [bal],
+        })
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            fold,
+            schema=("c_custkey long, n_orders long, order_cents long, "
+                    "acctbal_cents long"),
+        )
+    )
+
+
+@query(
+    "q_zorder_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+    """,
+)
+def q_zorder_scan(spark, sf_dir):
+    """Z-order (Morton-curve) layout + multi-dimensional range scan:
+    lineitem rewritten clustered on interleaved (l_partkey, l_suppkey)
+    bits, then a 2-D range predicate reads it back — with the z-curve
+    layout, parquet min/max footer stats are tight on BOTH dimensions,
+    so either predicate alone prunes row groups (a plain ORDER BY
+    layout only skips on its leading key). Oracle = the same predicate
+    on the source: the layout job must be a pure reshuffle."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = run_dir(spark, "zorder_scan")
+    from team_02_spark.operators.scale import zorder_layout
+
+    zorder_layout(li, ["l_partkey", "l_suppkey"], out, n_files=8)
+    return (
+        spark.read.parquet(out)
+        .filter(
+            F.col("l_partkey").between(10, 50)
+            & F.col("l_suppkey").between(2, 5)
+        )
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+@query("q_crossmodal_knn")  # rows-only: pandas featurizer, no SQL oracle
+def q_crossmodal_knn(spark, sf_dir):
+    """Cross-modal retrieval: text queries against a media corpus
+    through the SHARED deterministic feature space (the fake-codec
+    byte-histogram embedder on both sides — the seam where a real
+    CLIP-style dual encoder plugs in). Every ~500th document is a
+    text-side query; the full corpus is the media side; exact cosine
+    top-3 via the broadcast brute-force kernel (recall oracle for the
+    IVF path at scale). Self-retrieval property pinned by test: a
+    query's own media item scores exactly 1.0."""
+    from team_02_spark.operators.multimodal import (
+        extract_features, synthesize_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = extract_features(
+        synthesize_media(docs, kind="image"), decode_stub="fake"
+    ).select(F.col("doc_id").alias("vec_id"),
+             F.col("feature").alias("embedding"))
+    qdocs = docs.filter(F.col("doc_id") % 499 == 0)
+    queries = extract_features(
+        synthesize_media(qdocs, kind="text"), decode_stub="fake"
+    ).select(F.col("doc_id").alias("q_id"), F.col("feature").alias("q_vec"))
+    from team_02_spark.operators.similarity import knn_bruteforce
+
+    return knn_bruteforce(queries, media, k=3, round_decimals=6)
