@@ -137,6 +137,8 @@ def zorder_layout(df: DataFrame, cols: list[str], path: str, *,
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # empty input: degenerate layout
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         q = F.least(
             F.lit((1 << bits) - 1),

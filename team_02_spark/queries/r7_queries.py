@@ -238,7 +238,10 @@ def q_partition_pruning(spark, sf_dir):
     out = run_dir(spark, "part_prune")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "event_id long, user_id long, value double, event_type string"
+        )  # explicit schema: robust to an all-pruned (or empty) layout
+        .parquet(out)
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
@@ -690,7 +693,10 @@ def q_crossmodal_knn(spark, sf_dir):
     text-side query; the full corpus is the media side; exact cosine
     top-3 via the broadcast brute-force kernel (recall oracle for the
     IVF path at scale). Self-retrieval property pinned by test: a
-    query's own media item scores exactly 1.0."""
+    query's own media item scores exactly 1.0 (the coarse fake-codec
+    histograms collide across duplicate-shaped texts, so same-score
+    ties with lower ids may crowd it out of the top-k — rank-1 is
+    still always a 1.0 hit)."""
     from team_02_spark.operators.multimodal import (
         extract_features, synthesize_media,
     )

@@ -152,3 +152,48 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
 
     feats = extract_features(media).collect()
     assert {f["n_bytes"] for f in feats} == {len(payloads["a.png"])}
+
+
+def test_crossmodal_self_retrieval(spark):
+    """The shared feature space must make a text query retrieve its
+    own media item with cosine exactly 1.0 at rank 1 (payload = the
+    same bytes => identical byte histogram; rank ties break on id, and
+    duplicate-text corpus items may legitimately share the 1.0)."""
+    from team_02_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q_crossmodal_knn"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no query docs at smoke SF"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, hits in by_q.items():
+        top = min(hits, key=lambda r: r["rank"])
+        assert top["score"] == 1.0, f"query {q_id} rank-1 score {top['score']}"
+
+    # the self pair itself scores exactly 1.0 (identical bytes →
+    # identical histogram), even when same-histogram ties with lower
+    # ids crowd it out of the top-k
+    from pyspark.sql import functions as F
+
+    from team_02_spark.functions.vectors import cosine
+    from team_02_spark.operators.multimodal import (
+        extract_features, synthesize_media,
+    )
+    from team_02_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = extract_features(
+        synthesize_media(docs, kind="image"), decode_stub="fake"
+    ).select("doc_id", F.col("feature").alias("m_vec"))
+    qf = extract_features(
+        synthesize_media(docs.filter(F.col("doc_id") % 499 == 0),
+                         kind="text"),
+        decode_stub="fake",
+    ).select("doc_id", F.col("feature").alias("q_vec"))
+    self_scores = (
+        qf.join(media, "doc_id")
+        .select(cosine(F.col("q_vec"), F.col("m_vec")).alias("s"))
+        .collect()
+    )
+    assert self_scores and all(abs(r["s"] - 1.0) < 1e-9 for r in self_scores)
