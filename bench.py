@@ -73,6 +73,14 @@ HEADLINE = [
     # corpus-scale statistical lane) and the Heaps'-law vocab audit
     "q_bigram_lm",
     "q_heaps_law",
+    # round 7 (NEW keys — prior 36 stay frozen for comparability):
+    # the heaviest shared-pass-audited r6 lanes, pinned so the
+    # one-scan rewrites can't regress (VERDICT r6 #7), plus the new
+    # fixed-point KL drift gate
+    "q_assoc_rules",
+    "q_triangles",
+    "q_growth_accounting",
+    "q_kl_drift",
 ]
 
 

@@ -713,3 +713,357 @@ def q_crossmodal_knn(spark, sf_dir):
     from team_02_spark.operators.similarity import knn_bruteforce
 
     return knn_bruteforce(queries, media, k=3, round_decimals=6)
+
+
+# ----------------------------------------------------- window-tail additions
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (bag difference — each duplicate survives
+    count_R - count_A times), the ALL-variant the distinct q_except
+    lane doesn't cover. Catalyst plans it as a counted anti-semantics
+    aggregate, one shuffle per side."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL (bag intersection — min(count_R,
+    count_A) copies per value), completing the set-op family's ALL
+    variants."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a)
+
+
+@query(
+    "q_percent_of_total",
+    oracle="""
+    WITH nat AS (
+        SELECT n.n_regionkey, n.n_name,
+               CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_name, cents,
+           CAST(cents * 10000 //
+                GREATEST(CAST(SUM(cents) OVER (PARTITION BY n_regionkey)
+                              AS BIGINT), 1) AS BIGINT) AS share_bp
+    FROM nat
+    """,
+)
+def q_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its REGION's customer
+    balance in integer basis points — aggregate once, then a
+    region-partitioned window sum provides the denominator without a
+    second pass. GREATEST(...,1) guards the all-zero region (balances
+    can be negative; a zero regional fold must not divide by zero)."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    cents = (
+        F.col("c_acctbal").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    nat = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    return nat.select(
+        "n_name", "cents",
+        F.expr(
+            "CAST(cents * 10000 DIV GREATEST(CAST(SUM(cents) OVER "
+            "(PARTITION BY n_regionkey) AS BIGINT), 1) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT mon, cents,
+           CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                ELSE CAST((cents - prev) * 10000 // prev AS BIGINT)
+           END AS yoy_bp
+    FROM (
+        SELECT mon, cents,
+               LAG(cents, 12) OVER (ORDER BY mon) AS prev
+        FROM monthly
+    ) x
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year growth in integer basis points: calendar-month
+    revenue fold, then LAG 12 over the (calendar-sized) month table.
+    Truncating integer division is identical in both engines for
+    negative growth too (both DIV and // truncate toward zero); the
+    CASE guards missing/zero base months."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        ).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy("mon")
+    return (
+        monthly.withColumn("prev", F.lag("cents", 12).over(w))
+        .select(
+            "mon", "cents",
+            F.expr(
+                "CASE WHEN prev IS NULL OR prev = 0 THEN NULL "
+                "ELSE CAST((cents - prev) * 10000 DIV prev AS BIGINT) END"
+            ).alias("yoy_bp"),
+        )
+    )
+
+
+@query(
+    "q_iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    q AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = GREATEST((n + 1) // 4, 1)
+                        THEN l_extendedprice END) AS q1,
+               MAX(CASE WHEN rn = GREATEST(3 * (n + 1) // 4, 1)
+                        THEN l_extendedprice END) AS q3
+        FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, q.q1, q.q3,
+           COUNT(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN 1 END) AS n_outliers
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q.q1, q.q3
+    """,
+)
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier audit per group: DISCRETE rank-select
+    quartiles (observed values, never interpolated), 1.5×IQR fences in
+    IEEE arithmetic on those exact observed doubles, outliers counted
+    on a broadcast join-back — the box-plot diagnostic beside the
+    z-score and MAD outlier lanes."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.expr("rn = GREATEST((n + 1) DIV 4, 1)"),
+                     F.col("l_extendedprice"))).alias("q1"),
+        F.max(F.when(F.expr("rn = GREATEST(3 * (n + 1) DIV 4, 1)"),
+                     F.col("l_extendedprice"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (
+        (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr)
+        | (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(F.count(F.when(is_out, 1)).alias("n_outliers"))
+        .select("l_returnflag", "q1", "q3", "n_outliers")
+    )
+
+
+@query(
+    "q_topk_ties",
+    oracle="""
+    SELECT o_orderpriority, o_totalprice,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC) AS INT) AS rnk
+    FROM orders
+    QUALIFY rnk <= 2
+    """,
+)
+def q_topk_ties(spark, sf_dir):
+    """Top-k WITH TIES per group: rank() (gaps allowed, ties share a
+    rank) keeps EVERY row tied at the boundary — the deterministic
+    with-ties semantics row_number-based top-k lanes cannot express
+    (they pick an arbitrary tie unless the order is totalized)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority", "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100) AS sp,
+               SUM(CAST(l_quantity AS BIGINT)) AS sq,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS sd,
+               SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) // 100)
+                   * (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) // 100)) AS spp,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS sqq,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS sdd,
+               SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) // 100)
+                   * CAST(l_quantity AS BIGINT)) AS spq,
+               SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) // 100)
+                   * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS spd,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS sqd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))), 4)
+               AS r_price_qty,
+           ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 4)
+               AS r_price_disc,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 4)
+               AS r_qty_disc
+    FROM sums
+    """,
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (price / quantity /
+    discount) per group from ONE pass of exact integer sufficient
+    statistics — price quantized to integer dollars, discount to
+    integer percent, so every sum and cross-product is an exact BIGINT
+    (bounded to < 2^63 at sf10); the correlation formula then runs on
+    exact inputs in IEEE doubles, identical text both engines.
+    Engine corr() builtins are float-accumulation-order dependent —
+    this lane is not."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+    )
+    qy = F.col("l_quantity").cast("bigint")
+    d = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(p).alias("sp"), F.sum(qy).alias("sq"), F.sum(d).alias("sd"),
+        F.sum(p * p).alias("spp"), F.sum(qy * qy).alias("sqq"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(p * qy).alias("spq"), F.sum(p * d).alias("spd"),
+        F.sum(qy * d).alias("sqd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy).cast("double") \
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        dx = n * F.col(sxx).cast("double") \
+            - F.col(sx).cast("double") * F.col(sx).cast("double")
+        dy = n * F.col(syy).cast("double") \
+            - F.col(sy).cast("double") * F.col(sy).cast("double")
+        return F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 4)
+
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        corr("spq", "sp", "sq", "spp", "sqq").alias("r_price_qty"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("r_price_disc"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("r_qty_disc"),
+    )
+
+
+@query(
+    "q_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           CAST(FIRST_VALUE(o_orderdate) OVER w AS DATE) AS first_dt,
+           CAST(LAST_VALUE(o_orderdate) OVER w AS DATE) AS last_dt,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_nth_value(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over explicit full frames
+    — the value-picking window family (ranking and offset families are
+    covered by their own lanes). The frame MUST be unbounded-both:
+    the default RANGE..CURRENT frame makes LAST_VALUE the current row,
+    the classic window gotcha this lane pins. One row per customer via
+    DISTINCT (every row in a partition carries identical picks)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderdate").over(w).cast("date").alias("first_dt"),
+        F.last("o_orderdate").over(w).cast("date").alias("last_dt"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).distinct()

@@ -167,18 +167,14 @@ DRIVER_VERIFIED: frozenset[str] = (
 # q_cv_agreement) came back green in r04.
 DRIVER_RETRY: tuple[str, ...] = tuple(sorted(_RED_LATEST))
 
-# Round-6 window ordering rationale: after folding r05, exactly 17
-# declared keys have never had a driver row (10 oracled + 7 rows-only;
-# all pre-verified green by the r5 judge's standalone sweep). Pin ALL
-# 17 to the window front — including the rows-only seven, which the
-# oracled-before-rows-only ordering would otherwise sort BEHIND the
-# round's newly-registered oracled lanes, spilling the oldest debt for
-# yet another round. With the pins, the ~50-key window covers the full
-# pre-round-6 backlog plus the first ~33 new lanes; the rest of the
-# new lanes (all pre-verified at sf0.01 AND sf0.1 by
-# tools/verify_driver.py this round) rotate in next round. The filter
-# in _ordered_names() drops each pin automatically once its green row
-# lands in a CORRECTNESS file.
+# Window ordering state (round 7): the round-6 pins below all landed
+# green rows in CORRECTNESS_r06 and are filtered out automatically by
+# _ordered_names(); the tuple is kept as the mechanism for any future
+# must-check-first key. After folding r06, the unchecked set is the
+# 23 round-6b stats lanes (judge-verified green in the r6 standalone
+# sweep) plus this round's new registrations — 48 keys total, all
+# inside the ~50-key window, so round 7 closes the backlog AND lands
+# first rows for every new lane in one pass.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_column_stats", "q_expectations", "q_gini", "q_join_health",
     "q_lead_time", "q_market_basket", "q_pareto", "q_rfm",

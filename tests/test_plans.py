@@ -535,3 +535,22 @@ def test_twostage_agg_is_two_exchanges(spark):
     (key, salt) then key — never a single skew-prone one being
     'optimized' back in."""
     assert shuffle_count(_q(spark, "q_twostage_agg")) == 2
+
+
+def test_r7_tail_lane_plans(spark):
+    """Round-7 window-tail lanes: JVM-only, small fixed shuffle
+    budgets."""
+    budgets = {
+        "q_except_all": 2,
+        "q_intersect_all": 2,
+        "q_percent_of_total": 3,
+        "q_yoy_growth": 2,
+        "q_iqr_outliers": 2,
+        "q_topk_ties": 1,
+        "q_corr_matrix": 1,
+        "q_nth_value": 2,
+    }
+    for name, budget in budgets.items():
+        df = _q(spark, name)
+        assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
+        assert not uses_python_udf(df), f"{name} crossed into Python"

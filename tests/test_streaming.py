@@ -475,3 +475,22 @@ def test_windowed_topk_batch_equals_stream(spark):
         batch_topk, stream_topk, ["window_start", "rnk"]
     )
     assert (batch_topk.groupby("window_start").size() <= 3).all()
+
+
+def test_curation_slice_batch_equals_stream(spark):
+    """End-to-end streaming curation: filters -> exact dedup ->
+    per-language quality stats as ONE readStream pipeline, equal to
+    the batch run of the same stage functions (the stats depend only
+    on text content, so the streaming dedup race cannot show)."""
+    from team_02_spark.streaming.curation import (
+        curation_slice,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch = curation_slice(docs).toPandas()
+
+    stream = curation_slice(read_documents_stream(spark, SF_SMOKE))
+    got = _run_stream_to_batch(spark, stream)
+    _assert_frames_equal(batch, got, ["lang_pred"])
+    assert batch["n_docs"].sum() > 0
