@@ -172,9 +172,9 @@ DRIVER_RETRY: tuple[str, ...] = tuple(sorted(_RED_LATEST))
 # _ordered_names(); the tuple is kept as the mechanism for any future
 # must-check-first key. After folding r06, the unchecked set is the
 # 23 round-6b stats lanes (judge-verified green in the r6 standalone
-# sweep) plus this round's new registrations — 48 keys total, all
-# inside the ~50-key window, so round 7 closes the backlog AND lands
-# first rows for every new lane in one pass.
+# sweep) plus this round's new registrations — 54 keys total; the
+# ~50-key window lands the full backlog plus most new lanes, and the
+# few spillover keys front the r8 window automatically.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_column_stats", "q_expectations", "q_gini", "q_join_health",
     "q_lead_time", "q_market_basket", "q_pareto", "q_rfm",
