@@ -383,6 +383,80 @@ def triangles_probe(replication: int) -> None:
     spark.stop()
 
 
+def bfs_probe(replication: int) -> None:
+    """Data-scaling sweep for the BFS shortest-path lane over the
+    replicated bipartite graph (see _build_graph_corpus: customer
+    side grows N×, suppliers FIXED — so the supplier hop's fan-out
+    inflates N×, the adversarial direction for the frontier⋈edges
+    join). Records wall-clock, edge count, and reached-node count:
+    the claim under test is that per-round work tracks the NEW
+    frontier (anti-join shrink), not the visited set."""
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+    from team_02_spark.queries.graph import _edges
+
+    spark = get_spark(f"scaling-bfs-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = _build_graph_corpus(spark, replication)
+    t0 = time.perf_counter()
+    reached = QUERIES["q_shortest_path"].fn(spark, out)
+    n_reached = reached.count()
+    bfs_s = time.perf_counter() - t0
+    n_edges = _edges(spark, out).count()
+    print(json.dumps({
+        "mode": "bfs", "replication": replication,
+        "n_edges": n_edges, "n_reached": n_reached,
+        "bfs_sec": round(bfs_s, 2),
+    }))
+    spark.stop()
+
+
+def interval_probe(replication: int) -> None:
+    """Data-scaling sweep for the sweep-line interval-union lane:
+    lineitem replicated N× with the SUPPLIER set fixed, so every
+    supplier's interval count (and overlap density) grows N× — the
+    adversarial direction for the per-key window passes. Linear time
+    and a constant output row count (|suppliers|) are the pass
+    criteria."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-interval-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(tempfile.gettempdir(), f"scaling_iv_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        df = base
+        for i in range(1, replication):
+            df = df.unionByName(
+                base.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000)
+                )
+            )
+        df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "lineitem.parquet"))
+        for t_name in ("region nation customer supplier part orders "
+                       "events documents embeddings").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(f"/root/testdata/sf0.1/{t_name}.parquet", link)
+        open(os.path.join(out, ".done"), "w").close()
+    n_rows = spark.read.parquet(os.path.join(out, "lineitem.parquet")).count()
+    t0 = time.perf_counter()
+    res = QUERIES["q_interval_coverage"].fn(spark, out)
+    n_out = res.count()
+    iv_s = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "interval", "replication": replication,
+        "n_intervals": n_rows, "n_suppliers": n_out,
+        "interval_sec": round(iv_s, 2),
+    }))
+    spark.stop()
+
+
 def rangejoin_probe(replication: int) -> None:
     """Data-scaling sweep for binned_range_join vs the naive theta
     join (broadcast disabled — both sides 'big'). Synthetic axis:
@@ -801,6 +875,12 @@ def main() -> None:
         return
     if mode == "triangles":
         triangles_probe(arg)
+        return
+    if mode == "bfs":
+        bfs_probe(arg)
+        return
+    if mode == "interval":
+        interval_probe(arg)
         return
     if mode == "bloom":
         bloom_probe(arg)
