@@ -161,3 +161,35 @@ def zorder_layout(df: DataFrame, cols: list[str], path: str, *,
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(spark, src_dir: str, dst_dir: str, *,
+                    target_file_bytes: int = 128 << 20) -> int:
+    """Small-files compaction (the maintenance job every long-lived
+    100 TB table needs): size the output file count from the source's
+    ON-DISK bytes and rewrite with one round-robin repartition —
+    turning a directory of streaming-micro-batch or per-task shards
+    into ~target-sized parquet files that scan with full parallelism
+    and sane footer overhead.
+
+    The byte census is a driver-side METADATA walk (os.walk here; on
+    a cluster the FileSystem client — same listing the parquet reader
+    already performs), never a data read. Returns the chosen file
+    count. Run per partition directory on a partitioned table, the
+    same cadence as zorder_layout."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    return n_files

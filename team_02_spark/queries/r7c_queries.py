@@ -1,0 +1,296 @@
+"""Round-7 batch C: experimentation analytics (CUPED variance
+reduction, difference-in-differences), graph assortativity (average
+neighbor degree), and the small-files compaction maintenance lane.
+
+The experiment lanes extend q_abtest's exact-integer discipline to
+the modern causal toolkit: every mean is a single integer-cents
+sum / count division, every estimator a fixed IEEE expression over
+identically-derived doubles, so both engines agree bit-for-bit
+without any rounding exit (FIXTURES.md §C). The pre/post boundary is
+the same fixed mid-month timestamp the drift lanes use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from team_02_spark.queries.registry import query
+from team_02_spark.queries._util import run_dir, t
+from team_02_spark.util import shared_pass
+
+_SPLIT = "2024-01-16 00:00:00"
+
+
+def _cents(col: str) -> F.Column:
+    """2dp-valued double -> exact BIGINT cents (FIXTURES.md §C)."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+
+
+# ----------------------------------------------------------------- CUPED
+
+
+@query(
+    "q_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT}'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT}'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    th AS (
+      SELECT CAST(n*sxy - sx*sy AS DOUBLE)
+               / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS theta,
+             CAST(sx AS DOUBLE) / n AS gx
+      FROM g
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_post_cents,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*)
+             - th.theta * (CAST(SUM(x) AS DOUBLE) / COUNT(*) - th.gx)
+             AS adj_post_cents
+    FROM per_user, th
+    GROUP BY variant, th.theta, th.gx
+    """,
+)
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013, the industry-
+    standard experiment-sensitivity technique): per-user pre-period
+    spend X and post-period spend Y in exact integer cents, pooled
+    theta = cov(X,Y)/var(X) from BIGINT sufficient statistics, and
+    the per-arm adjusted mean Y - theta(X - mean X). Arms are the
+    same user-parity assignment as q_abtest. Determinism: every
+    float is produced by ONE division of exact integers or one
+    fixed multiply/subtract chain over such values — both engines
+    execute the identical IEEE expression. Sufficient-stat overflow
+    bound: |x| ~ per-user cents, n·Σx² must stay under 2^63
+    (~9e18) — holds through sf1000 for 2dp event values; beyond
+    that, lift the sums to DECIMAL(38,0). At 100 TB: one user-keyed
+    aggregate, a 1-row broadcast of (theta, gx), and a 2-row
+    reduction — the corpus is touched once."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, _cents("value")).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, _cents("value")).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    per_user = shared_pass(per_user)
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("gx"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("variant", "theta", "gx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            (F.sum("y").cast("double") / F.count("*")).alias("mean_post_cents"),
+            (
+                F.sum("y").cast("double") / F.count("*")
+                - F.col("theta")
+                * (F.sum("x").cast("double") / F.count("*") - F.col("gx"))
+            ).alias("adj_post_cents"),
+        )
+        .select("variant", "n_users", "mean_post_cents", "adj_post_cents")
+    )
+
+
+# ---------------------------------------------------------- diff-in-diff
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id % 2 AS treated,
+             CASE WHEN ts < TIMESTAMP '{_SPLIT}' THEN 0 ELSE 1 END AS post,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT treated, post,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+      FROM cells GROUP BY treated, post
+    )
+    SELECT
+      MAX(CASE WHEN treated=1 AND post=0 THEN mean_cents END) AS t_pre,
+      MAX(CASE WHEN treated=1 AND post=1 THEN mean_cents END) AS t_post,
+      MAX(CASE WHEN treated=0 AND post=0 THEN mean_cents END) AS c_pre,
+      MAX(CASE WHEN treated=0 AND post=1 THEN mean_cents END) AS c_post,
+      (MAX(CASE WHEN treated=1 AND post=1 THEN mean_cents END)
+       - MAX(CASE WHEN treated=1 AND post=0 THEN mean_cents END))
+      - (MAX(CASE WHEN treated=0 AND post=1 THEN mean_cents END)
+         - MAX(CASE WHEN treated=0 AND post=0 THEN mean_cents END))
+        AS did_cents
+    FROM m
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences: the 2×2 (arm × period) cell means
+    of per-event spend in exact integer cents, and the DiD estimate
+    (treated post-pre delta minus control post-pre delta) — the
+    canonical quasi-experimental estimator when assignment isn't
+    randomized over time. One corpus aggregate to 4 cells, then a
+    4-row pivot fold; each mean is one exact-integer division and
+    the estimate a fixed subtraction chain — bit-identical across
+    engines. At 100 TB the only shuffle is the (arm, period) partial
+    aggregate, map-side combined to 4 rows."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts") < split, 0).otherwise(1).alias("post"),
+        _cents("value").alias("cents"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents")
+    )
+
+    def cell(tr: int, po: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("mean_cents"),
+            )
+        )
+
+    return m.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias(
+            "did_cents"
+        ),
+    )
+
+
+# ------------------------------------------------------ graph assortativity
+
+
+@query(
+    "q_neighbor_degree",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS c_node, 's' || l.l_suppkey AS s_node
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL SELECT s_node, c_node FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+    ),
+    e2 AS (
+      SELECT d1.deg AS deg_src, d2.deg AS deg_dst
+      FROM edges e
+      JOIN deg d1 ON e.src = d1.node
+      JOIN deg d2 ON e.dst = d2.node
+    )
+    SELECT deg_src AS degree, CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+           CAST(SUM(deg_dst) AS DOUBLE) / COUNT(*) AS avg_nbr_degree
+    FROM e2 GROUP BY deg_src
+    """,
+)
+def q_neighbor_degree(spark, sf_dir):
+    """Degree assortativity profile (avg neighbor degree per degree
+    class — the knn(k) curve of network science): joins the edge list
+    against the degree table on BOTH endpoints and averages the
+    neighbor's degree within each source-degree class. A falling
+    curve is the disassortative hub-and-spoke signature (expected for
+    this bipartite order-flow graph: high-degree suppliers connect to
+    low-degree customers). Exact: degrees are integer counts, the
+    average one integer-sum division. At 100 TB: degree table is
+    node-sized, the two joins shuffle edge partitions by endpoint —
+    both equi-joins, both AQE-eligible; the final aggregate collapses
+    to the degree-alphabet."""
+    from team_02_spark.queries.graph import _edges
+
+    edges = _edges(spark, sf_dir).transform(shared_pass)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    deg = shared_pass(deg)
+    d1 = deg.select(F.col("src").alias("node"), F.col("deg").alias("deg_src"))
+    d2 = deg.select(F.col("src").alias("node"), F.col("deg").alias("deg_dst"))
+    e2 = (
+        edges.join(d1, edges["src"] == d1["node"])
+        .drop("node")
+        .join(d2, F.col("dst") == d2["node"])
+    )
+    return e2.groupBy(F.col("deg_src").alias("degree")).agg(
+        F.count("*").cast("bigint").alias("n_endpoints"),
+        (F.sum("deg_dst").cast("double") / F.count("*")).alias("avg_nbr_degree"),
+    )
+
+
+# ------------------------------------------------------- compaction lane
+
+
+@query(
+    "q_compact_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    """,
+)
+def q_compact_files(spark, sf_dir):
+    """Small-files compaction round trip: fragment the documents
+    table into 64 shard files (the streaming-micro-batch pathology),
+    run operators.scale.compact_parquet to rewrite it at a target
+    file size, and prove the compacted copy is byte-equivalent by
+    auditing it against the source's own aggregate — the oracle reads
+    the ORIGINAL table, so any row lost or duplicated in the
+    fragment→compact→scan cycle hash-mismatches. Scratch dirs are
+    per-application (run_dir). The test layer additionally pins that
+    the file count actually shrank."""
+    from team_02_spark.operators.scale import compact_parquet
+
+    docs = t(spark, sf_dir, "documents")
+    frag = run_dir(spark, "compact_src")
+    out = run_dir(spark, "compact_dst")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, out, target_file_bytes=64 << 20)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )

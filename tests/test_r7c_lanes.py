@@ -1,0 +1,88 @@
+"""Round-7 batch-C lane tests: plan budgets plus the semantic
+invariants the oracle can't see (CUPED mean preservation, DiD
+identity, compaction actually shrinking the file count)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from team_02_spark.plans.inspect import shuffle_count, uses_python_udf
+from team_02_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _q(spark, name):
+    return QUERIES[name].fn(spark, SF_SMOKE)
+
+
+def test_r7c_lane_plans(spark):
+    """Batch-C lanes stay JVM-side in small fixed shuffle budgets.
+    q_neighbor_degree's budget covers the pair-distinct, degree agg,
+    two endpoint joins and the final degree-class aggregate."""
+    budgets = {
+        "q_cuped": 3,
+        "q_diff_in_diff": 2,
+        "q_neighbor_degree": 5,
+        "q_compact_files": 2,
+    }
+    for name, budget in budgets.items():
+        df = _q(spark, name)
+        assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
+        assert not uses_python_udf(df), f"{name} crossed into Python"
+
+
+def test_cuped_preserves_global_mean(spark):
+    """CUPED re-centers variance, not the truth: the user-weighted
+    average of adjusted means must equal that of the raw post-period
+    means (the theta adjustment sums to ~zero across the population
+    because it is centered on the global pre-period mean)."""
+    rows = _q(spark, "q_cuped").collect()
+    assert len(rows) == 2
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["mean_post_cents"] * r["n_users"] for r in rows) / n
+    adj = sum(r["adj_post_cents"] * r["n_users"] for r in rows) / n
+    assert abs(raw - adj) < 1e-6 * max(1.0, abs(raw))
+
+
+def test_did_identity(spark):
+    """The DiD estimate must equal the cell-mean arithmetic exactly."""
+    r = _q(spark, "q_diff_in_diff").first()
+    assert r["did_cents"] == (r["t_post"] - r["t_pre"]) - (
+        r["c_post"] - r["c_pre"]
+    )
+
+
+def test_neighbor_degree_disassortative(spark):
+    """Bipartite order-flow sanity: every endpoint's neighbor-degree
+    average is positive, and the summed endpoint count equals twice
+    the undirected pair count (each edge contributes both ways)."""
+    rows = _q(spark, "q_neighbor_degree").collect()
+    assert rows
+    assert all(r["avg_nbr_degree"] > 0 for r in rows)
+    from team_02_spark.queries.graph import _pairs
+
+    n_pairs = _pairs(spark, SF_SMOKE).count()
+    assert sum(r["n_endpoints"] for r in rows) == 2 * n_pairs
+
+
+def test_compaction_shrinks_files(spark):
+    """After the lane runs, the compacted directory must hold fewer
+    data files than the 64-shard fragmented source, with row count
+    preserved."""
+    n_docs = _q(spark, "q_compact_files").first()["n_docs"]
+    from team_02_spark.queries._util import run_dir
+
+    frag = run_dir(spark, "compact_src")
+    out = run_dir(spark, "compact_dst")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_out = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_frag == 64
+    assert 1 <= n_out < n_frag
+    assert (
+        spark.read.parquet(out).count()
+        == n_docs
+        == spark.read.parquet(frag).count()
+    )
