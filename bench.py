@@ -81,6 +81,11 @@ HEADLINE = [
     "q_triangles",
     "q_growth_accounting",
     "q_kl_drift",
+    # round 7b/7c (NEW keys — prior 40 stay frozen): iterative BFS
+    # (the frontier-join graph lane) and the sweep-line interval
+    # union (per-key window-pass throughput)
+    "q_shortest_path",
+    "q_interval_coverage",
 ]
 
 

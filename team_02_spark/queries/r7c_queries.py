@@ -294,3 +294,94 @@ def q_compact_files(spark, sf_dir):
         F.max("doc_id").cast("bigint").alias("max_id"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+
+# ------------------------------------------------------------ CDC apply
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS delta_cents,
+             CASE WHEN COUNT(*) % 5 = 0 THEN 'D'
+                  WHEN COUNT(*) % 5 IN (1, 2) THEN 'U'
+                  ELSE 'I' END AS op
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT c_custkey AS key,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal_cents
+      FROM customer
+    ),
+    surviving AS (
+      SELECT b.key,
+             b.bal_cents + COALESCE(u.delta_cents, 0) AS bal_cents,
+             CASE WHEN u.key IS NOT NULL THEN 'updated' ELSE 'kept' END
+               AS status
+      FROM base b
+      LEFT JOIN (SELECT key, delta_cents FROM chg WHERE op = 'U') u
+        ON b.key = u.key
+      WHERE NOT EXISTS (SELECT 1 FROM chg d
+                        WHERE d.op = 'D' AND d.key = b.key)
+    )
+    SELECT key AS c_custkey, CAST(bal_cents AS BIGINT) AS bal_cents, status
+    FROM surviving
+    UNION ALL
+    SELECT key + 10000000 AS c_custkey, delta_cents AS bal_cents,
+           'inserted' AS status
+    FROM chg WHERE op = 'I'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC batch apply with TOMBSTONES — the delete-aware merge that
+    q_upsert's insert/update full-outer pattern doesn't cover: a
+    deterministic change feed (op I/U/D derived from each customer's
+    order count; inserts target fresh keys, updates carry an exact
+    integer-cents delta, deletes tombstone the key) folded into the
+    snapshot as anti-join(D) + left-join(U) + union(I). This is the
+    nightly CDC-ingest shape (Debezium-style feeds): at 100 TB all
+    three legs are equi-joins/unions on the snapshot's own key — one
+    shuffle each, AQE-eligible, no full rewrite of untouched rows
+    beyond the join pass itself."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    chg = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("delta_cents"),
+    ).select(
+        "key",
+        "delta_cents",
+        F.when(F.col("cnt") % 5 == 0, "D")
+        .when((F.col("cnt") % 5).isin(1, 2), "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    chg = shared_pass(chg)
+    base = cust.select(
+        F.col("c_custkey").alias("key"), _cents("c_acctbal").alias("bal_cents")
+    )
+    upd = chg.filter(F.col("op") == "U").select("key", "delta_cents")
+    dels = chg.filter(F.col("op") == "D").select("key")
+    surviving = (
+        base.join(dels, "key", "left_anti")
+        .join(upd, "key", "left")
+        .select(
+            F.col("key").alias("c_custkey"),
+            (F.col("bal_cents") + F.coalesce(F.col("delta_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("bal_cents"),
+            F.when(F.col("delta_cents").isNotNull(), "updated")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    inserted = chg.filter(F.col("op") == "I").select(
+        (F.col("key") + 10_000_000).alias("c_custkey"),
+        F.col("delta_cents").cast("bigint").alias("bal_cents"),
+        F.lit("inserted").alias("status"),
+    )
+    return surviving.unionByName(inserted)

@@ -27,6 +27,7 @@ def test_r7c_lane_plans(spark):
         "q_diff_in_diff": 2,
         "q_neighbor_degree": 5,
         "q_compact_files": 2,
+        "q_cdc_apply": 4,
     }
     for name, budget in budgets.items():
         df = _q(spark, name)
@@ -86,3 +87,26 @@ def test_compaction_shrinks_files(spark):
         == n_docs
         == spark.read.parquet(frag).count()
     )
+
+
+def test_cdc_apply_partitions_statuses(spark):
+    """The applied snapshot must contain only the three statuses,
+    every inserted key must be novel (>= 10M offset), and no
+    tombstoned key may survive."""
+    from team_02_spark.queries._util import t
+
+    rows = _q(spark, "q_cdc_apply").collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {"kept", "updated", "inserted"}
+    surviving = {r["c_custkey"] for r in rows if r["status"] != "inserted"}
+    inserted = {r["c_custkey"] for r in rows if r["status"] == "inserted"}
+    assert all(k >= 10_000_000 for k in inserted)
+    orders = t(spark, SF_SMOKE, "orders")
+    from pyspark.sql import functions as F
+
+    chg = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    deleted = {
+        r["o_custkey"]
+        for r in chg.filter(F.col("cnt") % 5 == 0).collect()
+    }
+    assert not (surviving & deleted)
