@@ -12,6 +12,7 @@ the same fixed mid-month timestamp the drift lanes use.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
@@ -385,3 +386,160 @@ def q_cdc_apply(spark, sf_dir):
         F.lit("inserted").alias("status"),
     )
     return surviving.unionByName(inserted)
+
+
+# ------------------------------------------------------- robust statistics
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    sl AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.t - a.t) AS slope,
+             a.t AS t1, b.t AS t2
+      FROM daily a JOIN daily b ON a.t < b.t
+    ),
+    r AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, t1, t2) AS rk,
+             COUNT(*) OVER () AS n
+      FROM sl
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, slope AS sen_slope_cents_per_day
+    FROM r WHERE rk = (n + 1) // 2
+    """,
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend: the discrete lower-median of all
+    pairwise slopes of the daily-revenue series — the breakdown-
+    point-0.29 alternative to OLS that one bad day can't drag
+    (complements q_linreg_group's closed-form OLS and q_trend).
+    Each slope is ONE double division of exact integer cents and
+    integer day indices, the median a discrete rank-select (never
+    interpolated) with a total-order tie-break — bit-identical
+    across engines. Scale note: the pair table is CALENDAR²-bounded
+    (the daily aggregate collapses the corpus first), so its size is
+    constant in corpus volume — ~2.9 M pairs for seven TPC-H years
+    regardless of SF; the single-partition rank-select sorts that
+    bounded table, same contract as the other global-median lanes."""
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).alias("t")
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    daily = shared_pass(daily)
+    a = daily.select(F.col("t").alias("t1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("t").alias("t2"), F.col("rev").alias("r2"))
+    sl = a.join(b, F.col("t1") < F.col("t2")).select(
+        ((F.col("r2") - F.col("r1")).cast("double") / (F.col("t2") - F.col("t1")))
+        .alias("slope"),
+        "t1",
+        "t2",
+    )
+    w = Window.orderBy("slope", "t1", "t2")
+    r = sl.select(
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("sen_slope_cents_per_day"),
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             user_id % 2 AS grp
+      FROM events
+    ),
+    by_val AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+      FROM v GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents, cnt, cnt1,
+             COALESCE(CAST(SUM(cnt) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS c_before
+      FROM by_val
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+             CAST(SUM((2 * c_before + cnt + 1) * cnt1) AS BIGINT) AS r1_doubled
+      FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / (n1 * n2) - 1.0
+             AS rank_biserial
+    FROM tot
+    """,
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum), the nonparametric
+    two-sample test chi-square/KS don't cover: compares spend
+    distributions between the parity arms through ranks, robust to
+    any monotone transform of value. Tie handling is the textbook
+    average-rank scheme kept EXACT by working in doubled ranks
+    (lo+hi is an integer even when the average rank is a half) — the
+    U statistic exits as the integer u1_doubled, cross-checked in
+    tests against an independent python fold; the rank-biserial
+    effect size is one final division. Distribution-by-value first:
+    the corpus collapses to the distinct-cents table (bounded by the
+    value grid, ~5k rows) before any windowing, so the rank pass is
+    alphabet-sized at any corpus scale."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        _cents("value").alias("cents"), (F.col("user_id") % 2).alias("grp")
+    )
+    by_val = v.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.select(
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w).cast("bigint"), F.lit(0)).alias(
+            "c_before"
+        ),
+    )
+    tot = ranked.agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("bigint").alias("n2"),
+        F.sum((2 * F.col("c_before") + F.col("cnt") + 1) * F.col("cnt1"))
+        .cast("bigint")
+        .alias("r1_doubled"),
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        (F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u1_doubled"),
+        (
+            (F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)).cast(
+                "double"
+            )
+            / (F.col("n1") * F.col("n2"))
+            - 1.0
+        ).alias("rank_biserial"),
+    )

@@ -110,3 +110,56 @@ def test_cdc_apply_partitions_statuses(spark):
         for r in chg.filter(F.col("cnt") % 5 == 0).collect()
     }
     assert not (surviving & deleted)
+
+
+def test_stat_test_lane_plans(spark):
+    """Theil-Sen / Mann-Whitney stay JVM-side; the pair join and the
+    rank pass run over calendar²- / value-grid-bounded tables."""
+    for name, budget in {"q_theil_sen": 2, "q_mann_whitney": 2}.items():
+        df = _q(spark, name)
+        assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
+        assert not uses_python_udf(df), f"{name} crossed into Python"
+
+
+def test_mann_whitney_matches_python_fold(spark):
+    """u1_doubled must equal an independent average-rank computation
+    over the same fixture rows (exact integers, no tolerance)."""
+    from team_02_spark.queries._util import t
+
+    r = _q(spark, "q_mann_whitney").first()
+    rows = [
+        (int(round(x["value"] * 100)), x["user_id"] % 2)
+        for x in t(spark, SF_SMOKE, "events")
+        .select("value", "user_id")
+        .collect()
+    ]
+    allv = sorted(v for v, _ in rows)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2
+        i = j
+    n1 = sum(1 for _, g in rows if g == 1)
+    r1 = sum(ranks[v] for v, g in rows if g == 1)
+    u1_doubled = int(2 * r1 - n1 * (n1 + 1))
+    assert r["u1_doubled"] == u1_doubled
+    assert r["n1"] == n1 and r["n2"] == len(rows) - n1
+
+
+def test_theil_sen_bounds(spark):
+    """The selected slope must lie inside the [min, max] pairwise
+    slope envelope and the pair count must be C(n_days, 2)."""
+    from team_02_spark.queries._util import t
+    from pyspark.sql import functions as F
+
+    r = _q(spark, "q_theil_sen").first()
+    n_days = (
+        t(spark, SF_SMOKE, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert r["n_pairs"] == n_days * (n_days - 1) // 2
