@@ -41,7 +41,17 @@ def main() -> int:
 
     from oracle_harness import compare
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # Vanilla SEMANTICS (no team_02 session configs), but a JVM big
+    # enough for scale sweeps: the default 1g driver heap OOMs on the
+    # heaviest lanes at sf0.1 (q_triangles' 124M-wedge stage), and a
+    # dead gateway then fails every remaining key with
+    # ConnectionRefused. Heap size changes capacity, never answers.
+    mem = os.environ.get("SPARK_GRAFT_VERIFY_MEM", "8g")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", mem)
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
