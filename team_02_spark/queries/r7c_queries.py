@@ -543,3 +543,84 @@ def q_mann_whitney(spark, sf_dir):
             - 1.0
         ).alias("rank_biserial"),
     )
+
+
+@query(
+    "q_hodges_lehmann",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             user_id % 2 AS grp
+      FROM events
+    ),
+    g1 AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM v WHERE grp = 1 GROUP BY cents),
+    g0 AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM v WHERE grp = 0 GROUP BY cents),
+    diffs AS (
+      SELECT g1.cents - g0.cents AS d, CAST(SUM(g1.c * g0.c) AS BIGINT) AS w
+      FROM g1, g0 GROUP BY g1.cents - g0.cents
+    ),
+    cum AS (
+      SELECT d, w,
+             CAST(SUM(w) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER () AS BIGINT) AS tot
+      FROM diffs
+    )
+    SELECT CAST(tot AS BIGINT) AS n_pairs, d AS hl_shift_cents
+    FROM cum WHERE 2 * cw >= tot ORDER BY d LIMIT 1
+    """,
+)
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann shift estimator — the effect-size companion to
+    q_mann_whitney: the median of ALL n1×n2 cross-sample differences
+    (treated minus control spend). The naive form is a quadratic
+    cross join, but because spend lives on the integer-cents grid
+    the computation collapses to the GRID: per-group distinct-value
+    counts, a grid×grid difference table weighted by count products
+    (|grid|² intermediate rows aggregating to the difference
+    alphabet), and a weighted discrete median via cumulative weights
+    (the q_weighted_median 2·cw >= tot rule). All integers end to
+    end. At 100 TB: the corpus collapses to two value-grid tables
+    (~5k rows each) in one aggregate pass; everything after is
+    alphabet-sized regardless of corpus volume — the same trick that
+    keeps q_mann_whitney's rank pass bounded."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        _cents("value").alias("cents"), (F.col("user_id") % 2).alias("grp")
+    )
+    g1 = (
+        v.filter(F.col("grp") == 1)
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.col("cents").alias("c1"), F.col("c").alias("w1"))
+    )
+    g0 = (
+        v.filter(F.col("grp") == 0)
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(F.col("cents").alias("c0"), F.col("c").alias("w0"))
+    )
+    diffs = (
+        g1.crossJoin(g0)
+        .groupBy((F.col("c1") - F.col("c0")).alias("d"))
+        .agg(F.sum(F.col("w1") * F.col("w0")).cast("bigint").alias("w"))
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = diffs.select(
+        "d",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(wt).cast("bigint").alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .orderBy("d")
+        .limit(1)
+        .select(
+            F.col("tot").cast("bigint").alias("n_pairs"),
+            F.col("d").alias("hl_shift_cents"),
+        )
+    )

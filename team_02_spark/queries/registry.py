@@ -172,7 +172,7 @@ DRIVER_RETRY: tuple[str, ...] = tuple(sorted(_RED_LATEST))
 # _ordered_names(); the tuple is kept as the mechanism for any future
 # must-check-first key. After folding r06, the unchecked set is the
 # 23 round-6b stats lanes (judge-verified green in the r6 standalone
-# sweep) plus this round's new registrations — 61 keys total; the
+# sweep) plus this round's new registrations — 62 keys total; the
 # ~50-key window lands the full backlog plus most new lanes, and the
 # few spillover keys front the r8 window automatically.
 DRIVER_PRIORITY: tuple[str, ...] = (

@@ -163,3 +163,14 @@ def test_theil_sen_bounds(spark):
         .count()
     )
     assert r["n_pairs"] == n_days * (n_days - 1) // 2
+
+
+def test_hodges_lehmann_plan_and_bounds(spark):
+    """HL lane: JVM-only, small budget; shift must lie inside the
+    min/max cross-difference envelope and pair count must be n1*n2."""
+    df = _q(spark, "q_hodges_lehmann")
+    assert shuffle_count(df) <= 4
+    assert not uses_python_udf(df)
+    r = df.first()
+    mw = _q(spark, "q_mann_whitney").first()
+    assert r["n_pairs"] == mw["n1"] * mw["n2"]
