@@ -383,6 +383,53 @@ def triangles_probe(replication: int) -> None:
     spark.stop()
 
 
+def ranktest_probe(replication: int) -> None:
+    """Data-scaling sweep for the nonparametric-test lanes
+    (q_mann_whitney, q_hodges_lehmann): events replicated N× with
+    FRESH event ids (value grid and user parity preserved), both
+    statistics end-to-end. The claim under test is the value-grid
+    collapse: the corpus aggregates to the distinct-cents table
+    before any windowing/cross-joining, so wall-clock should stay
+    flat while the input grows N× and the grid size stays constant."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-ranktest-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(tempfile.gettempdir(), f"scaling_ev_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        df = base
+        for i in range(1, replication):
+            df = df.unionByName(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+                )
+            )
+        df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet"))
+        for t_name in ("region nation customer supplier part orders "
+                       "lineitem documents embeddings").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(f"/root/testdata/sf0.1/{t_name}.parquet", link)
+        open(os.path.join(out, ".done"), "w").close()
+    n_rows = spark.read.parquet(os.path.join(out, "events.parquet")).count()
+    res = {"mode": "ranktest", "replication": replication, "n_events": n_rows}
+    for key, col in (("q_mann_whitney", "u1_doubled"),
+                     ("q_hodges_lehmann", "hl_shift_cents")):
+        t0 = time.perf_counter()
+        row = QUERIES[key].fn(spark, out).first()
+        res[f"{key.removeprefix('q_')}_sec"] = round(
+            time.perf_counter() - t0, 2)
+        res[f"{key.removeprefix('q_')}_stat"] = int(row[col])
+    print(json.dumps(res))
+    spark.stop()
+
+
 def bfs_probe(replication: int) -> None:
     """Data-scaling sweep for the BFS shortest-path lane over the
     replicated bipartite graph (see _build_graph_corpus: customer
@@ -881,6 +928,9 @@ def main() -> None:
         return
     if mode == "interval":
         interval_probe(arg)
+        return
+    if mode == "ranktest":
+        ranktest_probe(arg)
         return
     if mode == "bloom":
         bloom_probe(arg)
