@@ -62,24 +62,11 @@ def q_shortest_path(spark, sf_dir):
     shuffled artifact (shared across rounds via shared_pass), frontier
     frames are node-bounded, and round count is fixed/bounded by
     graph diameter — the same unrolling contract as q_pagerank."""
+    from team_02_spark.operators.analytics import bfs_distances
     from team_02_spark.queries.graph import _edges
 
     edges = _edges(spark, sf_dir).transform(shared_pass)
-    frontier = spark.range(1).select(
-        F.lit("c1").alias("node"), F.lit(0).cast("int").alias("dist")
-    )
-    reached = frontier
-    for r in range(1, 5):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"), F.lit(r).cast("int").alias("dist"))
-            .distinct()
-            .join(reached.select("node"), "node", "left_anti")
-            .transform(shared_pass)
-        )
-        reached = reached.unionByName(nxt)
-        frontier = nxt
-    return reached.groupBy("node").agg(F.min("dist").cast("int").alias("dist"))
+    return bfs_distances(edges, "c1", max_hops=4)
 
 
 # ------------------------------------------------------- interval union length
@@ -133,6 +120,8 @@ def q_interval_coverage(spark, sf_dir):
     order is total for the answer. At 100 TB: one shuffle on the
     partition key, two window passes over it, then an island-bounded
     aggregate — no joins, no driver state."""
+    from team_02_spark.operators.analytics import interval_union
+
     li = t(spark, sf_dir, "lineitem")
     s = F.to_date("l_shipdate")
     days = (F.col("l_quantity").cast("bigint") % 20 + 1).cast("int")
@@ -141,22 +130,8 @@ def q_interval_coverage(spark, sf_dir):
         s.alias("s"),
         F.date_add(s, days).alias("e"),
     )
-    w = Window.partitionBy("supp").orderBy("s", "e")
-    pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = iv.withColumn(
-        "brk",
-        F.when(pmax.isNull() | (F.col("s") > pmax), F.lit(1)).otherwise(F.lit(0)),
-    )
-    isl = marked.withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    per_isl = isl.groupBy("supp", "island").agg(
-        F.datediff(F.max("e"), F.min("s")).alias("len_days")
-    )
-    return per_isl.groupBy("supp").agg(
-        F.count("*").cast("int").alias("n_islands"),
-        F.sum("len_days").cast("bigint").alias("covered_days"),
+    return interval_union(iv, "supp", "s", "e").select(
+        "supp", "n_islands", F.col("covered").alias("covered_days")
     )
 
 

@@ -1,0 +1,103 @@
+"""Hypothesis property fuzzing for the round-7 analytic operators on
+GENERATED inputs (adversarial shapes the fixture can't produce:
+nested/duplicate intervals, disconnected graphs, self-loop-free
+multigraphs) — each checked against an exact brute-force python fold.
+The fixture lanes pin the same code against DuckDB oracles; this file
+pins the algorithms themselves."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from team_02_spark.operators.analytics import bfs_distances, interval_union
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# duplicate-heavy intervals over a tiny coordinate range force nested,
+# touching, and identical spans across few keys
+INTERVALS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=25),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+# small dense digraphs: few nodes, many edges -> cycles, multi-paths
+EDGES = st.lists(
+    st.tuples(
+        st.sampled_from([f"n{i}" for i in range(8)]),
+        st.sampled_from([f"n{i}" for i in range(8)]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_union(intervals):
+    """Exact per-key union: island count + summed covered length."""
+    out = {}
+    by_key = {}
+    for k, s, e in intervals:
+        by_key.setdefault(k, []).append((s, e))
+    for k, iv in by_key.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        out[k] = (len(islands), sum(e - s for s, e in islands))
+    return out
+
+
+@_SETTINGS
+@given(raw=INTERVALS)
+def test_interval_union_matches_brute_force(spark, raw):
+    """For ANY interval multiset (nested, duplicate, touching): the
+    sweep-line island count and covered length equal the exact fold."""
+    intervals = [(k, s, s + w) for k, s, w in raw]
+    df = spark.createDataFrame(intervals, "k string, s long, e long")
+    got = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union(df, "k", "s", "e").collect()
+    }
+    assert got == _brute_union(intervals)
+
+
+def _brute_bfs(edges, source, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {source: 0}
+    frontier = [source]
+    for r in range(1, max_hops + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = r
+                    nxt.append(m)
+        frontier = nxt
+    return dist
+
+
+@_SETTINGS
+@given(edges=EDGES, hops=st.sampled_from([1, 3, 4]))
+def test_bfs_matches_brute_force(spark, edges, hops):
+    """For ANY digraph (cycles, unreachable nodes, parallel edges):
+    bounded-hop BFS distances equal the exact python BFS, including
+    the always-present source row at distance 0."""
+    df = spark.createDataFrame(edges, "src string, dst string").distinct()
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, "n0", max_hops=hops).collect()
+    }
+    assert got == _brute_bfs(set(edges), "n0", hops)
