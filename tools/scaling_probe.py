@@ -383,6 +383,57 @@ def triangles_probe(replication: int) -> None:
     spark.stop()
 
 
+def journey_probe(replication: int) -> None:
+    """Data-scaling sweep for the sequence-pattern lane
+    (q_match_recognize) — the ONE round-7 lane whose per-key state
+    grows with the corpus: each user's journey string lengthens N×
+    under replication (fresh event ids, same users), so this measures
+    the MATCH_RECOGNIZE partition contract honestly: time should grow
+    ~linearly with total events (collect_list + regex are linear),
+    and the lane stays healthy as long as a single user's sequence
+    fits an executor — the documented re-shard threshold."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-journey-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(tempfile.gettempdir(), f"scaling_ev_{replication}x")
+    if not os.path.exists(os.path.join(out, ".done")):
+        os.makedirs(out, exist_ok=True)
+        base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        df = base
+        for i in range(1, replication):
+            df = df.unionByName(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+                )
+            )
+        df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet"))
+        for t_name in ("region nation customer supplier part orders "
+                       "lineitem documents embeddings").split():
+            link = os.path.join(out, f"{t_name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(f"/root/testdata/sf0.1/{t_name}.parquet", link)
+        open(os.path.join(out, ".done"), "w").close()
+    t0 = time.perf_counter()
+    res_df = QUERIES["q_match_recognize"].fn(spark, out)
+    agg = res_df.agg(
+        F.count("*").alias("n_users"),
+        F.max("n_events").alias("max_journey"),
+        F.sum(F.col("matched").cast("int")).alias("n_matched"),
+    ).first()
+    sec = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "journey", "replication": replication,
+        "n_users": agg["n_users"], "max_journey": int(agg["max_journey"]),
+        "n_matched": int(agg["n_matched"]), "journey_sec": round(sec, 2),
+    }))
+    spark.stop()
+
+
 def ranktest_probe(replication: int) -> None:
     """Data-scaling sweep for the nonparametric-test lanes
     (q_mann_whitney, q_hodges_lehmann): events replicated N× with
@@ -931,6 +982,9 @@ def main() -> None:
         return
     if mode == "ranktest":
         ranktest_probe(arg)
+        return
+    if mode == "journey":
+        journey_probe(arg)
         return
     if mode == "bloom":
         bloom_probe(arg)
