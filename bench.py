@@ -158,6 +158,9 @@ def main() -> None:
             }
         )
     )
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    reap_bucketed_tables(spark)  # session-teardown warehouse maintenance
     spark.stop()
 
 

@@ -29,7 +29,7 @@ from team_02_spark.functions.vectors import (
     band_buckets, cosine, hyperplane_bucket, normalize, pdot, punit,
     remap_hot_buckets,
 )
-from team_02_spark.util import ensure_parallelism, shared_pass
+from team_02_spark.util import ensure_parallelism, release_shared, shared_pass
 
 
 # ------------------------------------------------------------- exact
@@ -591,7 +591,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # split-gate projection), and an un-checkpointed return would
         # re-evaluate the whole pair-generation subtree per consumer —
         # the r4 plan audit caught exactly that (15→31 shuffles).
+        # The PREVIOUS round's frame is dead once the new one is
+        # materialized (r7 advisor: blocks otherwise accumulate across
+        # up to 20 rounds, 2×-replicated in the reliable strategy).
+        prev = labels
         labels = new_labels.transform(shared_pass, eager=True)
+        release_shared(prev)
         if not changed:
             return labels
     raise RuntimeError(

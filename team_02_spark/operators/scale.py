@@ -106,6 +106,48 @@ def write_bucketed(df: DataFrame, table: str, key: str, *,
     writer.saveAsTable(table)
 
 
+def reap_bucketed_tables(spark, prefix: str = "b7_", *,
+                         max_age_s: int = 7 * 86_400,
+                         warehouse: str | None = None) -> list[str]:
+    """Maintenance reaper for per-application bucketed-table dirs
+    (the ``write_bucketed`` artifacts named ``<prefix><appId>`` that
+    accumulate in the warehouse across sessions). Lives HERE — not
+    inside any declared query — so query functions stay side-effect-
+    free on shared state (r7 verdict #8); call it from session
+    teardown or a tools-level maintenance job.
+
+    Safety rules (r7 advisor): the CURRENT application's dirs are
+    skipped unconditionally (never reap a table a live session may
+    still have registered, however old its mtime), the cutoff is a
+    week (well past any plausible session lifetime, vs the old 24 h
+    inside the query), and only a local-scheme warehouse is walked —
+    a remote warehouse belongs to a real catalog's own retention.
+    Returns the reaped dir paths (for tests/logging)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    if warehouse is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if "://" in warehouse and not warehouse.startswith("file:"):
+        return []
+    warehouse = warehouse.removeprefix("file:")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    cutoff = time.time() - max_age_s
+    reaped = []
+    for stale in glob.glob(os.path.join(warehouse, prefix + "*")):
+        if app in os.path.basename(stale):
+            continue
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+                reaped.append(stale)
+        except OSError:
+            pass
+    return reaped
+
+
 def co_located_join(spark, left_table: str, right_table: str, key: str,
                     how: str = "inner") -> DataFrame:
     """Join two same-bucketed catalog tables — Catalyst sees the
@@ -172,19 +214,28 @@ def compact_parquet(spark, src_dir: str, dst_dir: str, *,
     into ~target-sized parquet files that scan with full parallelism
     and sane footer overhead.
 
-    The byte census is a driver-side METADATA walk (os.walk here; on
-    a cluster the FileSystem client — same listing the parquet reader
-    already performs), never a data read. Returns the chosen file
-    count. Run per partition directory on a partitioned table, the
-    same cadence as zorder_layout."""
+    The byte census is a driver-side METADATA walk through the Hadoop
+    FileSystem client — the same listing the parquet reader already
+    performs, never a data read — so it is scheme-correct on hdfs://,
+    s3a://, and file: alike (an os.walk census silently returns 0 on
+    any non-local filesystem → repartition(1) → a single-file rewrite
+    of the whole table; r7 advisor finding). Raises on a missing
+    source dir instead of quietly compacting nothing. Returns the
+    chosen file count. Run per partition directory on a partitioned
+    table, the same cadence as zorder_layout."""
     import math
-    import os
 
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"compact_parquet: no such dir {src_dir!r}")
     total = 0
-    for root, _dirs, files in os.walk(src_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     (
         spark.read.parquet(src_dir)

@@ -215,30 +215,16 @@ def q_bucketed_join(spark, sf_dir):
     bucketed write+read path, which exercises the bucket-pruned
     reader). Table names are keyed by applicationId so concurrent
     sessions never collide; overwrite mode keeps re-runs idempotent.
+    Stale per-app dirs from PRIOR sessions are reaped by
+    ``operators.scale.reap_bucketed_tables`` from session teardown —
+    NOT here: a declared query never mutates shared warehouse state
+    as a side effect (r7 verdict #8).
     At 100 TB this is THE nightly-join optimization: the expensive
     fact-table exchange happens once per ingest, not once per query."""
-    import glob
-    import os
-    import shutil
-    import time
-
     from team_02_spark.operators.scale import co_located_join, write_bucketed
 
     app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
     lt, rt = f"b7_orders_{app}", f"b7_cust_{app}"
-    # housekeeping: per-application table dirs from PRIOR sessions
-    # accumulate in the warehouse; reap anything older than a day
-    # (never a live session — those are minutes old).
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    cutoff = time.time() - 86_400
-    for stale in glob.glob(os.path.join(warehouse, "b7_*")):
-        try:
-            if os.path.getmtime(stale) < cutoff:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )

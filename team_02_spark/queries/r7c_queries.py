@@ -332,7 +332,7 @@ def q_compact_files(spark, sf_dir):
     SELECT key AS c_custkey, CAST(bal_cents AS BIGINT) AS bal_cents, status
     FROM surviving
     UNION ALL
-    SELECT key + 10000000 AS c_custkey, delta_cents AS bal_cents,
+    SELECT -key AS c_custkey, delta_cents AS bal_cents,
            'inserted' AS status
     FROM chg WHERE op = 'I'
     """,
@@ -380,8 +380,12 @@ def q_cdc_apply(spark, sf_dir):
             .alias("status"),
         )
     )
+    # Inserted keys live in the NEGATIVE key space: custkeys are
+    # positive at every SF, so novel keys can never collide with a
+    # surviving row (a fixed +10M offset collided at SF ≳ 67 — r7
+    # advisor finding).
     inserted = chg.filter(F.col("op") == "I").select(
-        (F.col("key") + 10_000_000).alias("c_custkey"),
+        (-F.col("key")).alias("c_custkey"),
         F.col("delta_cents").cast("bigint").alias("bal_cents"),
         F.lit("inserted").alias("status"),
     )

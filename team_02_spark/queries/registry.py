@@ -184,13 +184,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_encode", "q_multimodal_features",
 )
 
+# Deliberate re-proof set (r7 verdict #1): breadth is saturated at
+# 308/308 verified, so the driver-window slots left over after the
+# unchecked keys should land on the HEAVIEST / most composite lanes —
+# the ones where a regression would matter most and be likeliest to
+# hide (multi-stage dedup, iterative graph, sketch, curation
+# composites, the fixed-point stats lanes). _ordered_names() sorts
+# these to the FRONT of the already-verified fall-through, so each
+# round's spare budget re-proves risk instead of arbitrary prefix
+# keys. Order = descending risk (cost × compositeness).
+DRIVER_REPROOF: tuple[str, ...] = (
+    "q_triangles", "q_dedup_substring", "q_dedup_substring_strip",
+    "q_curation_full", "q_pagerank", "q_cms_topk", "q_kl_drift",
+    "q_shortest_path", "q_interval_coverage", "q_match_recognize",
+    "q_component_split", "q_dedup_near", "q_dedup_embedding",
+    "q_dedup_simhash", "q_lm_perplexity", "q_decontaminate_bloom",
+    "q_bm25", "q_dsir_select", "q_split_leakage", "q_source_overlap",
+    "q_setsim_join", "q_window_attribution", "q_cooccurrence",
+    "q_heaps_law", "q_mmr_diverse", "q_rrf_hybrid", "q_pmi_bigrams",
+    "q_assoc_rules", "q_growth_accounting", "q_temperature_mix",
+)
+
 
 def _ordered_names() -> list[str]:
     """Retry keys first (fixed red rows needing a driver re-check),
     then priority novel-API keys, then the remaining unchecked keys —
     and among those, oracle-checkable keys before rows-only ones: a
     driver slot spent on an oracle key buys a hash-match row, a
-    rows-only slot only a ran-clean row."""
+    rows-only slot only a ran-clean row. The already-verified
+    fall-through is NOT arbitrary: DRIVER_REPROOF's heavy/composite
+    lanes come first, so spare window slots perform deliberate
+    regression re-proof (r7 verdict #1)."""
     names = list(QUERIES)
     retry = [n for n in DRIVER_RETRY if n in QUERIES]
     priority = [n for n in DRIVER_PRIORITY
@@ -198,12 +222,17 @@ def _ordered_names() -> list[str]:
                 and n not in retry]
     skip = set(retry) | set(priority) | DRIVER_VERIFIED
     unchecked = [n for n in names if n not in skip]
+    reproof = [n for n in DRIVER_REPROOF
+               if n in QUERIES and n in DRIVER_VERIFIED
+               and n not in set(retry)]
+    rest = set(retry) | set(reproof)
     return (
         retry
         + priority
         + [n for n in unchecked if QUERIES[n].oracle is not None]
         + [n for n in unchecked if QUERIES[n].oracle is None]
-        + [n for n in names if n in DRIVER_VERIFIED and n not in set(retry)]
+        + reproof
+        + [n for n in names if n in DRIVER_VERIFIED and n not in rest]
     )
 
 

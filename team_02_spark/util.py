@@ -36,6 +36,43 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 # reliable / local strategy regardless of master.
 SHARED_PASS_RELIABLE_CONF = "spark.team02.reliableSharedPass"
 
+# Explicit checkpoint-dir override for the reliable strategy. When
+# unset, the dir is auto-provisioned on the Hadoop DEFAULT filesystem
+# (HDFS/S3 on a real cluster — replicated, hence reliable) under
+# /tmp/team02_ckpt/<applicationId>.
+SHARED_PASS_CKPT_CONF = "spark.team02.checkpointDir"
+
+
+def _ensure_checkpoint_dir(spark) -> bool:
+    """Make sure the SparkContext has a checkpoint dir for the
+    reliable shared-pass strategy. Resolution order: explicit
+    ``spark.team02.checkpointDir`` conf (per-app subdir appended so
+    concurrent apps never share), else an already-configured
+    ``sc.setCheckpointDir``, else auto-provision
+    ``<fs.defaultFS>/tmp/team02_ckpt/<applicationId>`` — on a real
+    cluster fs.defaultFS is the replicated store (HDFS/S3), which is
+    exactly the durability the strategy wants. Returns False (never
+    raises) when the dir can't be created, so the caller can degrade
+    to the persist fallback instead of failing the query."""
+    sc = spark.sparkContext
+    want = spark.conf.get(SHARED_PASS_CKPT_CONF, None)
+    current = sc.getCheckpointDir()
+    try:
+        if want:
+            target = want.rstrip("/") + "/" + sc.applicationId
+            if not current or not current.startswith(want.rstrip("/")):
+                sc.setCheckpointDir(target)
+            return True
+        if current:
+            return True
+        fs_default = sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        sc.setCheckpointDir(
+            fs_default.rstrip("/") + "/tmp/team02_ckpt/" + sc.applicationId
+        )
+        return True
+    except Exception:  # unwritable FS / bad conf: degrade, don't fail
+        return False
+
 
 def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
     """Materialize-once seam for frames with many downstream consumers
@@ -48,11 +85,24 @@ def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
     cluster an executor loss (or dynamic-allocation decommission)
     fails the job unrecoverably. So in cluster mode (master not
     local*, or ``spark.team02.reliableSharedPass=true``) this uses a
-    reliable strategy instead: ``checkpoint()`` when a checkpoint dir
-    is configured (replicated to the checkpoint FS, lineage truncated
-    — also the right choice for iterative callers), else
-    ``persist(MEMORY_AND_DISK_2)`` (2× replicated blocks WITH lineage
-    intact, so a lost block recomputes instead of failing the job).
+    reliable strategy instead: ``checkpoint()`` to a replicated
+    checkpoint FS — the dir is taken from ``spark.team02.checkpointDir``
+    / an existing ``sc.setCheckpointDir``, else auto-provisioned on
+    fs.defaultFS (see :func:`_ensure_checkpoint_dir`). Checkpointing
+    both replicates the blocks AND truncates lineage, which iterative
+    callers (connected components, BFS) require: a lineage-preserving
+    cache would nest the full prior plan every round — the exact
+    analysis-time blowup the r7 advisor flagged.
+
+    Last resort (checkpoint dir cannot be provisioned):
+    ``persist(MEMORY_AND_DISK_2)`` — 2× replicated blocks so a lost
+    block recomputes instead of failing the job. Lineage stays intact
+    in that path, so for ``eager`` (iterative) callers the frame is
+    additionally rebuilt from its materialized RDD
+    (``createDataFrame(rdd, schema)``), which truncates the logical
+    plan at the cost of a Python ser/de boundary — acceptable only as
+    the documented degraded path; configure a checkpoint dir on real
+    clusters.
 
     ``eager`` forces materialization now — iterative callers
     (connected components) need it to cap plan growth per round.
@@ -62,15 +112,31 @@ def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
     mode = str(spark.conf.get(SHARED_PASS_RELIABLE_CONF, "auto")).lower()
     local = sc.master.startswith("local")
     if mode == "true" or (mode == "auto" and not local):
-        if sc.getCheckpointDir():
+        if _ensure_checkpoint_dir(spark):
             return df.checkpoint(eager=eager)
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
         if eager:
             out.count()
+            # Truncate lineage for iterative callers: downstream plans
+            # read the materialized RDD, not the nested prior plan.
+            return spark.createDataFrame(out.rdd, out.schema)
         return out
     return df.localCheckpoint(eager=eager)
+
+
+def release_shared(df: DataFrame) -> None:
+    """Free a shared-pass frame a caller no longer needs (iterative
+    loops: the previous round's labels/frontier). ``unpersist`` drops
+    localCheckpoint / persist blocks; reliable ``checkpoint()`` files
+    are left for the context's own cleanup (they are bounded per app
+    and live under /tmp/team02_ckpt/<appId>). No-op on errors — this
+    is an optimization, never a correctness gate."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def knuth_uniform(key):

@@ -14,6 +14,11 @@ def spark():
 
     s = get_spark("team_02_spark-tests", shuffle_partitions=8)
     yield s
+    # Session-teardown warehouse maintenance (r7 verdict #8): reap
+    # stale per-app bucketed-table dirs HERE, never inside a query.
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    reap_bucketed_tables(s)
     s.stop()
 
 

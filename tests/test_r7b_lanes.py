@@ -111,3 +111,49 @@ def test_window_exclude_sums(spark):
         .first()
     )
     assert joined["mx"] is not None and joined["mx"] < 1e-6
+
+
+def test_reap_bucketed_tables_skips_live_app(spark, tmp_path):
+    """The session-teardown reaper (extracted from q_bucketed_join,
+    r7 verdict #8): current app's dirs are skipped UNCONDITIONALLY
+    (even with an ancient mtime — the r7 advisor's overnight-session
+    hazard), foreign dirs older than the cutoff are reaped, younger
+    foreign dirs and non-matching prefixes survive."""
+    import os
+    import time
+
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    os.makedirs(warehouse, exist_ok=True)
+    old = time.time() - 8 * 86_400
+    mine = os.path.join(warehouse, f"b7_test_{app}")
+    stale = os.path.join(warehouse, "b7_test_some_dead_app_123")
+    fresh = os.path.join(warehouse, "b7_test_young_app_456")
+    other = os.path.join(warehouse, "not_b7_prefixed_old")
+    for d in (mine, stale, fresh, other):
+        os.makedirs(d, exist_ok=True)
+    os.utime(mine, (old, old))
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+    try:
+        reaped = reap_bucketed_tables(spark, prefix="b7_test_")
+        assert reaped == [stale]
+        assert os.path.isdir(mine)      # live app: never reaped
+        assert not os.path.isdir(stale)  # old foreign dir: reaped
+        assert os.path.isdir(fresh)     # young foreign dir: kept
+        assert os.path.isdir(other)     # prefix miss: untouched
+    finally:
+        import shutil
+
+        for d in (mine, fresh, other):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reap_bucketed_tables_remote_warehouse_noop(spark):
+    """A remote-scheme warehouse is never walked — retention there
+    belongs to the real catalog."""
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    assert reap_bucketed_tables(spark, warehouse="s3a://bucket/warehouse") == []

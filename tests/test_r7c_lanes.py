@@ -91,8 +91,11 @@ def test_compaction_shrinks_files(spark):
 
 def test_cdc_apply_partitions_statuses(spark):
     """The applied snapshot must contain only the three statuses,
-    every inserted key must be novel (>= 10M offset), and no
-    tombstoned key may survive."""
+    every inserted key must be novel (negative key space — disjoint
+    from positive custkeys at ANY scale factor), and no tombstoned
+    key may survive. The inserted set must also be disjoint from the
+    surviving set, the invariant the old +10M offset silently broke
+    at SF >= 67."""
     from team_02_spark.queries._util import t
 
     rows = _q(spark, "q_cdc_apply").collect()
@@ -100,7 +103,8 @@ def test_cdc_apply_partitions_statuses(spark):
     assert statuses <= {"kept", "updated", "inserted"}
     surviving = {r["c_custkey"] for r in rows if r["status"] != "inserted"}
     inserted = {r["c_custkey"] for r in rows if r["status"] == "inserted"}
-    assert all(k >= 10_000_000 for k in inserted)
+    assert all(k < 0 for k in inserted)
+    assert not (inserted & surviving)
     orders = t(spark, SF_SMOKE, "orders")
     from pyspark.sql import functions as F
 

@@ -339,3 +339,129 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="fact-preserving"):
         salted_join(df, df, "k", how="right")
+
+
+# ------------------------------- shared_pass cluster-mode branch (r8)
+# The reliable strategy (cluster masters, or forced via
+# spark.team02.reliableSharedPass=true) was the one 100 TB-posture
+# code path with zero test coverage (r7 verdict #3 / next-round #2).
+# These pin: checkpoint-dir auto-provisioning, lineage truncation,
+# the persist(MEMORY_AND_DISK_2) last-resort fallback with its eager
+# RDD rebuild, hash-identity of a shared-pass lane under the reliable
+# strategy, and the iterative caller (connected components) end to
+# end.
+
+import contextlib
+
+from tests.conftest import SF_SMOKE
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    """Temporarily set session confs (dots encoded as __ in kwargs)."""
+    keys = {k.replace("__", "."): v for k, v in kv.items()}
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_shared_pass_reliable_checkpoints_with_lineage_cut(spark, tmp_path):
+    from team_02_spark.util import shared_pass
+
+    ckpt = str(tmp_path / "ckpt")
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir=ckpt):
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).groupBy((F.col("id") % 10).alias("k")).agg(F.sum("v").alias("s"))
+        out = shared_pass(df, eager=True)
+        # dir provisioned under the conf override, keyed by app id
+        cur = spark.sparkContext.getCheckpointDir()
+        assert cur and ckpt.lstrip("/") in cur
+        assert spark.sparkContext.applicationId in cur
+        # lineage truncated: the plan is a materialized-RDD scan, not
+        # the nested aggregate
+        assert "LogicalRDD" in _plan(out)
+        assert "Aggregate" not in _plan(out)
+        # values survive the round trip
+        assert {(r["k"], r["s"]) for r in out.collect()} == {
+            (r["k"], r["s"]) for r in df.collect()
+        }
+
+
+def test_shared_pass_reliable_lane_hash_identical(spark, tmp_path):
+    """One full shared-pass lane (q_heaps_law: multi-consumer text
+    aggregate) must return identical rows under the local and the
+    reliable strategy."""
+    from team_02_spark.queries import QUERIES
+
+    fn = QUERIES["q_heaps_law"].fn
+    base = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir=str(tmp_path / "ckpt2")):
+        reliable = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    assert reliable == base
+
+
+def test_shared_pass_persist_fallback_when_dir_unwritable(spark):
+    """Checkpoint-dir provisioning failure (unwritable FS) must
+    degrade to persist(MEMORY_AND_DISK_2) — replicated blocks, job
+    survives a lost block by recompute — never raise."""
+    from team_02_spark.util import shared_pass
+
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir="/proc/team02_unwritable"):
+        df = spark.range(50).select(F.col("id").alias("k"))
+        out = shared_pass(df)
+        lvl = out.storageLevel
+        assert lvl.useMemory and lvl.useDisk and lvl.replication == 2
+        assert out.count() == 50
+        out.unpersist()
+
+
+def test_shared_pass_persist_fallback_eager_truncates_lineage(spark):
+    """In the degraded persist path, eager (iterative) callers still
+    get a truncated plan — the RDD rebuild — so per-round plans can't
+    nest (r7 advisor medium finding)."""
+    from team_02_spark.util import shared_pass
+
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir="/proc/team02_unwritable"):
+        df = spark.range(40).groupBy((F.col("id") % 4).alias("k")).count()
+        out = shared_pass(df, eager=True)
+        assert "LogicalRDD" in _plan(out)
+        assert "Aggregate" not in _plan(out)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+
+
+def test_connected_components_under_reliable_strategy(spark, tmp_path):
+    """The iterative caller end to end on the reliable branch: a
+    two-component graph converges, labels are min-ids, and the loop's
+    release of each previous round's frame never poisons the result."""
+    from team_02_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["a", "b"]
+    )
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir=str(tmp_path / "ckpt3")):
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components(pairs).collect()
+        }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10)}
