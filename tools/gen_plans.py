@@ -68,6 +68,11 @@ HEADLINE = {
     "q_skyline": "banded Pareto frontier: band-parallel running mins + band-count-sized prefix pass + broadcast join-back — no global sort, no all-pairs dominance",
     "q_rolling_wau": "trailing-window distinct via bounded x7 explode of the collapsed user-day table — no day-range self-join; one count-distinct shuffle",
     "q_cohort_ltv": "integer-cents LTV: corpus collapses to per-customer first-month then cohort-age cells; the running-sum window is calendar-squared-sized",
+    "q_kl_drift": "both distributions fold to alphabet-sized (type, count) tables; fixed-point e9 BIGINT ln keeps engines bit-identical; final KL is a 1-row fold",
+    "q_shortest_path": "per-round frontier⋈edges equi-join + anti-join shrink: work tracks the NEW frontier, not the visited set; plan depth capped by shared_pass per round",
+    "q_interval_coverage": "sweep-line union: ONE key shuffle, two window passes over the same partitioning, island-bounded aggregate — no self-join, no driver state",
+    "q_growth_accounting": "events collapse to distinct (user, month) first; new/retained/resurrected/churned classify via ONE user_id window (lag); month cells are calendar-sized",
+    "q_assoc_rules": "basket pairs bounded by per-order width (~7 lines); support/confidence/lift join item counts back at item-alphabet size — never a corpus self-join",
 }
 
 
