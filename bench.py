@@ -86,6 +86,10 @@ HEADLINE = [
     # union (per-key window-pass throughput)
     "q_shortest_path",
     "q_interval_coverage",
+    # round 8 (NEW key — prior 42 stay frozen): DOULION-sampled
+    # approximate triangles, the scale-relief companion to the
+    # enumeration-bound exact lane (r7 verdict #6)
+    "q_triangles_approx",
 ]
 
 
