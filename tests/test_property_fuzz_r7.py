@@ -101,3 +101,44 @@ def test_bfs_matches_brute_force(spark, edges, hops):
         for r in bfs_distances(df, "n0", max_hops=hops).collect()
     }
     assert got == _brute_bfs(set(edges), "n0", hops)
+
+
+@_SETTINGS
+@given(raw=INTERVALS, width=st.sampled_from([1, 4, 7, 100]))
+def test_interval_union_salted_matches_unsalted(spark, raw, width):
+    """The hot-key salted re-shard (clip at bucket boundaries ->
+    per-(key,bucket) sweep -> merge pass over islands) is EXACTLY the
+    unsalted operator for any interval multiset and any bucket width
+    — including width 1 (every piece its own bucket), widths that cut
+    intervals mid-span, and widths larger than the whole axis (the
+    degenerate single-bucket case)."""
+    from team_02_spark.operators.analytics import interval_union_salted
+
+    intervals = [(k, s, s + w) for k, s, w in raw]
+    df = spark.createDataFrame(intervals, "k string, s long, e long")
+    base = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union(df, "k", "s", "e").collect()
+    }
+    salted = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union_salted(
+            df, "k", "s", "e", bucket_width=width
+        ).collect()
+    }
+    assert salted == base == _brute_union(intervals)
+
+
+def test_interval_union_salted_negative_axis_and_validation(spark):
+    """Exact bucket ids on a negative axis (pmod floor-division, no
+    float drift) and the positive-width contract."""
+    import pytest
+
+    from team_02_spark.operators.analytics import interval_union_salted
+
+    rows = [("k", -13, -2), ("k", -2, 5), ("k", 9, 11)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = interval_union_salted(df, "k", "s", "e", bucket_width=4).collect()
+    assert [(r["n_islands"], r["covered"]) for r in got] == [(2, 20)]
+    with pytest.raises(ValueError, match="positive"):
+        interval_union_salted(df, "k", "s", "e", bucket_width=0)
