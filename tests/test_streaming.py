@@ -494,3 +494,100 @@ def test_curation_slice_batch_equals_stream(spark):
     got = _run_stream_to_batch(spark, stream)
     _assert_frames_equal(batch, got, ["lang_pred"])
     assert batch["n_docs"].sum() > 0
+
+
+def _cdc_fixture(spark, tmp_path):
+    """Seeded snapshot + a 9-op / 3-micro-batch change feed hitting
+    every CDC shape: update, delete, insert, re-insert after delete,
+    update-then-delete within one batch, cross-batch last-op-wins."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, name string, val int",
+    )
+    batches = [
+        # (seq, k, name, val, op)
+        [(1, 2, "b2", 21, "U"), (2, 3, None, None, "D"),
+         (3, 5, "e", 50, "I")],
+        [(4, 5, "e2", 51, "U"), (5, 1, None, None, "D"),
+         (6, 1, "a2", 11, "I")],            # delete then re-insert
+        [(7, 4, "d2", 41, "U"), (8, 4, None, None, "D"),
+         (9, 6, "f", 60, "I")],             # update-then-delete, one batch
+    ]
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = "seq long, k int, name string, val int, op string"
+    for i, rows in enumerate(batches):
+        ordered = [(s, k, n, v, o) for (s, k, n, v, o) in rows]
+        spark.createDataFrame(ordered, schema).coalesce(1).write.parquet(
+            str(feed_dir / f"batch_{i}.parquet")
+        )
+    expected = {(1, "a2", 11), (2, "b2", 21), (5, "e2", 51), (6, "f", 60)}
+    return base, str(feed_dir), schema, expected
+
+
+def test_cdc_stream_batch_equals_stream(spark, tmp_path):
+    """r7 verdict #5: the tombstone CDC merge driven as a readStream +
+    foreachBatch idempotent upsert must land the same final snapshot
+    as the one-shot batch apply of the collapsed feed."""
+    from team_02_spark.streaming.cdc import (
+        apply_cdc_batch,
+        cdc_upsert_stream,
+        latest_state,
+        seed_state,
+    )
+
+    base, feed_dir, schema, expected = _cdc_fixture(spark, tmp_path)
+
+    # batch twin: ONE apply of the whole feed
+    batch_state = str(tmp_path / "state_batch")
+    seed_state(base, batch_state)
+    whole_feed = spark.read.schema(schema).parquet(feed_dir + "/*")
+    apply_cdc_batch(whole_feed, 0, state_dir=batch_state, key="k",
+                    seq_col="seq")
+    batch_rows = {
+        (r["k"], r["name"], r["val"])
+        for r in latest_state(spark, batch_state).collect()
+    }
+
+    # stream: 3 micro-batches through foreachBatch
+    stream_state = str(tmp_path / "state_stream")
+    seed_state(base, stream_state)
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/*")
+    )
+    q = cdc_upsert_stream(
+        changes, state_dir=stream_state, key="k", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["k"], r["name"], r["val"])
+        for r in latest_state(spark, stream_state).collect()
+    }
+    assert batch_rows == expected
+    assert stream_rows == expected
+
+
+def test_cdc_batch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once story: re-applying a micro-batch with the
+    same batch_id (the foreachBatch at-least-once failure mode) must
+    leave the snapshot bit-identical — replacement payloads, not
+    deltas, are what make this safe."""
+    from team_02_spark.streaming.cdc import (
+        apply_cdc_batch,
+        latest_state,
+        seed_state,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_replay")
+    seed_state(base, state)
+    batch0 = spark.read.schema(schema).parquet(feed_dir + "/batch_0.parquet")
+    apply_cdc_batch(batch0, 0, state_dir=state, key="k", seq_col="seq")
+    once = sorted(map(tuple, latest_state(spark, state).collect()))
+    apply_cdc_batch(batch0, 0, state_dir=state, key="k", seq_col="seq")
+    twice = sorted(map(tuple, latest_state(spark, state).collect()))
+    assert once == twice
+    assert {t[0] for t in once} == {1, 2, 4, 5}  # 3 deleted, 5 inserted
