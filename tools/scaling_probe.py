@@ -555,6 +555,54 @@ def interval_probe(replication: int) -> None:
     spark.stop()
 
 
+def saltint_probe(replication: int) -> None:
+    """Adversarial HOT-KEY probe for interval_union_salted (r8): ONE
+    key owns ALL N×1M intervals, the shape where the plain per-key
+    sweep degenerates to a single window partition (one core sorts
+    and scans everything, and at cluster scale one executor must hold
+    one key's full history). The salted operator re-shards the same
+    rows over (key, epoch-bucket) cells first. Pass criteria: both
+    operators agree exactly, and the salted wall-clock stays flat-ish
+    while the unsalted one grows with the single partition."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.analytics import (
+        interval_union,
+        interval_union_salted,
+    )
+
+    spark = get_spark(f"scaling-saltint-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = replication * 1_000_000
+    # deterministic pseudo-random starts over a 100M-wide axis,
+    # width-50k intervals -> heavy overlap, ~100M/50k islands
+    df = (
+        spark.range(n)
+        .select(
+            F.lit("hot").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(100_000_000)).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.lit(50_000))
+    )
+    t0 = time.perf_counter()
+    plain = interval_union(df, "k", "s", "e").collect()
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    salted = interval_union_salted(
+        df, "k", "s", "e", bucket_width=1_000_000
+    ).collect()
+    t_salted = time.perf_counter() - t0
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted)), (
+        plain, salted)
+    print(json.dumps({
+        "mode": "saltint", "replication": replication, "n_intervals": n,
+        "n_islands": plain[0]["n_islands"], "covered": plain[0]["covered"],
+        "plain_sec": round(t_plain, 2), "salted_sec": round(t_salted, 2),
+    }))
+    spark.stop()
+
+
 def rangejoin_probe(replication: int) -> None:
     """Data-scaling sweep for binned_range_join vs the naive theta
     join (broadcast disabled — both sides 'big'). Synthetic axis:
@@ -979,6 +1027,9 @@ def main() -> None:
         return
     if mode == "interval":
         interval_probe(arg)
+        return
+    if mode == "saltint":
+        saltint_probe(arg)
         return
     if mode == "ranktest":
         ranktest_probe(arg)
