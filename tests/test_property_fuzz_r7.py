@@ -142,3 +142,122 @@ def test_interval_union_salted_negative_axis_and_validation(spark):
     assert [(r["n_islands"], r["covered"]) for r in got] == [(2, 20)]
     with pytest.raises(ValueError, match="positive"):
         interval_union_salted(df, "k", "s", "e", bucket_width=0)
+
+
+# ---------------------------------------------------- round-8 fuzz nets
+
+OPS = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 3, 4, 5]),           # key
+        st.sampled_from(["I", "U", "D"]),           # op
+        st.integers(min_value=0, max_value=99),      # payload val
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _brute_cdc(base, ops):
+    """Python fold of the CDC contract: replacement payloads, last op
+    wins per sequence order, D removes, I/U replace-or-insert."""
+    state = dict(base)
+    for k, op, v in ops:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return state
+
+
+@_SETTINGS
+@given(ops=OPS, cut=st.integers(min_value=0, max_value=24))
+def test_cdc_apply_matches_brute_fold_any_batching(spark, tmp_path_factory, ops, cut):
+    """apply_cdc_batch over ANY op sequence split at ANY point into
+    two micro-batches equals the sequential python fold — the
+    batching boundary can never change the final snapshot (the
+    property that makes micro-batch sizing a pure throughput knob)."""
+    from team_02_spark.streaming.cdc import (
+        apply_cdc_batch,
+        latest_state,
+        seed_state,
+    )
+
+    base = {1: 100, 2: 200}
+    seq_ops = [(i + 1, k, op, v) for i, (k, op, v) in enumerate(ops)]
+    state_dir = str(tmp_path_factory.mktemp("cdc_fuzz"))
+    seed_state(
+        spark.createDataFrame(
+            [(k, v) for k, v in base.items()], "k int, val int"
+        ),
+        state_dir,
+    )
+    cut = min(cut, len(seq_ops))
+    schema = "seq long, k int, val int, op string"
+    for bid, chunk in enumerate([seq_ops[:cut], seq_ops[cut:]]):
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(
+            [(s, k, v, op) for (s, k, op, v) in chunk], schema
+        )
+        apply_cdc_batch(batch, bid, state_dir=state_dir, key="k",
+                        seq_col="seq")
+    got = {r["k"]: r["val"] for r in latest_state(spark, state_dir).collect()}
+    assert got == _brute_cdc(base, ops)
+
+
+def _brute_triangles(edges):
+    adj = {}
+    nodes = set()
+    es = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        nodes.update((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for (a, b) in es
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    return tris, len(es), len(nodes)
+
+
+@_SETTINGS
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),     # order id
+            st.integers(min_value=1, max_value=9),     # supplier id
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_triangle_census_matches_brute_force(spark, tmp_path_factory, orders):
+    """q_triangles' degree-ordered orientation on ANY random co-supply
+    multigraph (hubs, ties, parallel listings) equals the brute-force
+    wedge-intersection count — each triangle counted exactly once."""
+    from team_02_spark.queries import QUERIES
+
+    path = tmp_path_factory.mktemp("tri_fuzz")
+    li = spark.createDataFrame(orders, "l_orderkey long, l_suppkey long")
+    li.coalesce(1).write.parquet(str(path / "lineitem.parquet"))
+    got = QUERIES["q_triangles"].fn(spark, str(path)).collect()[0]
+    # brute: co-supply edges = supplier pairs sharing an order
+    by_order = {}
+    for o, s in orders:
+        by_order.setdefault(o, set()).add(s)
+    edges = {
+        (a, b)
+        for ss in by_order.values()
+        for a in ss
+        for b in ss
+        if a < b
+    }
+    tris, n_e, n_n = _brute_triangles(edges)
+    assert (got["n_triangles"], got["n_edges"], got["n_nodes"]) == (
+        tris, n_e, n_n)
