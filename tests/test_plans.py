@@ -554,3 +554,21 @@ def test_r7_tail_lane_plans(spark):
         df = _q(spark, name)
         assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
         assert not uses_python_udf(df), f"{name} crossed into Python"
+
+
+def test_r8_lane_plans(spark):
+    """Round-8 lanes: JVM-only, fixed shuffle budgets. The salted
+    interval union costs TWO exchanges total — the (key, bucket)
+    window partitioning is reused by the stage-1 island aggregate, so
+    salting adds only one exchange over the plain sweep's key
+    shuffle. q_triangles_approx is the exact census (11) plus one
+    aggregate on the unsampled edge total; the md5 gate itself is a
+    map-side filter (zero added exchanges on the census path)."""
+    budgets = {
+        "q_interval_coverage_salted": 2,
+        "q_triangles_approx": 12,
+    }
+    for name, budget in budgets.items():
+        df = _q(spark, name)
+        assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
+        assert not uses_python_udf(df), f"{name} crossed into Python"
