@@ -29,40 +29,74 @@ merges, keeping this module's batching/ordering logic unchanged.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window, functions as F
 
 from team_02_spark.operators.upsert import upsert
 
 _POINTER = "_LATEST"
 
+# Pointer I/O goes through the Hadoop FileSystem client, NOT os.path:
+# on a real cluster state_dir is hdfs:///s3a:// and a driver-local
+# os.path.exists would silently return False -> latest_state None ->
+# the merge folds into an EMPTY base, quietly dropping the snapshot —
+# the same non-local-scheme bug class the r7 advisor caught in
+# compact_parquet's os.walk census.
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), jpath, jvm
+
+
+def _read_pointer(spark, state_dir: str) -> str | None:
+    fs, ptr, _ = _fs(spark, state_dir.rstrip("/") + "/" + _POINTER)
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1 and len(out) < 4096:
+            out.append(b)
+            b = stream.read()
+        return bytes(out).decode("utf-8").strip()
+    finally:
+        stream.close()
+
 
 def latest_state(spark, state_dir: str) -> DataFrame | None:
     """Read the snapshot the pointer file names, or None before the
     first batch lands."""
-    ptr = os.path.join(state_dir, _POINTER)
-    if not os.path.exists(ptr):
+    version = _read_pointer(spark, state_dir)
+    if not version:
         return None
-    with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, version))
+    return spark.read.parquet(state_dir.rstrip("/") + "/" + version)
 
 
-def _advance_pointer(state_dir: str, version: str) -> None:
-    # temp-file + rename: readers never observe a torn pointer
-    ptr = os.path.join(state_dir, _POINTER)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, ptr)
+def _advance_pointer(spark, state_dir: str, version: str) -> None:
+    # temp-file + rename (atomic on HDFS and posix; the strongest
+    # primitive plain filesystems offer): readers never observe a
+    # torn pointer
+    base = state_dir.rstrip("/")
+    fs, ptr, jvm = _fs(spark, base + "/" + _POINTER)
+    tmp = jvm.org.apache.hadoop.fs.Path(base + "/" + _POINTER + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(version.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
 
 
 def seed_state(base: DataFrame, state_dir: str) -> None:
     """Install the initial snapshot (the state CDC batches fold into)."""
-    os.makedirs(state_dir, exist_ok=True)
-    base.write.mode("overwrite").parquet(os.path.join(state_dir, "v_seed"))
-    _advance_pointer(state_dir, "v_seed")
+    base.write.mode("overwrite").parquet(state_dir.rstrip("/") + "/v_seed")
+    _advance_pointer(base.sparkSession, state_dir, "v_seed")
 
 
 def collapse_to_last_op(changes: DataFrame, key: str, seq_col: str) -> DataFrame:
@@ -104,8 +138,10 @@ def apply_cdc_batch(batch: DataFrame, batch_id: int, *, state_dir: str,
         tombstone_col="__tombstone", broadcast_updates=False,
     )
     version = f"v{batch_id:012d}"
-    merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-    _advance_pointer(state_dir, version)
+    merged.write.mode("overwrite").parquet(
+        state_dir.rstrip("/") + "/" + version
+    )
+    _advance_pointer(spark, state_dir, version)
 
 
 def cdc_upsert_stream(changes: DataFrame, *, state_dir: str, key: str,
@@ -115,7 +151,6 @@ def cdc_upsert_stream(changes: DataFrame, *, state_dir: str, key: str,
     Returns the started StreamingQuery; the caller picks the trigger
     semantics by awaiting it (tests use bounded file feeds +
     trigger(availableNow) drained by awaitTermination)."""
-    os.makedirs(state_dir, exist_ok=True)
 
     def _apply(batch_df, batch_id):
         apply_cdc_batch(batch_df, batch_id, state_dir=state_dir,
