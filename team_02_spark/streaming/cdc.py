@@ -20,11 +20,15 @@ State layout (plain parquet — no transactional format needed):
     <state_dir>/v{batch_id:012d}/   snapshot AFTER applying batch_id
     <state_dir>/_LATEST             pointer file (atomic rename)
 
-At 100 TB each micro-batch costs the upsert's one key-shuffle join
-of snapshot x batch (broadcast when the batch is small, the common
-CDC case) and a full snapshot rewrite — the plain-parquet trade-off;
-swap the sink for a transactional table format to get row-level
-merges, keeping this module's batching/ordering logic unchanged.
+At 100 TB each micro-batch costs one full-outer join of snapshot x
+batch plus a snapshot rewrite. Full outer can't broadcast, so the
+PLAIN merge re-shuffles the whole snapshot per batch — for large
+state use `operators.upsert.upsert_bucketed` inside the foreachBatch
+body instead: snapshot and batch co-bucketed by the key, the merge
+plans ZERO Exchange on the snapshot side (pinned by test), and the
+bucketed output hands the next batch the same layout. A transactional
+table format would additionally give row-level merges; this module's
+batching/ordering/idempotency logic is unchanged either way.
 """
 
 from __future__ import annotations

@@ -591,3 +591,51 @@ def test_cdc_batch_replay_is_idempotent(spark, tmp_path):
     twice = sorted(map(tuple, latest_state(spark, state).collect()))
     assert once == twice
     assert {t[0] for t in once} == {1, 2, 4, 5}  # 3 deleted, 5 inserted
+
+
+def test_upsert_bucketed_is_shuffle_free_and_exact(spark, tmp_path):
+    """The CDC scale path: with snapshot AND batch co-bucketed, the
+    full-outer merge plans ZERO Exchange operators (a plain merge
+    re-shuffles the whole snapshot every batch — full outer can't
+    broadcast), and the merged rows equal the plain upsert's."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.scale import (
+        reap_bucketed_tables,
+        write_bucketed,
+    )
+    from team_02_spark.operators.upsert import upsert, upsert_bucketed
+    from team_02_spark.plans.inspect import shuffle_count
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    state_t, out_t = f"b8_state_{app}", f"b8_out_{app}"
+    base = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+    )
+    updates = spark.createDataFrame(
+        [(10, 999, False), (5001, 111, False), (20, 0, True)],
+        "k long, val long, dead boolean",
+    )
+    write_bucketed(base, state_t, "k", num_buckets=8)
+
+    # plan pin: the merge itself has no Exchange on either side
+    write_bucketed(updates, f"{out_t}__probe", "k", num_buckets=8)
+    merged_plan = upsert(
+        spark.table(state_t), spark.table(f"{out_t}__probe"), "k",
+        tombstone_col="dead", broadcast_updates=False,
+    )
+    assert shuffle_count(merged_plan) == 0
+
+    upsert_bucketed(spark, state_t, updates, "k", out_t,
+                    num_buckets=8, tombstone_col="dead")
+    got = {(r["k"], r["val"]) for r in spark.table(out_t)
+           .select("k", "val").collect()}
+    expect = {(r["k"], r["val"]) for r in upsert(
+        base, updates, "k", tombstone_col="dead"
+    ).select("k", "val").collect()}
+    assert got == expect
+    assert (10, 999) in got and (5001, 111) in got
+    assert all(k != 20 for k, _ in got)
+    for t_name in (state_t, out_t, f"{out_t}__probe"):
+        spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+    reap_bucketed_tables(spark, prefix="b8_")
