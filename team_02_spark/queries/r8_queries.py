@@ -78,3 +78,109 @@ def q_interval_coverage_salted(spark, sf_dir):
     return interval_union_salted(
         iv, "supp", "s", "e", bucket_width=45
     ).select("supp", "n_islands", F.col("covered").alias("covered_days"))
+
+
+@query(
+    "q_cdc_stream",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS new_bal
+      FROM orders GROUP BY o_custkey
+    ),
+    ops AS (
+      SELECT key, new_bal,
+             CASE WHEN cnt % 5 = 0 THEN 'D'
+                  WHEN cnt % 5 IN (1, 2) THEN 'U'
+                  ELSE 'I' END AS op
+      FROM chg
+    ),
+    base AS (
+      SELECT c_custkey AS key,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal_cents
+      FROM customer
+    )
+    SELECT b.key AS c_custkey,
+           CASE WHEN o.op IN ('U', 'I') THEN o.new_bal
+                ELSE b.bal_cents END AS bal_cents
+    FROM base b LEFT JOIN ops o ON b.key = o.key
+    WHERE o.op IS NULL OR o.op <> 'D'
+    UNION ALL
+    SELECT o.key AS c_custkey, o.new_bal AS bal_cents
+    FROM ops o LEFT JOIN base b ON o.key = b.key
+    WHERE o.op IN ('U', 'I') AND b.key IS NULL
+    """,
+)
+def q_cdc_stream(spark, sf_dir):
+    """The streaming CDC sink AS a hash-checked lane — the engine's
+    first streaming key whose RESULT (not just row count) is pinned
+    against an ANSI oracle: a deterministic replacement-payload
+    change feed (op from each customer's order count, new balance =
+    exact order-total cents) lands as THREE parquet micro-batches,
+    `streaming.cdc.cdc_upsert_stream` folds them through foreachBatch
+    idempotent upserts into the customer snapshot, and the pointer'd
+    final state is returned. The oracle is the ONE-SHOT SQL fold —
+    valid precisely because micro-batch boundaries provably cannot
+    change the result (replacement semantics; fuzzed under arbitrary
+    batchings in tests/test_property_fuzz_r7.py). Replays are safe by
+    the same contract. All scratch dirs are per-applicationId and
+    wiped at entry, so re-runs and concurrent sessions never collide.
+    At 100 TB: swap the merge for upsert_bucketed (zero-Exchange
+    snapshot side) — same feed, same sink contract."""
+    import hashlib
+    import shutil
+
+    from team_02_spark.queries._util import run_dir
+    from team_02_spark.streaming.cdc import (
+        cdc_upsert_stream,
+        latest_state,
+        seed_state,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = run_dir(spark, f"cdcstream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    feed_dir, state_dir, ckpt = (
+        f"{root}/feed", f"{root}/state", f"{root}/ckpt"
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+    chg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("bal_cents"),
+    ).select(
+        F.col("k").cast("long").alias("seq"),  # one op per key
+        F.col("k"),
+        "bal_cents",
+        F.when(F.col("cnt") % 5 == 0, "D")
+        .when((F.col("cnt") % 5).isin(1, 2), "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    for i in range(3):  # deterministic 3-way batch split by key
+        chg.filter(F.pmod("k", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed_dir}/b{i}.parquet")
+    seed_state(
+        cust.select(
+            F.col("c_custkey").alias("k"),
+            cents("c_acctbal").alias("bal_cents"),
+        ),
+        state_dir,
+    )
+    feed = (
+        spark.readStream.schema("seq long, k long, bal_cents long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/*")
+    )
+    stream = cdc_upsert_stream(
+        feed, state_dir=state_dir, key="k", seq_col="seq",
+        checkpoint_dir=ckpt,
+    )
+    stream.awaitTermination(300)
+    return latest_state(spark, state_dir).select(
+        F.col("k").alias("c_custkey"), "bal_cents"
+    )
