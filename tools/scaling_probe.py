@@ -603,6 +603,67 @@ def saltint_probe(replication: int) -> None:
     spark.stop()
 
 
+def cdcmerge_probe(replication: int) -> None:
+    """CDC merge-step probe (r8): plain full-outer upsert (must
+    re-shuffle the WHOLE N×1M-row snapshot — full outer can't
+    broadcast) vs upsert_bucketed over a co-bucketed snapshot (zero
+    Exchange on the state side). Both apply the identical 1k-row
+    batch and write the merged snapshot; the bucketed side's one-time
+    initial bucket-write is excluded (it is the paid-once ingest
+    cost), its per-batch work — batch bucket-write + merge + bucketed
+    output — is all included. Results asserted equal."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.scale import write_bucketed
+    from team_02_spark.operators.upsert import upsert, upsert_bucketed
+
+    spark = get_spark(f"scaling-cdcmerge-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = replication * 1_000_000
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    # ~120-byte payload per row: the shuffle cost a CDC snapshot
+    # actually pays is row-width × rows over the network — narrow
+    # 16-byte rows would hide it behind parquet-write overheads
+    pay = F.concat(F.lit("x" * 112), F.col("id").cast("string"))
+    state = spark.range(n).select(
+        F.col("id").alias("k"), pay.alias("val")
+    )
+    batch = spark.range(1_000).select(
+        (F.col("id") * (n // 1_000)).alias("k"),
+        F.lit("updated").alias("val"),
+        (F.col("id") % 10 == 0).alias("dead"),
+    )
+    plain_dir = os.path.join(tempfile.gettempdir(), f"cdcm_plain_{app}")
+    state_dir = os.path.join(tempfile.gettempdir(), f"cdcm_state_{app}")
+    state.write.mode("overwrite").parquet(state_dir)
+    base = spark.read.parquet(state_dir)
+    t0 = time.perf_counter()
+    upsert(base, batch, "k", tombstone_col="dead",
+           broadcast_updates=False).write.mode("overwrite").parquet(plain_dir)
+    t_plain = time.perf_counter() - t0
+    state_t, out_t = f"b8p_state_{app}", f"b8p_out_{app}"
+    write_bucketed(base, state_t, "k", num_buckets=32)  # paid-once ingest
+    t0 = time.perf_counter()
+    upsert_bucketed(spark, state_t, batch, "k", out_t,
+                    num_buckets=32, tombstone_col="dead")
+    t_bucketed = time.perf_counter() - t0
+    a = spark.read.parquet(plain_dir)
+    b = spark.table(out_t)
+    assert a.count() == b.count() and a.subtract(b).count() == 0
+    print(json.dumps({
+        "mode": "cdcmerge", "replication": replication, "snapshot_rows": n,
+        "plain_merge_sec": round(t_plain, 2),
+        "bucketed_merge_sec": round(t_bucketed, 2),
+    }))
+    for t_name in (state_t, out_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+    import shutil
+    shutil.rmtree(plain_dir, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    spark.stop()
+
+
 def rangejoin_probe(replication: int) -> None:
     """Data-scaling sweep for binned_range_join vs the naive theta
     join (broadcast disabled — both sides 'big'). Synthetic axis:
@@ -1030,6 +1091,9 @@ def main() -> None:
         return
     if mode == "saltint":
         saltint_probe(arg)
+        return
+    if mode == "cdcmerge":
+        cdcmerge_probe(arg)
         return
     if mode == "ranktest":
         ranktest_probe(arg)
