@@ -109,14 +109,27 @@ def upsert_bucketed(spark, state_table: str, updates: DataFrame, key: str,
 
     Same semantics as ``upsert`` (tombstone-aware replacement merge);
     versioned out_table names give the caller the same
-    batch-id-keyed idempotency the streaming sink uses."""
+    batch-id-keyed idempotency the streaming sink uses.
+    ``out_table`` must differ from ``state_table``: the merge reads
+    the state LAZILY while the write overwrites the target, and Spark
+    forbids (or corrupts) overwriting a path being read — enforced
+    here rather than left to the docstring (r8 advisor)."""
     from team_02_spark.operators.scale import write_bucketed
 
+    if out_table == state_table:
+        raise ValueError(
+            "upsert_bucketed: out_table must differ from state_table "
+            f"({state_table!r}) — the lazy merge reads the state while "
+            "the write overwrites the target; use versioned names "
+            "(state_v3 -> state_v4) like the streaming sink does."
+        )
     batch_table = f"{out_table}__batch"
     write_bucketed(updates, batch_table, key, num_buckets=num_buckets)
-    merged = upsert(
-        spark.table(state_table), spark.table(batch_table), key,
-        tombstone_col=tombstone_col, broadcast_updates=False,
-    )
-    write_bucketed(merged, out_table, key, num_buckets=num_buckets)
-    spark.sql(f"DROP TABLE IF EXISTS {batch_table}")
+    try:
+        merged = upsert(
+            spark.table(state_table), spark.table(batch_table), key,
+            tombstone_col=tombstone_col, broadcast_updates=False,
+        )
+        write_bucketed(merged, out_table, key, num_buckets=num_buckets)
+    finally:  # never leak the scratch table, even on a failed merge
+        spark.sql(f"DROP TABLE IF EXISTS {batch_table}")

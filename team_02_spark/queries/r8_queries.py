@@ -180,7 +180,16 @@ def q_cdc_stream(spark, sf_dir):
         feed, state_dir=state_dir, key="k", seq_col="seq",
         checkpoint_dir=ckpt,
     )
-    stream.awaitTermination(300)
+    if not stream.awaitTermination(300):
+        # A slow box pushing past the drain budget must surface as a
+        # loud timeout, not as a partially-advanced snapshot whose
+        # oracle hash-mismatch has a confusing signature (r8 verdict
+        # nit #4 / advisor).
+        stream.stop()
+        raise TimeoutError(
+            "q_cdc_stream: availableNow drain exceeded 300 s — "
+            "refusing to hash a partially-advanced snapshot"
+        )
     return latest_state(spark, state_dir).select(
         F.col("k").alias("c_custkey"), "bal_cents"
     )

@@ -71,12 +71,48 @@ def _read_pointer(spark, state_dir: str) -> str | None:
         stream.close()
 
 
+def _recover_version(spark, state_dir: str) -> str | None:
+    """Crash recovery for a MISSING pointer. _advance_pointer's
+    delete→rename pair is not atomic as a unit: a driver crash (or a
+    concurrent reader racing the flip) in the gap observes version
+    dirs on disk but no ``_LATEST`` — and silently folding into an
+    empty base there would drop the whole snapshot while the stream
+    stays green (r8 advisor medium). Versions are monotone
+    (``v_seed`` first, then ``v{batch_id:012d}``), and a version dir
+    is only ever fully written BEFORE the pointer flip begins, so the
+    max numbered dir (else ``v_seed``) IS the latest committed state.
+    Recovering to it is safe: the streaming checkpoint replays the
+    in-flight batch and replacement-semantics upserts are idempotent.
+    Returns None only when the state_dir holds no versions at all —
+    the single case where an empty base is legitimate."""
+    fs, root, _ = _fs(spark, state_dir.rstrip("/"))
+    if not fs.exists(root):
+        return None
+    numbered, seed = [], False
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not status.isDirectory():
+            continue
+        if name == "v_seed":
+            seed = True
+        elif name.startswith("v") and name[1:].isdigit():
+            numbered.append(name)
+    if numbered:
+        return max(numbered)  # zero-padded: lexicographic == numeric
+    return "v_seed" if seed else None
+
+
 def latest_state(spark, state_dir: str) -> DataFrame | None:
     """Read the snapshot the pointer file names, or None before the
-    first batch lands."""
+    first batch lands. A missing pointer with versions on disk is the
+    pointer-flip crash window, not an empty state: recover to the max
+    version (see :func:`_recover_version`) and heal the pointer."""
     version = _read_pointer(spark, state_dir)
     if not version:
-        return None
+        version = _recover_version(spark, state_dir)
+        if not version:
+            return None
+        _advance_pointer(spark, state_dir, version)  # heal
     return spark.read.parquet(state_dir.rstrip("/") + "/" + version)
 
 

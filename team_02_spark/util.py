@@ -43,7 +43,20 @@ SHARED_PASS_RELIABLE_CONF = "spark.team02.reliableSharedPass"
 SHARED_PASS_CKPT_CONF = "spark.team02.checkpointDir"
 
 
-def _ensure_checkpoint_dir(spark) -> bool:
+def _shared_scheme(path: str | None) -> bool:
+    """True when every executor can read blocks another executor
+    wrote through this path: any explicit non-file scheme (hdfs://,
+    s3a://, ...). A file:// or scheme-less path is executor-LOCAL on
+    a multi-node cluster — setCheckpointDir accepts it with only a
+    warning, each executor then checkpoints to its own disk, and
+    later cross-executor reads fail (r8 advisor)."""
+    if not path:
+        return False
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme not in ("", "file")
+
+
+def _ensure_checkpoint_dir(spark, *, require_shared: bool = False) -> bool:
     """Make sure the SparkContext has a checkpoint dir for the
     reliable shared-pass strategy. Resolution order: explicit
     ``spark.team02.checkpointDir`` conf (per-app subdir appended so
@@ -53,19 +66,33 @@ def _ensure_checkpoint_dir(spark) -> bool:
     cluster fs.defaultFS is the replicated store (HDFS/S3), which is
     exactly the durability the strategy wants. Returns False (never
     raises) when the dir can't be created, so the caller can degrade
-    to the persist fallback instead of failing the query."""
+    to the persist fallback instead of failing the query.
+
+    ``require_shared`` (set by the auto strategy on non-local
+    masters): a resolved dir whose scheme is file:// or empty is
+    REJECTED — on a standalone/k8s cluster without HDFS, fs.defaultFS
+    is file:/// and a "checkpoint" there scatters blocks across
+    executor-local disks, which is strictly worse than the
+    replicated-persist fallback (r8 advisor medium). Forcing
+    ``spark.team02.reliableSharedPass=true`` skips the guard — the
+    explicit opt-in for clusters whose local-scheme path is actually
+    a shared mount (NFS)."""
     sc = spark.sparkContext
     want = spark.conf.get(SHARED_PASS_CKPT_CONF, None)
     current = sc.getCheckpointDir()
     try:
         if want:
+            if require_shared and not _shared_scheme(want):
+                return False
             target = want.rstrip("/") + "/" + sc.applicationId
             if not current or not current.startswith(want.rstrip("/")):
                 sc.setCheckpointDir(target)
             return True
         if current:
-            return True
+            return not require_shared or _shared_scheme(current)
         fs_default = sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        if require_shared and not _shared_scheme(fs_default):
+            return False
         sc.setCheckpointDir(
             fs_default.rstrip("/") + "/tmp/team02_ckpt/" + sc.applicationId
         )
@@ -112,7 +139,12 @@ def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
     mode = str(spark.conf.get(SHARED_PASS_RELIABLE_CONF, "auto")).lower()
     local = sc.master.startswith("local")
     if mode == "true" or (mode == "auto" and not local):
-        if _ensure_checkpoint_dir(spark):
+        # In auto mode on a cluster, only a genuinely shared FS
+        # qualifies as "reliable" (require_shared); the forced mode is
+        # the user's explicit opt-in and trusts their dir as-is.
+        if _ensure_checkpoint_dir(
+            spark, require_shared=(mode != "true" and not local)
+        ):
             return df.checkpoint(eager=eager)
         from pyspark import StorageLevel
 
@@ -121,7 +153,20 @@ def shared_pass(df: DataFrame, *, eager: bool = False) -> DataFrame:
             out.count()
             # Truncate lineage for iterative callers: downstream plans
             # read the materialized RDD, not the nested prior plan.
-            return spark.createDataFrame(out.rdd, out.schema)
+            # The rebuilt frame gets ITS OWN replicated persist (and an
+            # eager count) so downstream reads hit cached blocks, then
+            # the source blocks are released — without this the source
+            # persist leaked for the life of the app because
+            # release_shared on the (unpersisted) rebuilt frame was a
+            # no-op (r8 advisor). Block loss on the rebuilt frame
+            # recomputes through the full lineage — acceptable only in
+            # this documented degraded path.
+            rebuilt = spark.createDataFrame(out.rdd, out.schema).persist(
+                StorageLevel.MEMORY_AND_DISK_2
+            )
+            rebuilt.count()
+            out.unpersist()
+            return rebuilt
         return out
     return df.localCheckpoint(eager=eager)
 

@@ -441,8 +441,11 @@ def test_shared_pass_persist_fallback_eager_truncates_lineage(spark):
                spark__team02__checkpointDir="/proc/team02_unwritable"):
         df = spark.range(40).groupBy((F.col("id") % 4).alias("k")).count()
         out = shared_pass(df, eager=True)
-        assert "LogicalRDD" in _plan(out)
-        assert "Aggregate" not in _plan(out)
+        # truncated = a materialized-RDD scan (since r9 wrapped in the
+        # rebuilt frame's own InMemoryRelation), never the nested agg
+        plan = _plan(out)
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan
+        assert "Aggregate" not in plan
         assert sorted(map(tuple, out.collect())) == sorted(
             map(tuple, df.collect())
         )
@@ -465,3 +468,64 @@ def test_connected_components_under_reliable_strategy(spark, tmp_path):
         }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (12, 10)}
+
+
+# ----------------------- r9: checkpoint-dir cluster-visibility guard
+# r8 advisor medium: in auto mode on a non-local master, fs.defaultFS
+# is file:/// on clusters without HDFS (standalone / k8s+s3) and
+# setCheckpointDir accepts a local path with only a warning — each
+# executor then checkpoints to ITS OWN disk and cross-executor reads
+# fail. The guard rejects local-scheme dirs when require_shared, so
+# shared_pass degrades to the replicated-persist fallback instead.
+
+
+def test_shared_scheme_classifier():
+    from team_02_spark.util import _shared_scheme
+
+    assert not _shared_scheme(None)
+    assert not _shared_scheme("")
+    assert not _shared_scheme("/tmp/ckpt")            # scheme-less: local
+    assert not _shared_scheme("file:///tmp/ckpt")
+    assert _shared_scheme("hdfs://nn:8020/tmp/ckpt")
+    assert _shared_scheme("s3a://bucket/ckpt")
+    assert _shared_scheme("abfss://c@acct.dfs.core.windows.net/ckpt")
+
+
+def test_ensure_checkpoint_dir_require_shared_rejects_local(spark):
+    """On this box every resolvable dir (explicit conf, existing sc
+    dir, fs.defaultFS=file:///) is local-scheme, so require_shared
+    must refuse ALL of them — the caller then takes the replicated-
+    persist fallback, never a broken executor-local checkpoint."""
+    from team_02_spark.util import _ensure_checkpoint_dir
+
+    # explicit local-scheme conf
+    with _conf(spark, spark__team02__checkpointDir="/tmp/team02_local_ck"):
+        assert _ensure_checkpoint_dir(spark, require_shared=True) is False
+    # no conf: falls through to existing sc dir or file:/// defaultFS
+    assert _ensure_checkpoint_dir(spark, require_shared=True) is False
+    # sanity: without the guard the same resolution still succeeds
+    assert _ensure_checkpoint_dir(spark, require_shared=False) is True
+
+
+def test_shared_pass_persist_fallback_releases_source_blocks(spark):
+    """r8 advisor low: the eager persist-fallback path must hand back
+    a frame that IS persisted (so release_shared works) and must not
+    leak the intermediate source blocks for the life of the app."""
+    from team_02_spark.util import release_shared, shared_pass
+
+    def n_persisted() -> int:
+        return spark._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persisted()
+    with _conf(spark, spark__team02__reliableSharedPass="true",
+               spark__team02__checkpointDir="/proc/team02_unwritable"):
+        df = spark.range(60).groupBy((F.col("id") % 6).alias("k")).count()
+        out = shared_pass(df, eager=True)
+        lvl = out.storageLevel
+        assert lvl.useMemory and lvl.useDisk and lvl.replication == 2
+        # exactly the rebuilt frame's blocks remain registered; the
+        # source persist was released inside shared_pass
+        assert n_persisted() == before + 1
+        assert out.count() == 6
+        release_shared(out)
+    assert n_persisted() == before

@@ -639,3 +639,83 @@ def test_upsert_bucketed_is_shuffle_free_and_exact(spark, tmp_path):
     for t_name in (state_t, out_t, f"{out_t}__probe"):
         spark.sql(f"DROP TABLE IF EXISTS {t_name}")
     reap_bucketed_tables(spark, prefix="b8_")
+
+
+def test_cdc_pointer_crash_recovery(spark, tmp_path):
+    """r8 advisor medium: _advance_pointer's delete->rename pair is
+    not atomic as a unit — a crash in the gap leaves version dirs but
+    no _LATEST. latest_state must recover to the max committed
+    version (versions are monotone; a version dir is fully written
+    before its pointer flip starts) and heal the pointer, NEVER fold
+    into an empty base."""
+    from team_02_spark.streaming.cdc import (
+        apply_cdc_batch,
+        latest_state,
+        seed_state,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_crash")
+    seed_state(base, state)
+    batch0 = spark.read.schema(schema).parquet(feed_dir + "/batch_0.parquet")
+    apply_cdc_batch(batch0, 0, state_dir=state, key="k", seq_col="seq")
+    committed = sorted(map(tuple, latest_state(spark, state).collect()))
+
+    # simulate the crash window: pointer gone, versions intact
+    import os
+
+    os.remove(os.path.join(state, "_LATEST"))
+    recovered = latest_state(spark, state)
+    assert recovered is not None, "empty-base fold on a populated state_dir"
+    assert sorted(map(tuple, recovered.collect())) == committed
+    # pointer healed: subsequent reads go through the fast path again
+    assert os.path.exists(os.path.join(state, "_LATEST"))
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert fh.read().strip() == "v000000000000"
+
+
+def test_cdc_pointer_recovery_prefers_numbered_over_seed(spark, tmp_path):
+    """v_seed sorts lexicographically AFTER v{digits} ('_' > '0'), so
+    recovery must pick by version semantics (numbered max, else seed),
+    not by raw string order."""
+    from team_02_spark.streaming.cdc import _recover_version, seed_state
+    from team_02_spark.streaming.cdc import apply_cdc_batch
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_order")
+    seed_state(base, state)
+    assert _recover_version(spark, state) == "v_seed"
+    batch0 = spark.read.schema(schema).parquet(feed_dir + "/batch_0.parquet")
+    apply_cdc_batch(batch0, 7, state_dir=state, key="k", seq_col="seq")
+    assert _recover_version(spark, state) == "v000000000007"
+
+
+def test_cdc_latest_state_none_only_when_truly_empty(spark, tmp_path):
+    from team_02_spark.streaming.cdc import latest_state
+
+    assert latest_state(spark, str(tmp_path / "nonexistent")) is None
+    empty = tmp_path / "state_empty"
+    empty.mkdir()
+    assert latest_state(spark, str(empty)) is None
+
+
+def test_upsert_bucketed_rejects_in_place_and_drops_scratch(spark):
+    """r8 advisor low: out_table == state_table would overwrite a
+    table mid-read (ValueError now), and the __batch scratch table
+    must not leak when the merge fails."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.upsert import upsert_bucketed
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    updates = spark.createDataFrame([(1, 2, False)], "k long, v long, dead boolean")
+    with pytest.raises(ValueError, match="must differ"):
+        upsert_bucketed(spark, f"b9_t_{app}", updates, "k", f"b9_t_{app}")
+
+    out_t = f"b9_out_{app}"
+    with pytest.raises(Exception):  # state table does not exist
+        upsert_bucketed(spark, f"b9_missing_{app}", updates, "k", out_t)
+    remaining = [t.name for t in spark.catalog.listTables()
+                 if t.name == f"{out_t}__batch"]
+    assert remaining == [], "scratch __batch table leaked on failure"
