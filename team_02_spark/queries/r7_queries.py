@@ -684,7 +684,71 @@ def q_zorder_scan(spark, sf_dir):
     )
 
 
-@query("q_crossmodal_knn")  # rows-only: pandas featurizer, no SQL oracle
+@query(
+    "q_crossmodal_knn",
+    # Full ANSI oracle (r8 verdict #4 — the last exactly-computable
+    # rows-only key): the fake-codec feature is the 8-bin histogram of
+    # the text's UTF-8 bytes (np.histogram over [0,256) => bin =
+    # byte // 32 = first_hex_nibble // 2, so DuckDB recomputes it from
+    # hex(encode(text)) without per-byte blob access), normalized in
+    # double then narrowed to REAL exactly like the Arrow float32
+    # feature column; cosine/round/rank replay the q_knn_topk pattern.
+    # An empty payload decodes as one zero byte (the fake-codec
+    # contract), hence the '00' substitution.
+    oracle="""
+    WITH hx0 AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ),
+    hx1 AS (
+      SELECT doc_id, CASE WHEN length(hx) = 0 THEN '00' ELSE hx END AS hx
+      FROM hx0
+    ),
+    bins AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF',
+                     substr(hx, CAST(2*u-1 AS BIGINT), 1)) - 1) // 2 AS bin
+      FROM (SELECT doc_id, hx, unnest(range(1, length(hx)//2 + 1)) AS u
+            FROM hx1)
+    ),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS total,
+             [SUM(CASE WHEN bin=0 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=1 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=2 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=3 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=4 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=5 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=6 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN bin=7 THEN 1 ELSE 0 END)] AS h
+      FROM bins GROUP BY doc_id
+    ),
+    feat AS (
+      SELECT doc_id,
+             list_transform(h, c -> CAST(CAST(c AS DOUBLE) / total AS REAL))
+               AS f
+      FROM counts
+    ),
+    scored AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS vec_id,
+             ROUND(
+               list_sum(list_transform(range(1, 9),
+                   i -> CAST(q.f[i] AS DOUBLE) * CAST(c.f[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(range(1, 9),
+                   i -> CAST(q.f[i] AS DOUBLE) * CAST(q.f[i] AS DOUBLE))))
+                * SQRT(list_sum(list_transform(range(1, 9),
+                   i -> CAST(c.f[i] AS DOUBLE) * CAST(c.f[i] AS DOUBLE)))))
+             , 6) AS score
+      FROM feat c, (SELECT * FROM feat WHERE doc_id % 499 = 0) q
+    )
+    SELECT q_id, vec_id, score, rnk AS "rank" FROM (
+      SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, vec_id) AS INT)
+               AS rnk
+      FROM scored
+    ) r WHERE rnk <= 3
+    """,
+)
 def q_crossmodal_knn(spark, sf_dir):
     """Cross-modal retrieval: text queries against a media corpus
     through the SHARED deterministic feature space (the fake-codec
@@ -696,7 +760,10 @@ def q_crossmodal_knn(spark, sf_dir):
     query's own media item scores exactly 1.0 (the coarse fake-codec
     histograms collide across duplicate-shaped texts, so same-score
     ties with lower ids may crowd it out of the top-k — rank-1 is
-    still always a 1.0 hit)."""
+    still always a 1.0 hit). Since r9 the whole lane is pinned by a
+    full DuckDB oracle (decorator above) — the fake-codec features
+    and the cosine top-3 are deterministic arithmetic, so even this
+    mapInPandas lane is hash-checked, not rows-only."""
     from team_02_spark.operators.multimodal import (
         extract_features, synthesize_media,
     )

@@ -143,7 +143,32 @@ _STATIC_VERIFIED: frozenset[str] = frozenset({
     "q_token_budget_sample", "q_dsir_select", "q_source_overlap",
 })
 
+def _load_driver_latest_round(root: Path | None = None) -> dict[str, int]:
+    """Latest round NUMBER per key across CORRECTNESS_r*.json — the
+    staleness measure driving the verified fall-through order (r8
+    verdict #1): a green row from round 2 proves much less about
+    today's tree than one from last round, so spare driver-window
+    slots should retire the OLDEST rows first."""
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        stem = path.stem.rsplit("_r", 1)[-1]
+        try:
+            rnd = int(stem)
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if isinstance(row, dict):
+                latest[key] = max(rnd, latest.get(key, 0))
+    return latest
+
+
 _DRIVER_ROWS: dict[str, bool] = _load_driver_rows()
+_DRIVER_LATEST_ROUND: dict[str, int] = _load_driver_latest_round()
 
 # Keys whose LATEST driver row is red (hash mismatch / hard error).
 # Computed from the rows alone so a red row always wins — even for a
@@ -184,15 +209,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_encode", "q_multimodal_features",
 )
 
-# Deliberate re-proof set (r7 verdict #1): breadth is saturated at
-# 308/308 verified, so the driver-window slots left over after the
-# unchecked keys should land on the HEAVIEST / most composite lanes —
-# the ones where a regression would matter most and be likeliest to
-# hide (multi-stage dedup, iterative graph, sketch, curation
-# composites, the fixed-point stats lanes). _ordered_names() sorts
-# these to the FRONT of the already-verified fall-through, so each
-# round's spare budget re-proves risk instead of arbitrary prefix
-# keys. Order = descending risk (cost × compositeness).
+# Re-check pins (r9): keys whose CHECK got strictly stronger since
+# their latest green row — e.g. a rows-only lane flipped to a full
+# ANSI oracle — front the window regardless of verified status, so
+# the new, harder check lands a driver row immediately instead of
+# waiting out the staleness queue. Prune entries once their
+# hash-green row lands.
+DRIVER_RECHECK: tuple[str, ...] = (
+    "q_crossmodal_knn",  # r9: rows-only -> full DuckDB oracle
+)
+
+# Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
+# the driver-window slots left over after the unchecked keys should
+# land on the HEAVIEST / most composite lanes — the ones where a
+# regression would matter most and be likeliest to hide (multi-stage
+# dedup, iterative graph, sketch, curation composites, the
+# fixed-point stats lanes). Since r9 the fall-through is ordered by
+# STALENESS first (oldest latest-green round — r8 verdict #1: 85 keys
+# sat on r2/r3 rows while the tree changed around them); this tuple
+# is the within-round tiebreak, so once the book is uniformly fresh
+# the spare budget lands on risk again. Order = descending risk
+# (cost × compositeness).
 DRIVER_REPROOF: tuple[str, ...] = (
     "q_triangles", "q_dedup_substring", "q_dedup_substring_strip",
     "q_curation_full", "q_pagerank", "q_cms_topk", "q_kl_drift",
@@ -208,31 +245,42 @@ DRIVER_REPROOF: tuple[str, ...] = (
 
 def _ordered_names() -> list[str]:
     """Retry keys first (fixed red rows needing a driver re-check),
+    then re-check pins (checks that got stronger, e.g. oracle flips),
     then priority novel-API keys, then the remaining unchecked keys —
     and among those, oracle-checkable keys before rows-only ones: a
     driver slot spent on an oracle key buys a hash-match row, a
     rows-only slot only a ran-clean row. The already-verified
-    fall-through is NOT arbitrary: DRIVER_REPROOF's heavy/composite
-    lanes come first, so spare window slots perform deliberate
-    regression re-proof (r7 verdict #1)."""
+    fall-through is STALENESS-ordered (r8 verdict #1): oldest
+    latest-green CORRECTNESS round first, so every round's spare
+    window slots retire the stalest rows and the whole book converges
+    to <=3 rounds stale; within one round, DRIVER_REPROOF's
+    risk order (cost x compositeness) breaks ties, then name."""
     names = list(QUERIES)
     retry = [n for n in DRIVER_RETRY if n in QUERIES]
+    recheck = [n for n in DRIVER_RECHECK
+               if n in QUERIES and n not in retry]
     priority = [n for n in DRIVER_PRIORITY
                 if n in QUERIES and n not in DRIVER_VERIFIED
-                and n not in retry]
-    skip = set(retry) | set(priority) | DRIVER_VERIFIED
+                and n not in retry and n not in recheck]
+    skip = set(retry) | set(recheck) | set(priority) | DRIVER_VERIFIED
     unchecked = [n for n in names if n not in skip]
-    reproof = [n for n in DRIVER_REPROOF
-               if n in QUERIES and n in DRIVER_VERIFIED
-               and n not in set(retry)]
-    rest = set(retry) | set(reproof)
+    fronted = set(retry) | set(recheck)
+    reproof_rank = {n: i for i, n in enumerate(DRIVER_REPROOF)}
+    verified = sorted(
+        (n for n in names if n in DRIVER_VERIFIED and n not in fronted),
+        key=lambda n: (
+            _DRIVER_LATEST_ROUND.get(n, 0),        # stalest first
+            reproof_rank.get(n, len(DRIVER_REPROOF)),
+            n,
+        ),
+    )
     return (
         retry
+        + recheck
         + priority
         + [n for n in unchecked if QUERIES[n].oracle is not None]
         + [n for n in unchecked if QUERIES[n].oracle is None]
-        + reproof
-        + [n for n in names if n in DRIVER_VERIFIED and n not in rest]
+        + verified
     )
 
 

@@ -105,3 +105,46 @@ def test_malformed_correctness_file_is_ignored(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
         {"q_ok": {"hash_match": True, "err": None, "spark_rows": 1}}))
     assert R._load_driver_rows(tmp_path) == {"q_ok": True}
+
+
+def test_recheck_pins_are_registered_and_fronted():
+    declared = set(R.QUERIES)
+    assert set(R.DRIVER_RECHECK) <= declared
+    assert len(R.DRIVER_RECHECK) == len(set(R.DRIVER_RECHECK))
+    names = R._ordered_names()
+    n_retry = len([n for n in R.DRIVER_RETRY if n in R.QUERIES])
+    for pin in R.DRIVER_RECHECK:
+        assert names.index(pin) < n_retry + len(R.DRIVER_RECHECK)
+
+
+def test_verified_fallthrough_is_staleness_ordered():
+    """r8 verdict #1: spare driver-window slots must retire the
+    STALEST green rows first — the verified fall-through is sorted by
+    oldest latest-green CORRECTNESS round, non-decreasing."""
+    names = R._ordered_names()
+    fronted = set(R.DRIVER_RETRY) | set(R.DRIVER_RECHECK)
+    verified_tail = [n for n in names
+                     if n in R.DRIVER_VERIFIED and n not in fronted]
+    rounds = [R._DRIVER_LATEST_ROUND.get(n, 0) for n in verified_tail]
+    assert rounds == sorted(rounds), "fall-through not staleness-ordered"
+    # and with the current committed record, a 50-key window spends
+    # >=25 slots on r2/r3-stale keys (the r9 done-criterion) as long
+    # as any remain
+    window = names[:50]
+    stale = [n for n in window
+             if 0 < R._DRIVER_LATEST_ROUND.get(n, 0) <= 3]
+    oldest_two = sorted({r for r in R._DRIVER_LATEST_ROUND.values()})[:2]
+    if set(oldest_two) & {2, 3}:
+        assert len(stale) >= 25, f"only {len(stale)} stale keys in window"
+
+
+def test_latest_round_loader(tmp_path):
+    import json
+
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_a": {"hash_match": True}, "q_b": {"hash_match": True}}))
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({
+        "q_b": {"hash_match": False}}))
+    (tmp_path / "CORRECTNESS_rbad.json").write_text("{not json")
+    got = R._load_driver_latest_round(tmp_path)
+    assert got == {"q_a": 2, "q_b": 7}
