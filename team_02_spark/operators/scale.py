@@ -106,7 +106,8 @@ def write_bucketed(df: DataFrame, table: str, key: str, *,
     writer.saveAsTable(table)
 
 
-def reap_bucketed_tables(spark, prefix: str = "b7_", *,
+def reap_bucketed_tables(spark, prefix: str | tuple[str, ...] =
+                         ("b7_", "b8_", "b9"), *,
                          max_age_s: int = 7 * 86_400,
                          warehouse: str | None = None) -> list[str]:
     """Maintenance reaper for per-application bucketed-table dirs
@@ -136,15 +137,17 @@ def reap_bucketed_tables(spark, prefix: str = "b7_", *,
     app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
     cutoff = time.time() - max_age_s
     reaped = []
-    for stale in glob.glob(os.path.join(warehouse, prefix + "*")):
-        if app in os.path.basename(stale):
-            continue
-        try:
-            if os.path.getmtime(stale) < cutoff:
-                shutil.rmtree(stale, ignore_errors=True)
-                reaped.append(stale)
-        except OSError:
-            pass
+    prefixes = (prefix,) if isinstance(prefix, str) else prefix
+    for pfx in prefixes:
+        for stale in glob.glob(os.path.join(warehouse, pfx + "*")):
+            if app in os.path.basename(stale):
+                continue
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+                    reaped.append(stale)
+            except OSError:
+                pass
     return reaped
 
 

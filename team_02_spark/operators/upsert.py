@@ -92,7 +92,8 @@ def table_diff(old: DataFrame, new: DataFrame, key: str,
 
 def upsert_bucketed(spark, state_table: str, updates: DataFrame, key: str,
                     out_table: str, *, num_buckets: int = 16,
-                    tombstone_col: str | None = None) -> None:
+                    tombstone_col: str | None = None,
+                    plan_sink: list | None = None) -> None:
     """Shuffle-free snapshot merge for LARGE state — the scale path
     the plain ``upsert`` concedes: Spark cannot broadcast either side
     of a FULL OUTER join (BroadcastHashJoin doesn't support it), so a
@@ -130,6 +131,13 @@ def upsert_bucketed(spark, state_table: str, updates: DataFrame, key: str,
             spark.table(state_table), spark.table(batch_table), key,
             tombstone_col=tombstone_col, broadcast_updates=False,
         )
+        if plan_sink is not None:
+            # expose the merge's physical plan so streaming callers /
+            # tests can pin the zero-Exchange claim PER BATCH, not just
+            # for one standalone merge (r8 verdict #5)
+            plan_sink.append(
+                merged._jdf.queryExecution().executedPlan().toString()
+            )
         write_bucketed(merged, out_table, key, num_buckets=num_buckets)
     finally:  # never leak the scratch table, even on a failed merge
         spark.sql(f"DROP TABLE IF EXISTS {batch_table}")

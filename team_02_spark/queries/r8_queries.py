@@ -80,9 +80,58 @@ def q_interval_coverage_salted(spark, sf_dir):
     ).select("supp", "n_islands", F.col("covered").alias("covered_days"))
 
 
-@query(
-    "q_cdc_stream",
-    oracle="""
+def _cdc_scratch_root(spark, sf_dir: str, label: str) -> str:
+    """Per-(app, SF, lane) scratch root, wiped at entry so re-runs and
+    concurrent sessions never collide."""
+    import hashlib
+    import shutil
+
+    from team_02_spark.queries._util import run_dir
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = run_dir(spark, f"{label}_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _cdc_feed(spark, sf_dir: str, root: str):
+    """The deterministic replacement-payload change feed shared by the
+    CDC streaming lanes (q_cdc_stream / q_cdc_stream_bucketed): op
+    from each customer's order count, new balance = exact order-total
+    cents, landed as THREE parquet micro-batches split by key. Returns
+    (feed_dir, seed snapshot frame)."""
+    feed_dir = f"{root}/feed"
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+    chg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("bal_cents"),
+    ).select(
+        F.col("k").cast("long").alias("seq"),  # one op per key
+        F.col("k"),
+        "bal_cents",
+        F.when(F.col("cnt") % 5 == 0, "D")
+        .when((F.col("cnt") % 5).isin(1, 2), "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    for i in range(3):  # deterministic 3-way batch split by key
+        chg.filter(F.pmod("k", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{feed_dir}/b{i}.parquet")
+    seed = cust.select(
+        F.col("c_custkey").alias("k"),
+        cents("c_acctbal").alias("bal_cents"),
+    )
+    return feed_dir, seed
+
+
+# The one-shot SQL fold both CDC streaming lanes are hash-checked
+# against — valid because replacement semantics make ANY micro-batch
+# boundary placement provably equivalent (fuzzed under arbitrary
+# batchings in tests/test_property_fuzz_r7.py).
+CDC_STREAM_ORACLE = """
     WITH chg AS (
       SELECT o_custkey AS key, COUNT(*) AS cnt,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
@@ -111,8 +160,10 @@ def q_interval_coverage_salted(spark, sf_dir):
     SELECT o.key AS c_custkey, o.new_bal AS bal_cents
     FROM ops o LEFT JOIN base b ON o.key = b.key
     WHERE o.op IN ('U', 'I') AND b.key IS NULL
-    """,
-)
+    """
+
+
+@query("q_cdc_stream", oracle=CDC_STREAM_ORACLE)
 def q_cdc_stream(spark, sf_dir):
     """The streaming CDC sink AS a hash-checked lane — the engine's
     first streaming key whose RESULT (not just row count) is pinned
@@ -129,48 +180,16 @@ def q_cdc_stream(spark, sf_dir):
     wiped at entry, so re-runs and concurrent sessions never collide.
     At 100 TB: swap the merge for upsert_bucketed (zero-Exchange
     snapshot side) — same feed, same sink contract."""
-    import hashlib
-    import shutil
-
-    from team_02_spark.queries._util import run_dir
     from team_02_spark.streaming.cdc import (
         cdc_upsert_stream,
         latest_state,
         seed_state,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    root = run_dir(spark, f"cdcstream_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
-    feed_dir, state_dir, ckpt = (
-        f"{root}/feed", f"{root}/state", f"{root}/ckpt"
-    )
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
-    chg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").alias("cnt"),
-        F.sum(cents("o_totalprice")).cast("bigint").alias("bal_cents"),
-    ).select(
-        F.col("k").cast("long").alias("seq"),  # one op per key
-        F.col("k"),
-        "bal_cents",
-        F.when(F.col("cnt") % 5 == 0, "D")
-        .when((F.col("cnt") % 5).isin(1, 2), "U")
-        .otherwise("I")
-        .alias("op"),
-    )
-    for i in range(3):  # deterministic 3-way batch split by key
-        chg.filter(F.pmod("k", F.lit(3)) == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{feed_dir}/b{i}.parquet")
-    seed_state(
-        cust.select(
-            F.col("c_custkey").alias("k"),
-            cents("c_acctbal").alias("bal_cents"),
-        ),
-        state_dir,
-    )
+    root = _cdc_scratch_root(spark, sf_dir, "cdcstream")
+    state_dir, ckpt = f"{root}/state", f"{root}/ckpt"
+    feed_dir, seed = _cdc_feed(spark, sf_dir, root)
+    seed_state(seed, state_dir)
     feed = (
         spark.readStream.schema("seq long, k long, bal_cents long, op string")
         .option("maxFilesPerTrigger", 1)

@@ -153,6 +153,18 @@ def collapse_to_last_op(changes: DataFrame, key: str, seq_col: str) -> DataFrame
     )
 
 
+def _collapsed_updates(batch: DataFrame, key: str, seq_col: str,
+                       op_col: str) -> DataFrame:
+    """Shared micro-batch preamble: collapse to last-op-per-key, strip
+    the feed bookkeeping columns, mark D rows as tombstones."""
+    last = collapse_to_last_op(batch, key, seq_col)
+    payload_cols = [c for c in last.columns if c not in (op_col, seq_col)]
+    return last.select(
+        *payload_cols,
+        (F.col(op_col) == "D").alias("__tombstone"),
+    )
+
+
 def apply_cdc_batch(batch: DataFrame, batch_id: int, *, state_dir: str,
                     key: str, seq_col: str, op_col: str = "op") -> None:
     """The foreachBatch body (callable directly in tests): collapse
@@ -162,14 +174,7 @@ def apply_cdc_batch(batch: DataFrame, batch_id: int, *, state_dir: str,
     (replay rewrites the same dir), then atomically advance the
     pointer. Idempotent by the replacement contract above."""
     spark = batch.sparkSession
-    last = collapse_to_last_op(batch, key, seq_col)
-    payload_cols = [
-        c for c in last.columns if c not in (op_col, seq_col)
-    ]
-    updates = last.select(
-        *payload_cols,
-        (F.col(op_col) == "D").alias("__tombstone"),
-    )
+    updates = _collapsed_updates(batch, key, seq_col, op_col)
     base = latest_state(spark, state_dir)
     if base is None:
         base = spark.createDataFrame([], updates.drop("__tombstone").schema)
@@ -182,6 +187,109 @@ def apply_cdc_batch(batch: DataFrame, batch_id: int, *, state_dir: str,
         state_dir.rstrip("/") + "/" + version
     )
     _advance_pointer(spark, state_dir, version)
+
+
+# ------------------------------------------------ bucketed state path
+#
+# The 100 TB variant (r8 verdict #5): the plain merge above re-shuffles
+# the WHOLE snapshot every micro-batch (full outer can't broadcast).
+# Here state lives as a catalog table bucketed by the key; each batch
+# runs operators.upsert.upsert_bucketed — the update batch is written
+# co-bucketed, the full-outer merge plans ZERO Exchange on the snapshot
+# side, and the merged output is written bucketed again, so batch N+1
+# inherits the layout: the snapshot exchange is paid exactly once, at
+# seed time. Versioning: table `{prefix}_v{batch_id+1:012d}` holds the
+# state AFTER batch_id; the seed is `{prefix}_v000000000000` (the +1
+# offset keeps seed < every batch under the zero-padded lexicographic
+# order, so the CATALOG ITSELF is the pointer — no separate pointer
+# file, hence no pointer-flip crash window at all). Replays are safe
+# the same way the parquet path is: batch N's base is the max version
+# <= N (never its own output), and its overwrite of v{N+1} reproduces
+# identical state by the replacement contract.
+
+
+def _bucketed_versions(spark, prefix: str) -> list[str]:
+    rows = spark.sql(f"SHOW TABLES LIKE '{prefix}_v*'").collect()
+    return sorted(
+        r["tableName"] for r in rows
+        if r["tableName"].rsplit("_v", 1)[-1].isdigit()
+    )
+
+
+def latest_state_bucketed(spark, prefix: str) -> DataFrame | None:
+    """Current snapshot = the max committed version table."""
+    versions = _bucketed_versions(spark, prefix)
+    return spark.table(versions[-1]) if versions else None
+
+
+def seed_state_bucketed(base: DataFrame, prefix: str, key: str, *,
+                        num_buckets: int = 16) -> None:
+    """Install the initial snapshot as version 0, bucketed by the key
+    — the one full-snapshot exchange this state ever pays."""
+    from team_02_spark.operators.scale import write_bucketed
+
+    write_bucketed(base, f"{prefix}_v{0:012d}", key,
+                   num_buckets=num_buckets)
+
+
+def apply_cdc_batch_bucketed(batch: DataFrame, batch_id: int, *,
+                             state_prefix: str, key: str, seq_col: str,
+                             op_col: str = "op", num_buckets: int = 16,
+                             keep_versions: int = 2,
+                             plan_sink: list | None = None) -> None:
+    """The foreachBatch body for bucketed state (callable directly in
+    tests). Base resolution is replay-safe: max version with index
+    <= batch_id (a replayed batch never reads its own output — which
+    upsert_bucketed would reject as an in-place overwrite anyway).
+    ``keep_versions`` prunes versions older than the newest N after a
+    successful write; N>=2 keeps the replay base alive (foreachBatch
+    replays at most the one in-flight batch). ``plan_sink`` (tests)
+    collects each batch's merge plan so the zero-Exchange claim is
+    pinned per batch, not just for one standalone merge."""
+    from team_02_spark.operators.upsert import upsert_bucketed
+
+    spark = batch.sparkSession
+    updates = _collapsed_updates(batch, key, seq_col, op_col)
+    versions = _bucketed_versions(spark, state_prefix)
+    if not versions:
+        raise RuntimeError(
+            f"bucketed CDC state {state_prefix!r} has no seed — call "
+            "seed_state_bucketed before starting the stream"
+        )
+    out = f"{state_prefix}_v{batch_id + 1:012d}"
+    eligible = [v for v in versions if v <= out and v != out]
+    base = eligible[-1] if eligible else versions[0]
+    upsert_bucketed(
+        spark, base, updates, key, out, num_buckets=num_buckets,
+        tombstone_col="__tombstone", plan_sink=plan_sink,
+    )
+    stale = _bucketed_versions(spark, state_prefix)[:-max(keep_versions, 1)]
+    for v in stale:
+        spark.sql(f"DROP TABLE IF EXISTS {v}")
+
+
+def cdc_upsert_stream_bucketed(changes: DataFrame, *, state_prefix: str,
+                               key: str, seq_col: str, op_col: str = "op",
+                               checkpoint_dir: str, num_buckets: int = 16,
+                               keep_versions: int = 2,
+                               plan_sink: list | None = None):
+    """Wire a change-feed stream into the bucketed-state snapshot sink
+    (same contract as cdc_upsert_stream; state as co-bucketed catalog
+    tables instead of parquet dirs + pointer file)."""
+
+    def _apply(batch_df, batch_id):
+        apply_cdc_batch_bucketed(
+            batch_df, batch_id, state_prefix=state_prefix, key=key,
+            seq_col=seq_col, op_col=op_col, num_buckets=num_buckets,
+            keep_versions=keep_versions, plan_sink=plan_sink,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def cdc_upsert_stream(changes: DataFrame, *, state_dir: str, key: str,

@@ -719,3 +719,79 @@ def test_upsert_bucketed_rejects_in_place_and_drops_scratch(spark):
     remaining = [t.name for t in spark.catalog.listTables()
                  if t.name == f"{out_t}__batch"]
     assert remaining == [], "scratch __batch table leaked on failure"
+
+
+def test_cdc_stream_bucketed_state_across_batches(spark, tmp_path):
+    """r8 verdict #5 / next-round #2: drive the CDC STREAM through
+    bucketed catalog-table state for 3 micro-batches — every batch's
+    full-outer merge must plan ZERO Exchange (the snapshot-side
+    shuffle is paid once, at seed time; each merged output is written
+    bucketed so the next batch inherits the layout), and the final
+    state must equal the plain parquet-state stream's."""
+    from team_02_spark.streaming.cdc import (
+        cdc_upsert_stream_bucketed,
+        latest_state_bucketed,
+        seed_state_bucketed,
+    )
+
+    base, feed_dir, schema, expected = _cdc_fixture(spark, tmp_path)
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    prefix = f"b9s_{app}"
+    seed_state_bucketed(base, prefix, "k", num_buckets=4)
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/*")
+    )
+    plans: list[str] = []
+    q = cdc_upsert_stream_bucketed(
+        changes, state_prefix=prefix, key="k", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt_bucketed"),
+        num_buckets=4, plan_sink=plans,
+    )
+    assert q.awaitTermination(180), "bucketed CDC stream did not drain"
+    got = {
+        (r["k"], r["name"], r["val"])
+        for r in latest_state_bucketed(spark, prefix).collect()
+    }
+    assert got == expected
+    assert len(plans) == 3, f"expected 3 micro-batches, saw {len(plans)}"
+    for i, plan in enumerate(plans):
+        assert "Exchange" not in plan, (
+            f"micro-batch {i} merge re-shuffled the snapshot:\n{plan}"
+        )
+    # version pruning: only the newest keep_versions=2 tables remain
+    from team_02_spark.streaming.cdc import _bucketed_versions
+
+    versions = _bucketed_versions(spark, prefix)
+    assert versions == [f"{prefix}_v{i:012d}" for i in (2, 3)]
+    for v in versions:
+        spark.sql(f"DROP TABLE IF EXISTS {v}")
+
+
+def test_cdc_bucketed_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id) against bucketed state
+    must reproduce identical state: the base is the max version <= the
+    batch id, never the batch's own output."""
+    from team_02_spark.streaming.cdc import (
+        apply_cdc_batch_bucketed,
+        latest_state_bucketed,
+        seed_state_bucketed,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    prefix = f"b9r_{app}"
+    seed_state_bucketed(base, prefix, "k", num_buckets=4)
+    batch0 = spark.read.schema(schema).parquet(feed_dir + "/batch_0.parquet")
+    kw = dict(state_prefix=prefix, key="k", seq_col="seq", num_buckets=4)
+    apply_cdc_batch_bucketed(batch0, 0, **kw)
+    once = sorted(map(tuple, latest_state_bucketed(spark, prefix).collect()))
+    apply_cdc_batch_bucketed(batch0, 0, **kw)   # replay
+    twice = sorted(map(tuple, latest_state_bucketed(spark, prefix).collect()))
+    assert once == twice
+    assert {t[0] for t in once} == {1, 2, 4, 5}
+    from team_02_spark.streaming.cdc import _bucketed_versions
+
+    for v in _bucketed_versions(spark, prefix):
+        spark.sql(f"DROP TABLE IF EXISTS {v}")
