@@ -149,19 +149,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Line-layout robustness (r8 verdict #3/#5: the driver records only
+    # the LAST ~2000 chars of this line; BENCH_r08 lost the headline
+    # scalars and 6 timings off the FRONT). Two defenses: (a) shrink —
+    # the full per-key spread dict is summarized to median/max plus
+    # only the keys drifting >50%, so the whole line fits the window;
+    # (b) order — queries sorted cheap->expensive and the headline
+    # scalars LAST, so if the line ever outgrows the window again the
+    # only casualties are the cheapest timings at the front.
+    spread_sorted = sorted(spreads.values())
+    payload = {
+        "spread_hot": {k: v for k, v in spreads.items() if v > 0.5},
+        "spread_med": spread_sorted[len(spread_sorted) // 2]
+        if spread_sorted else 0.0,
+        "spread_max": spread_sorted[-1] if spread_sorted else 0.0,
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+    }
+    print(json.dumps(payload))
     from team_02_spark.operators.scale import reap_bucketed_tables
 
     reap_bucketed_tables(spark)  # session-teardown warehouse maintenance
