@@ -138,6 +138,112 @@ def embedding_probe(replication: int) -> None:
 
 
 
+def knnlsh_probe(replication: int) -> None:
+    """Adversarial data-scaling sweep for the SERVING half of the
+    vector lane (r8 verdict #6 — the dedup half has the `embedding`
+    mode above): q_knn_lsh's plan under a hot DIRECTION in the
+    corpus. 20k x replication near-identical copies of one base
+    vector (deterministic 1e-3 jitter — identical copies would share
+    refinement sign bits and be UNsplittable by design; a tight
+    cluster is the realistic skewed-serving-corpus case) are appended
+    to the sf0.1 embeddings. Five probes: three cold base vectors,
+    two aimed INTO the hot direction. Reports wall-clock and
+    max-bucket candidate count for the unguarded vs the
+    bucket_cap-guarded path, plus recall@10 vs brute force for both —
+    the guard must bound per-probe scoring cost while degrading
+    recall only inside the hot direction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import adaptive_num_planes
+    from team_02_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    spark = get_spark(f"scaling-knnlsh-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    hot_n = 20_000 * replication
+    rng = np.random.RandomState(0)
+    v = np.array(
+        base.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    hot_rows = [
+        (int(n + i), [float(x) for x in v + rng.normal(0, 1e-3, v.shape)])
+        for i in range(hot_n)
+    ]
+    hot = spark.createDataFrame(hot_rows, "vec_id long, embedding array<float>")
+    corpus = base.unionByName(hot).repartition(32).persist()
+    total = corpus.count()
+    corpus.write.format("noop").mode("overwrite").save()  # warm
+
+    probe_rows = [
+        (100_000 + i,
+         [float(x) for x in v + rng.normal(0, 1e-3, v.shape)])
+        for i in range(2)
+    ]
+    probes = base.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).unionByName(
+        spark.createDataFrame(probe_rows, "q_id long, q_vec array<float>")
+    ).persist()
+    probes.count()
+
+    planes = adaptive_num_planes(total, 4096, lo=8, hi=24)
+
+    def bucket_max(cap):
+        from team_02_spark.functions.vectors import (
+            hyperplane_bucket,
+            remap_hot_buckets,
+        )
+
+        b = corpus.withColumn(
+            "__bucket", hyperplane_bucket("embedding", 64, planes, 42)
+        )
+        if cap is not None:
+            sizes = b.groupBy("__bucket").agg(F.count("*").alias("n"))
+            hot_b = sizes.filter(F.col("n") > cap).select(
+                "__bucket", F.lit(True).alias("__hot")
+            )
+            b = remap_hot_buckets(
+                b, hot_b, bucket_col="__bucket",
+                refine=hyperplane_bucket("embedding", 64, 8, 42 + 10_007),
+                join_keys="__bucket",
+            )
+        return b.groupBy("__bucket").count().agg(F.max("count")).first()[0]
+
+    # Recall by SCORE THRESHOLD, not id identity: the hot probes see
+    # 20k x replication score-ties at ~1.0, where id-set overlap is
+    # noise. A returned neighbor counts if its true cosine reaches the
+    # brute-force 10th-best score (6dp).
+    thr: dict[int, float] = {}
+    for r in knn_bruteforce(probes, corpus, 10, round_decimals=6).collect():
+        q = r["q_id"]
+        thr[q] = min(thr.get(q, 1.0), r["score"])
+
+    out = {"mode": "knnlsh", "replication": replication,
+           "n_vectors": total, "planes": planes,
+           "max_bucket_uncapped": bucket_max(None),
+           "max_bucket_after_refine": bucket_max(4096)}
+    for label, cap in (("uncapped", None), ("capped", 4096)):
+        t0 = time.perf_counter()
+        got = knn_lsh(probes, corpus, 10, dim=64, bucket_cap=cap).collect()
+        secs = time.perf_counter() - t0
+        hits: dict[int, int] = {q: 0 for q in thr}
+        for r in got:
+            if round(r["score"], 6) >= thr[r["q_id"]] - 1e-9:
+                hits[r["q_id"]] += 1
+        cold = [h / 10 for q, h in hits.items() if q < 100_000]
+        hot_r = [h / 10 for q, h in hits.items() if q >= 100_000]
+        out[f"{label}_sec"] = round(secs, 2)
+        out[f"{label}_recall_cold"] = round(sum(cold) / len(cold), 3)
+        out[f"{label}_recall_hot"] = round(sum(hot_r) / len(hot_r), 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def substring_probe(replication: int) -> None:
     """Data-scaling sweep for the ExactSubstr lane (q_dedup_substring):
     sf0.1 documents replicated N× under fresh doc_ids — adversarial by
@@ -1073,6 +1179,9 @@ def main() -> None:
         return
     if mode == "embedding":
         embedding_probe(arg)
+        return
+    if mode == "knnlsh":
+        knnlsh_probe(arg)
         return
     if mode == "pairs":
         pairs_probe(arg)
