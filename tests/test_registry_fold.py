@@ -148,3 +148,20 @@ def test_latest_round_loader(tmp_path):
     (tmp_path / "CORRECTNESS_rbad.json").write_text("{not json")
     got = R._load_driver_latest_round(tmp_path)
     assert got == {"q_a": 2, "q_b": 7}
+
+
+def test_readme_counts_match_registry():
+    """r8 verdict #7: the README's hardcoded registry counts must not
+    drift from the registry when a key is added or an oracle flips."""
+    import re
+
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) queries, (\d+) with a", text)
+    assert m, "README registry-count sentence missing"
+    total, oracled = int(m.group(1)), int(m.group(2))
+    assert total == len(R.QUERIES)
+    assert oracled == sum(
+        1 for q in R.QUERIES.values() if q.oracle is not None)
+    m = re.search(r"The (\d+) rows-only queries", text)
+    assert m, "README rows-only sentence missing"
+    assert int(m.group(1)) == len(R.QUERIES) - oracled
