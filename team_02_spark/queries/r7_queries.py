@@ -712,14 +712,14 @@ def q_zorder_scan(spark, sf_dir):
     ),
     counts AS (
       SELECT doc_id, COUNT(*) AS total,
-             [SUM(CASE WHEN bin=0 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=1 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=2 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=3 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=4 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=5 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=6 THEN 1 ELSE 0 END),
-              SUM(CASE WHEN bin=7 THEN 1 ELSE 0 END)] AS h
+             [CAST(SUM(CASE WHEN bin=0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=1 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=2 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=3 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=4 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=5 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=6 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN bin=7 THEN 1 ELSE 0 END) AS BIGINT)] AS h
       FROM bins GROUP BY doc_id
     ),
     feat AS (
