@@ -22,7 +22,7 @@ HEADLINE = {
     "q_dedup_near": "minhash on pre-hashed longs; band-bucket equi-join; anti-join finish",
     "q_join_asof": "union+window as-of: ONE shuffle on (user, time) instead of a range join",
     "q_dedup_embedding": "exact pre-collapse window; banded signature = ONE Arrow matmul UDF; bucket self-join carries vectors; cosine verify in-join (no reps re-join)",
-    "q_knn_lsh": "corpus hashed map-side (single matmul UDF); multi-probe buckets broadcast; exact re-rank window keeps k",
+    "q_knn_lsh": "corpus hashed map-side (single matmul UDF); multi-probe buckets broadcast; TWO-stage top-k (r9): partial rank per (probe, partition) bounds the final per-probe window however hot the direction",
     "q_bm25": "tokenize ONCE behind the explode barrier; one map-side-combined per-doc aggregate; n_docs/avgdl/df fold into ONE broadcast row; scoring is a map",
     "q_lag_features": "ONE user_id exchange serves lag, exact-µs gap, and rolling mean (single window spec)",
     "q_scd2": "both windows key on user_id — Spark reuses the one exchange; run-length collapse then lead()",
