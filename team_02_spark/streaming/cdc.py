@@ -248,6 +248,14 @@ def apply_cdc_batch_bucketed(batch: DataFrame, batch_id: int, *,
     pinned per batch, not just for one standalone merge."""
     from team_02_spark.operators.upsert import upsert_bucketed
 
+    if keep_versions < 2:
+        # keep_versions=1 would prune the replay base: a replayed
+        # batch would then resolve base == its own output and fail
+        # (or, worse in a future refactor, fold into the wrong state).
+        raise ValueError(
+            "keep_versions must be >= 2 — foreachBatch replays the "
+            "in-flight batch, whose base is the PREVIOUS version"
+        )
     spark = batch.sparkSession
     updates = _collapsed_updates(batch, key, seq_col, op_col)
     versions = _bucketed_versions(spark, state_prefix)
@@ -263,7 +271,7 @@ def apply_cdc_batch_bucketed(batch: DataFrame, batch_id: int, *,
         spark, base, updates, key, out, num_buckets=num_buckets,
         tombstone_col="__tombstone", plan_sink=plan_sink,
     )
-    stale = _bucketed_versions(spark, state_prefix)[:-max(keep_versions, 1)]
+    stale = _bucketed_versions(spark, state_prefix)[:-keep_versions]
     for v in stale:
         spark.sql(f"DROP TABLE IF EXISTS {v}")
 

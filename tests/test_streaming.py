@@ -795,3 +795,15 @@ def test_cdc_bucketed_batch_replay_is_idempotent(spark, tmp_path):
 
     for v in _bucketed_versions(spark, prefix):
         spark.sql(f"DROP TABLE IF EXISTS {v}")
+
+
+def test_cdc_bucketed_rejects_replay_unsafe_retention(spark):
+    import pytest
+
+    from team_02_spark.streaming.cdc import apply_cdc_batch_bucketed
+
+    batch = spark.createDataFrame([(1, 1, "x", 1, "U")],
+                                  "seq long, k int, name string, val int, op string")
+    with pytest.raises(ValueError, match="keep_versions"):
+        apply_cdc_batch_bucketed(batch, 0, state_prefix="b9x_none",
+                                 key="k", seq_col="seq", keep_versions=1)
