@@ -158,8 +158,15 @@ def main() -> None:
     # scalars LAST, so if the line ever outgrows the window again the
     # only casualties are the cheapest timings at the front.
     spread_sorted = sorted(spreads.values())
+    # hot list capped at the 8 worst drifters: on a noisy session half
+    # the keys exceed 0.5 and an uncapped dict would push the line
+    # back over the 2000-char window this layout exists to fit
+    hot8 = sorted(
+        ((k, v) for k, v in spreads.items() if v > 0.5),
+        key=lambda kv: -kv[1],
+    )[:8]
     payload = {
-        "spread_hot": {k: v for k, v in spreads.items() if v > 0.5},
+        "spread_hot": dict(hot8),
         "spread_med": spread_sorted[len(spread_sorted) // 2]
         if spread_sorted else 0.0,
         "spread_max": spread_sorted[-1] if spread_sorted else 0.0,

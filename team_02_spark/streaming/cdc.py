@@ -130,7 +130,16 @@ def _advance_pointer(spark, state_dir: str, version: str) -> None:
         stream.close()
     if fs.exists(ptr):
         fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    if not fs.rename(tmp, ptr):
+        # Hadoop rename signals failure by RETURN VALUE, not exception.
+        # The benign case is a concurrent latest_state() healing the
+        # pointer to this same version inside our delete->rename gap —
+        # verify that; anything else (permissions, quota) must be loud,
+        # or the pointer would silently stay a version behind.
+        if _read_pointer(spark, state_dir) != version:
+            raise OSError(
+                f"CDC pointer flip to {version!r} failed in {state_dir!r}"
+            )
 
 
 def seed_state(base: DataFrame, state_dir: str) -> None:
