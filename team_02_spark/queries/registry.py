@@ -209,15 +209,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_encode", "q_multimodal_features",
 )
 
-# Re-check pins (r9): keys whose CHECK got strictly stronger since
-# their latest green row — e.g. a rows-only lane flipped to a full
-# ANSI oracle — front the window regardless of verified status, so
-# the new, harder check lands a driver row immediately instead of
-# waiting out the staleness queue. Prune entries once their
-# hash-green row lands.
-DRIVER_RECHECK: tuple[str, ...] = (
-    "q_crossmodal_knn",  # r9: rows-only -> full DuckDB oracle
-)
+# Re-check pins (r9): keys whose CHECK got strictly stronger — e.g. a
+# rows-only lane flipped to a full ANSI oracle — front the window
+# regardless of verified status, so the new, harder check lands a
+# driver row immediately instead of waiting out the staleness queue.
+# Value = the round the stronger check landed; the pin SELF-PRUNES
+# once a driver row from that round (or later) exists, so no hand
+# edit is needed after the CORRECTNESS file lands.
+DRIVER_RECHECK: dict[str, int] = {
+    "q_crossmodal_knn": 9,  # r9: rows-only -> full DuckDB oracle
+}
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
 # the driver-window slots left over after the unchecked keys should
@@ -257,8 +258,9 @@ def _ordered_names() -> list[str]:
     risk order (cost x compositeness) breaks ties, then name."""
     names = list(QUERIES)
     retry = [n for n in DRIVER_RETRY if n in QUERIES]
-    recheck = [n for n in DRIVER_RECHECK
-               if n in QUERIES and n not in retry]
+    recheck = [n for n, rnd in DRIVER_RECHECK.items()
+               if n in QUERIES and n not in retry
+               and _DRIVER_LATEST_ROUND.get(n, 0) < rnd]
     priority = [n for n in DRIVER_PRIORITY
                 if n in QUERIES and n not in DRIVER_VERIFIED
                 and n not in retry and n not in recheck]
@@ -271,6 +273,7 @@ def _ordered_names() -> list[str]:
         key=lambda n: (
             _DRIVER_LATEST_ROUND.get(n, 0),        # stalest first
             reproof_rank.get(n, len(DRIVER_REPROOF)),
+            QUERIES[n].oracle is None,             # hash row > ran-clean row
             n,
         ),
     )

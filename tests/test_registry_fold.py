@@ -110,11 +110,26 @@ def test_malformed_correctness_file_is_ignored(tmp_path):
 def test_recheck_pins_are_registered_and_fronted():
     declared = set(R.QUERIES)
     assert set(R.DRIVER_RECHECK) <= declared
-    assert len(R.DRIVER_RECHECK) == len(set(R.DRIVER_RECHECK))
     names = R._ordered_names()
     n_retry = len([n for n in R.DRIVER_RETRY if n in R.QUERIES])
-    for pin in R.DRIVER_RECHECK:
-        assert names.index(pin) < n_retry + len(R.DRIVER_RECHECK)
+    pending = [n for n, rnd in R.DRIVER_RECHECK.items()
+               if R._DRIVER_LATEST_ROUND.get(n, 0) < rnd]
+    for pin in pending:
+        assert names.index(pin) < n_retry + len(pending)
+
+
+def test_recheck_pins_self_prune(monkeypatch):
+    """Once a driver row from the flip round (or later) lands, the pin
+    must stop consuming a front-of-window slot — no hand edit."""
+    if not R.DRIVER_RECHECK:
+        return
+    pin, rnd = next(iter(R.DRIVER_RECHECK.items()))
+    pruned = dict(R._DRIVER_LATEST_ROUND)
+    pruned[pin] = rnd  # simulate the CORRECTNESS_r{rnd} row landing
+    monkeypatch.setattr(R, "_DRIVER_LATEST_ROUND", pruned)
+    names = R._ordered_names()
+    n_front = len(R.DRIVER_RETRY) + len(R.DRIVER_RECHECK)
+    assert names.index(pin) >= n_front
 
 
 def test_verified_fallthrough_is_staleness_ordered():
