@@ -16,11 +16,66 @@ from team_02_spark.queries._util import t
 from team_02_spark.util import ensure_parallelism
 
 
-@query("q_tokenize")  # rows-only: pandas_udf tokenizer
+@query(
+    "q_tokenize",
+    # Full ANSI oracle (r9, the q_crossmodal_knn pattern): the
+    # stand-in tokenizer is deterministic md5 arithmetic — words =
+    # whitespace-split (empties dropped, same as Python str.split()),
+    # greedy 4-char pieces per word, id = 1 + first-4-md5-bytes %
+    # (VOCAB-1) via the proven ('0x'||substr(md5,1,8))::BIGINT idiom,
+    # flatten in (word, piece) order, truncate at 30, post-pad with 0.
+    # Real ids are never 0, so n_real_tokens = LEAST(n_pieces, 30).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS wi
+      FROM toks
+    ),
+    pieces AS (
+      SELECT doc_id, wi,
+             unnest(range(0, CAST(ceil(length(word) / 4.0) AS BIGINT))) AS pi,
+             word
+      FROM words
+    ),
+    pids AS (
+      SELECT doc_id, wi, pi,
+             1 + ('0x' || substr(md5(substr(word, CAST(4*pi + 1 AS BIGINT),
+                                            4)), 1, 8))::BIGINT
+                 % 30521 AS pid
+      FROM pieces
+    ),
+    ordered AS (
+      SELECT doc_id, pid,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, pi) AS pos
+      FROM pids
+    ),
+    folded AS (
+      SELECT doc_id, list(pid ORDER BY pos) AS ids0,
+             CAST(LEAST(MAX(pos), 30) AS INT) AS n_real
+      FROM ordered WHERE pos <= 30 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(30 AS INT) AS seq_len,
+           array_to_string(
+             list_concat(COALESCE(f.ids0, []),
+                         list_transform(
+                           range(1, 31 - COALESCE(len(f.ids0), 0)),
+                           x -> CAST(0 AS BIGINT))), ',') AS ids_csv,
+           COALESCE(f.n_real, 0) AS n_real_tokens
+    FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+    """,
+)
 def q_tokenize(spark, sf_dir):
     """U1 + F9/F8: subword-encode to 30 ids (post-padded) + attention
     mask, the reference's encode→pad→mask chain (src/main.py:79-81) as
-    one Arrow-batched stage. Arrays exit as scalars/joined strings."""
+    one Arrow-batched stage. Arrays exit as scalars/joined strings.
+    Since r9 the whole chain is pinned by a full DuckDB oracle (the
+    stand-in's md5 piece ids are exactly recomputable SQL-side)."""
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     ids = hash_subword_encode(F.col("text"))
     out = docs.select("doc_id", ids.alias("ids"))

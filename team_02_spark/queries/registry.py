@@ -218,6 +218,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # edit is needed after the CORRECTNESS file lands.
 DRIVER_RECHECK: dict[str, int] = {
     "q_crossmodal_knn": 9,  # r9: rows-only -> full DuckDB oracle
+    "q_tokenize": 9,        # r9: rows-only -> full DuckDB oracle
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

@@ -81,9 +81,11 @@ def test_synthetic_green_keys_sort_to_back_without_hand_edit(
     CORRECTNESS file move behind all unchecked keys with no edit to
     the static sets."""
     # Pick two currently-unchecked (or any registered) keys and mark
-    # them green in a synthetic round file.
+    # them green in a synthetic round file — skipping retry/recheck
+    # pins, which front the window by design regardless of greenness.
     names_before = R._ordered_names()
-    victims = names_before[:2]
+    pinned = set(R.DRIVER_RETRY) | set(R.DRIVER_RECHECK)
+    victims = [n for n in names_before if n not in pinned][:2]
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
         v: {"hash_match": True, "err": None, "spark_rows": 1}
         for v in victims
