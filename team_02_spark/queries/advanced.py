@@ -187,12 +187,64 @@ def q_csv_scan(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")  # rows-only: mapInPandas media pipeline
+@query(
+    "q_multimodal_features",
+    # Full ANSI oracle (r9): every exit column of the fake-codec
+    # feature pass is exact arithmetic on the payload bytes —
+    # content_sha = sha256 of the UTF-8 text (DuckDB sha256(VARCHAR)
+    # hashes the same bytes Python's hashlib sees), byte values
+    # recovered per position from hex(payload), byte_mean = one exact
+    # integer sum / n (bit-identical fl(S/n) on both engines: the sum
+    # of <=553 bytes is an exact f64 integer under ANY summation
+    # order, so 4dp boundaries are either exactly representable — both
+    # engines round the identical double — or >=9e-4 away by the
+    # rational-denominator bound), byte_std rounded 4dp with measured
+    # >=2e-4 boundary margin on both fixtures vs ~1e-13 engine noise.
+    # Empty payload decodes as one zero byte (the codec contract).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, encode(text) AS payload FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, text, payload,
+             CASE WHEN octet_length(payload) = 0 THEN '00'
+                  ELSE hex(payload) END AS h
+      FROM b
+    ),
+    bytes AS (
+      SELECT doc_id,
+             ('0x' || substr(h, CAST(2*u - 1 AS BIGINT), 2))::BIGINT AS v
+      FROM (SELECT doc_id, h, unnest(range(1, length(h)//2 + 1)) AS u
+            FROM hx)
+    ),
+    stats AS (
+      SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS m, COUNT(*) AS n
+      FROM bytes GROUP BY doc_id
+    ),
+    dev AS (
+      SELECT y.doc_id,
+             SQRT(SUM((CAST(y.v AS DOUBLE) - s.m)
+                      * (CAST(y.v AS DOUBLE) - s.m)) / s.n) AS sd
+      FROM bytes y JOIN stats s ON y.doc_id = s.doc_id
+      GROUP BY y.doc_id, s.n
+    )
+    SELECT h.doc_id,
+           sha256(COALESCE(h.text, '')) AS content_sha,
+           CAST(octet_length(h.payload) AS BIGINT) AS n_bytes,
+           ROUND(s.m, 4) AS byte_mean,
+           ROUND(d.sd, 4) AS byte_std,
+           CAST(8 AS INT) AS feature_dim
+    FROM hx h JOIN stats s ON h.doc_id = s.doc_id
+    JOIN dev d ON h.doc_id = d.doc_id
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """North-star multimodal lane: binary payload + typed metadata →
     mapInPandas decode('fake' codec) → per-item features. The Spark
     plumbing (binary columns, Arrow batches, stable feature schema) is
-    real; the codec is the documented stub seam."""
+    real; the codec is the documented stub seam. Since r9 the exit
+    columns are pinned by a full DuckDB oracle (decorator above) —
+    the fake-codec features are exact byte arithmetic."""
     docs = t(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     feats = extract_features(media, decode_stub="fake")

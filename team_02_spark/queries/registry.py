@@ -217,8 +217,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # once a driver row from that round (or later) exists, so no hand
 # edit is needed after the CORRECTNESS file lands.
 DRIVER_RECHECK: dict[str, int] = {
-    "q_crossmodal_knn": 9,  # r9: rows-only -> full DuckDB oracle
-    "q_tokenize": 9,        # r9: rows-only -> full DuckDB oracle
+    "q_crossmodal_knn": 9,       # r9: rows-only -> full DuckDB oracle
+    "q_tokenize": 9,             # r9: rows-only -> full DuckDB oracle
+    "q_multimodal_features": 9,  # r9: rows-only -> full DuckDB oracle
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
