@@ -203,7 +203,8 @@ def q_csv_scan(spark, sf_dir):
     # Empty payload decodes as one zero byte (the codec contract).
     oracle="""
     WITH b AS (
-      SELECT doc_id, text, encode(text) AS payload FROM documents
+      SELECT doc_id, text, encode(COALESCE(text, '')) AS payload
+      FROM documents
     ),
     hx AS (
       SELECT doc_id, text, payload,

@@ -697,7 +697,7 @@ def q_zorder_scan(spark, sf_dir):
     # contract), hence the '00' substitution.
     oracle="""
     WITH hx0 AS (
-      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx FROM documents
     ),
     hx1 AS (
       SELECT doc_id, CASE WHEN length(hx) = 0 THEN '00' ELSE hx END AS hx
