@@ -249,15 +249,20 @@ DRIVER_REPROOF: tuple[str, ...] = (
 def _ordered_names() -> list[str]:
     """Retry keys first (fixed red rows needing a driver re-check),
     then re-check pins (checks that got stronger, e.g. oracle flips),
-    then priority novel-API keys, then the remaining unchecked keys —
-    and among those, oracle-checkable keys before rows-only ones: a
-    driver slot spent on an oracle key buys a hash-match row, a
-    rows-only slot only a ran-clean row. The already-verified
-    fall-through is STALENESS-ordered (r8 verdict #1): oldest
-    latest-green CORRECTNESS round first, so every round's spare
-    window slots retire the stalest rows and the whole book converges
-    to <=3 rounds stale; within one round, DRIVER_REPROOF's
-    risk order (cost x compositeness) breaks ties, then name."""
+    then priority novel-API keys, then the remaining unchecked keys.
+    The already-verified fall-through is STALENESS-ordered (r8
+    verdict #1): oldest latest-green CORRECTNESS round first, so every
+    round's spare window slots retire the stalest rows and the whole
+    book converges to <=3 rounds stale; within one round,
+    DRIVER_REPROOF's risk order (cost x compositeness) breaks ties,
+    then name.
+
+    Rows-only keys (oracle=None) sort UNCONDITIONALLY to the very
+    tail, after every oracled key (r9 verdict #2): the driver can only
+    ever mark them ``err: no_oracle`` — never a hash-green row — so a
+    window slot spent there is pure waste while any oracled key is
+    stale. They stay declared (the judge counts them; pytest goldens
+    pin their semantics), they just never consume driver budget."""
     names = list(QUERIES)
     retry = [n for n in DRIVER_RETRY if n in QUERIES]
     recheck = [n for n, rnd in DRIVER_RECHECK.items()
@@ -275,18 +280,12 @@ def _ordered_names() -> list[str]:
         key=lambda n: (
             _DRIVER_LATEST_ROUND.get(n, 0),        # stalest first
             reproof_rank.get(n, len(DRIVER_REPROOF)),
-            QUERIES[n].oracle is None,             # hash row > ran-clean row
             n,
         ),
     )
-    return (
-        retry
-        + recheck
-        + priority
-        + [n for n in unchecked if QUERIES[n].oracle is not None]
-        + [n for n in unchecked if QUERIES[n].oracle is None]
-        + verified
-    )
+    order = retry + recheck + priority + unchecked + verified
+    return ([n for n in order if QUERIES[n].oracle is not None]
+            + [n for n in order if QUERIES[n].oracle is None])
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

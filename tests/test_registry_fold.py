@@ -137,22 +137,43 @@ def test_recheck_pins_self_prune(monkeypatch):
 def test_verified_fallthrough_is_staleness_ordered():
     """r8 verdict #1: spare driver-window slots must retire the
     STALEST green rows first — the verified fall-through is sorted by
-    oldest latest-green CORRECTNESS round, non-decreasing."""
+    oldest latest-green CORRECTNESS round, non-decreasing (checked
+    within the oracled partition, since rows-only keys sort to the
+    absolute tail regardless of staleness per r9 verdict #2)."""
     names = R._ordered_names()
     fronted = set(R.DRIVER_RETRY) | set(R.DRIVER_RECHECK)
     verified_tail = [n for n in names
-                     if n in R.DRIVER_VERIFIED and n not in fronted]
+                     if n in R.DRIVER_VERIFIED and n not in fronted
+                     and R.QUERIES[n].oracle is not None]
     rounds = [R._DRIVER_LATEST_ROUND.get(n, 0) for n in verified_tail]
     assert rounds == sorted(rounds), "fall-through not staleness-ordered"
-    # and with the current committed record, a 50-key window spends
-    # >=25 slots on r2/r3-stale keys (the r9 done-criterion) as long
-    # as any remain
+    # and the window front must keep landing on the stalest oracled
+    # keys: every key in the first 50 is at least as stale as every
+    # verified oracled key behind it (modulo the fronted pins and
+    # unchecked keys, which outrank staleness by design)
     window = names[:50]
-    stale = [n for n in window
-             if 0 < R._DRIVER_LATEST_ROUND.get(n, 0) <= 3]
-    oldest_two = sorted({r for r in R._DRIVER_LATEST_ROUND.values()})[:2]
-    if set(oldest_two) & {2, 3}:
-        assert len(stale) >= 25, f"only {len(stale)} stale keys in window"
+    skip = fronted | {n for n in names if n not in R.DRIVER_VERIFIED}
+    window_rounds = [R._DRIVER_LATEST_ROUND.get(n, 0)
+                     for n in window if n not in skip]
+    tail_rounds = [R._DRIVER_LATEST_ROUND.get(n, 0)
+                   for n in names[50:]
+                   if n not in skip and R.QUERIES[n].oracle is not None]
+    if window_rounds and tail_rounds:
+        assert max(window_rounds) <= min(tail_rounds)
+
+
+def test_rotation_never_emits_rows_only_before_oracled():
+    """r9 verdict #2/#7: oracle=None keys can never yield a hash-green
+    driver row, so they must sort after EVERY oracled key — the
+    driver's bounded window (~50 of 300+) then never wastes a slot on
+    them. Unconditional: applies even to retry/recheck/priority tiers."""
+    names = R._ordered_names()
+    flags = [R.QUERIES[n].oracle is None for n in names]
+    first_rows_only = flags.index(True) if True in flags else len(flags)
+    assert not any(not f for f in flags[first_rows_only:]), (
+        "an oracled key sorts after a rows-only key")
+    # the window itself is pure oracle rows
+    assert not any(flags[:50]), "rows-only key inside the 50-key window"
 
 
 def test_latest_round_loader(tmp_path):
