@@ -93,6 +93,30 @@ HEADLINE = [
 ]
 
 
+def clamp_line(payload: dict, limit: int) -> str:
+    """Hard clamp (r9 advisor low): the cheap-first key ordering only
+    helps eyeball/regex extraction — a FRONT-truncated line is not
+    valid JSON at all, so a json.loads consumer of the driver's
+    2000-char tail would lose the whole record. Guarantee the line
+    fits: drop the spread-drift detail first, then fold the cheapest
+    timings (front of the sorted dict, least informative) into a
+    dropped-count + dropped-total, so the emitted line is
+    valid-JSON-by-construction and the headline total stays
+    reconstructible (sum(queries) + queries_dropped_sec == value)."""
+    line = json.dumps(payload)
+    if len(line) > limit:
+        payload.pop("spread_hot", None)
+        line = json.dumps(payload)
+    while len(line) > limit and payload["queries"]:
+        cheapest = next(iter(payload["queries"]))
+        payload["queries_dropped"] = payload.get("queries_dropped", 0) + 1
+        payload["queries_dropped_sec"] = round(
+            payload.get("queries_dropped_sec", 0.0)
+            + payload["queries"].pop(cheapest), 3)
+        line = json.dumps(payload)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from team_02_spark import get_spark
@@ -177,7 +201,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
     }
-    print(json.dumps(payload))
+    # Hard clamp (r9 advisor low): the cheap-first ordering only helps
+    # eyeball/regex extraction — a front-truncated line is not valid
+    # JSON at all, so a json.loads consumer of the driver's 2000-char
+    # tail would lose the WHOLE record. Guarantee the line fits: while
+    # it's too long, fold the cheapest timings (front of the sorted
+    # dict, least informative) into a dropped-count + dropped-total so
+    # the record stays complete-by-construction and the headline total
+    # is still reconstructible.
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_LIMIT", "1950"))
+    print(clamp_line(payload, limit))
     from team_02_spark.operators.scale import reap_bucketed_tables
 
     reap_bucketed_tables(spark)  # session-teardown warehouse maintenance

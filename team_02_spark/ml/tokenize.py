@@ -19,6 +19,7 @@ batch shape, padding semantics) is identical either way.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -35,11 +36,23 @@ def _piece_id(piece: str) -> int:
     return 1 + int.from_bytes(h[:4], "big") % (VOCAB_SIZE - 1)
 
 
+# Word boundary = the EXPLICIT ASCII class [ \t\n\r\f\v], not
+# str.split() (r9 advisor low): Python splits on all Unicode
+# whitespace (\x1c-\x1f, \x85, NBSP, ...), Java regex \s is ASCII
+# incl. \v, RE2 (DuckDB) \s EXCLUDES \v — three engines, three
+# classes. Pinning one explicit class keeps the q_tokenize DuckDB
+# oracle ('[ \t\n\r\f\v]+') exactly equivalent on any input, not just
+# the ASCII-whitespace fixtures.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
 def _encode_one(text: str | None, max_len: int) -> list[int]:
     if text is None:
         return [PAD_ID] * max_len
     ids: list[int] = []
-    for word in text.split():
+    for word in _WS.split(text):
+        if not word:
+            continue
         for i in range(0, len(word), 4):  # greedy fixed-width pieces
             ids.append(_piece_id(word[i : i + 4]))
             if len(ids) >= max_len:

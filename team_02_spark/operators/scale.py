@@ -107,7 +107,8 @@ def write_bucketed(df: DataFrame, table: str, key: str, *,
 
 
 def reap_bucketed_tables(spark, prefix: str | tuple[str, ...] =
-                         ("b7_", "b8_", "b9"), *,
+                         ("b7_", "b8_", "b9_", "b9s_", "b9r_", "b9x_",
+                          "b9cdc_"), *,
                          max_age_s: int = 7 * 86_400,
                          warehouse: str | None = None) -> list[str]:
     """Maintenance reaper for per-application bucketed-table dirs

@@ -134,7 +134,17 @@ def upsert_bucketed(spark, state_table: str, updates: DataFrame, key: str,
         if plan_sink is not None:
             # expose the merge's physical plan so streaming callers /
             # tests can pin the zero-Exchange claim PER BATCH, not just
-            # for one standalone merge (r8 verdict #5)
+            # for one standalone merge (r8 verdict #5). Scope (r9
+            # advisor low): this is the PLANNED merge — saveAsTable
+            # runs its own QueryExecution, and under AQE the final
+            # executed plan can differ from this pre-execution one.
+            # The pin is still sound for the zero-Exchange claim
+            # specifically: AQE re-optimizes AT existing exchange
+            # (stage) boundaries and never inserts a shuffle into a
+            # plan that has none, so Exchange-free planned implies
+            # Exchange-free executed. Claims about anything else
+            # (join strategy flips, partition coalescing) would need
+            # a QueryExecutionListener around the write itself.
             plan_sink.append(
                 merged._jdf.queryExecution().executedPlan().toString()
             )

@@ -20,15 +20,19 @@ from team_02_spark.util import ensure_parallelism
     "q_tokenize",
     # Full ANSI oracle (r9, the q_crossmodal_knn pattern): the
     # stand-in tokenizer is deterministic md5 arithmetic — words =
-    # whitespace-split (empties dropped, same as Python str.split()),
-    # greedy 4-char pieces per word, id = 1 + first-4-md5-bytes %
-    # (VOCAB-1) via the proven ('0x'||substr(md5,1,8))::BIGINT idiom,
-    # flatten in (word, piece) order, truncate at 30, post-pad with 0.
-    # Real ids are never 0, so n_real_tokens = LEAST(n_pieces, 30).
+    # split on the EXPLICIT ASCII class [ \t\n\r\f\v] (empties
+    # dropped; ml.tokenize._WS pins the same class Python-side, since
+    # str.split()'s Unicode class and RE2's \s disagree on \v/\x85/
+    # NBSP — r9 advisor low), greedy 4-char pieces per word, id = 1 +
+    # first-4-md5-bytes % (VOCAB-1) via the proven
+    # ('0x'||substr(md5,1,8))::BIGINT idiom, flatten in (word, piece)
+    # order, truncate at 30, post-pad with 0. Real ids are never 0,
+    # so n_real_tokens = LEAST(n_pieces, 30).
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+             list_filter(string_split_regex(COALESCE(text, ''),
+                                            '[ \\t\\n\\r\\f\\v]+'),
                          w -> w <> '') AS ws
       FROM documents
     ),

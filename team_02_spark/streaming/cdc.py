@@ -102,44 +102,90 @@ def _recover_version(spark, state_dir: str) -> str | None:
     return "v_seed" if seed else None
 
 
+def _version_key(version: str | None) -> tuple[int, int]:
+    """Total order over pointer values: corrupt/absent < v_seed <
+    v{n} < v{n+1}. Versions only ever come from our own naming, but a
+    torn/garbage pointer must compare LOWEST so a heal overwrites it
+    rather than treating it as 'already newer'."""
+    if version == "v_seed":
+        return (0, 0)
+    if version and version.startswith("v") and version[1:].isdigit():
+        return (1, int(version[1:]))
+    return (-1, 0)
+
+
 def latest_state(spark, state_dir: str) -> DataFrame | None:
     """Read the snapshot the pointer file names, or None before the
     first batch lands. A missing pointer with versions on disk is the
     pointer-flip crash window, not an empty state: recover to the max
-    version (see :func:`_recover_version`) and heal the pointer."""
+    version (see :func:`_recover_version`) and heal the pointer. The
+    heal is MONOTONE (r9 advisor medium): a reader that recovered vN,
+    stalled while the writer committed vN+1, must not drag the pointer
+    backward — _advance_pointer(monotone=True) yields to any pointer
+    >= vN and returns the effective (possibly newer) version to read."""
     version = _read_pointer(spark, state_dir)
     if not version:
         version = _recover_version(spark, state_dir)
         if not version:
             return None
-        _advance_pointer(spark, state_dir, version)  # heal
+        version = _advance_pointer(
+            spark, state_dir, version, monotone=True
+        ) or version
     return spark.read.parquet(state_dir.rstrip("/") + "/" + version)
 
 
-def _advance_pointer(spark, state_dir: str, version: str) -> None:
-    # temp-file + rename (atomic on HDFS and posix; the strongest
-    # primitive plain filesystems offer): readers never observe a
-    # torn pointer
+def _advance_pointer(spark, state_dir: str, version: str, *,
+                     monotone: bool = False) -> str | None:
+    """Flip the pointer to ``version`` via temp-file + rename (atomic
+    on HDFS and posix; the strongest primitive plain filesystems
+    offer): readers never observe a torn pointer. The tmp name embeds
+    the version so a healing reader and the flipping writer never
+    clobber each other's payload mid-write.
+
+    ``monotone=True`` is the HEAL path (crash/gap recovery from
+    latest_state): the pointer must never move backward, so it (a)
+    yields if the current pointer already names a version >= ours and
+    (b) never deletes an existing pointer — it only renames into the
+    gap; losing the rename race to a newer flip is benign. Returns the
+    effective pointer value (ours, or the newer one that won).
+
+    The writer path keeps delete->rename and stays loud: Hadoop rename
+    signals failure by RETURN VALUE, not exception, and a pointer left
+    silently behind would drop every later batch's changes. A failure
+    is benign only when the observed pointer is already >= ours (a
+    concurrent heal landed the same version — a heal can never exceed
+    the single writer, so '>' means a second writer, still forward)."""
     base = state_dir.rstrip("/")
     fs, ptr, jvm = _fs(spark, base + "/" + _POINTER)
-    tmp = jvm.org.apache.hadoop.fs.Path(base + "/" + _POINTER + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        base + "/" + _POINTER + ".tmp." + version)
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(version.encode("utf-8")))
     finally:
         stream.close()
+    if monotone:
+        current = _read_pointer(spark, state_dir)
+        if current and _version_key(current) >= _version_key(version):
+            fs.delete(tmp, False)
+            return current
+        if fs.rename(tmp, ptr):
+            return version
+        # rename into the gap lost a race — someone else flipped first;
+        # whatever landed is >= ours by monotonicity of the version log
+        fs.delete(tmp, False)
+        return _read_pointer(spark, state_dir) or version
     if fs.exists(ptr):
         fs.delete(ptr, False)
     if not fs.rename(tmp, ptr):
-        # Hadoop rename signals failure by RETURN VALUE, not exception.
-        # The benign case is a concurrent latest_state() healing the
-        # pointer to this same version inside our delete->rename gap —
-        # verify that; anything else (permissions, quota) must be loud,
-        # or the pointer would silently stay a version behind.
-        if _read_pointer(spark, state_dir) != version:
+        current = _read_pointer(spark, state_dir)
+        if current is None or _version_key(current) < _version_key(version):
             raise OSError(
                 f"CDC pointer flip to {version!r} failed in {state_dir!r}"
             )
+        fs.delete(tmp, False)
+        return current
+    return version
 
 
 def seed_state(base: DataFrame, state_dir: str) -> None:

@@ -1,0 +1,83 @@
+"""bench.py output-line guarantees (r9 advisor low): the driver keeps
+only the last ~2000 chars of the bench line; a front-truncated line is
+not valid JSON, so the line must fit BY CONSTRUCTION, with the
+headline total reconstructible from whatever survives the clamp.
+No Spark session needed — pure payload-shaping logic.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import HEADLINE, clamp_line
+
+
+def _payload(n_queries: int) -> dict:
+    return {
+        "spread_hot": {f"q_hot_{i}": 1.5 + i for i in range(8)},
+        "spread_med": 0.4,
+        "spread_max": 2.2,
+        "queries": {f"q_lane_{i:03d}": round(0.1 + i * 0.05, 3)
+                    for i in range(n_queries)},
+        "runs": 3,
+        "sf": 0.1,
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(0.1 + i * 0.05 for i in range(n_queries)), 3),
+        "unit": "sec",
+    }
+
+
+def test_fits_and_stays_valid_json_at_any_limit():
+    for limit in (400, 800, 1200, 1950):
+        p = _payload(60)
+        line = clamp_line(p, limit)
+        assert len(line) <= limit, (limit, len(line))
+        d = json.loads(line)  # must never be torn
+        for k in ("metric", "value", "unit", "queries", "sf"):
+            assert k in d, f"driver-contract key {k} lost at limit={limit}"
+
+
+def test_total_reconstructible_after_drop():
+    p = _payload(60)
+    d = json.loads(clamp_line(p, 700))
+    assert d.get("queries_dropped", 0) > 0  # the clamp actually fired
+    assert abs(sum(d["queries"].values())
+               + d.get("queries_dropped_sec", 0.0) - d["value"]) < 0.05
+
+
+def test_untouched_when_it_fits():
+    p = _payload(10)
+    line = clamp_line(p, 5000)
+    d = json.loads(line)
+    assert "queries_dropped" not in d
+    assert "spread_hot" in d
+    assert len(d["queries"]) == 10
+
+
+def test_drops_cheapest_first():
+    p = _payload(60)  # queries dict is cheap->expensive by construction
+    d = json.loads(clamp_line(p, 1000))
+    kept = list(d["queries"])
+    # survivors are the most expensive suffix of the original ordering
+    assert kept == [f"q_lane_{i:03d}" for i in
+                    range(60 - len(kept), 60)]
+
+
+def test_real_headline_set_fits_default_limit():
+    """The actual headline set at realistic timing magnitudes must fit
+    the default 1950-char limit WITHOUT dropping anything — the clamp
+    is a seatbelt, not the normal path."""
+    p = {
+        "spread_hot": {k: 1.234 for k in HEADLINE[:8]},
+        "spread_med": 0.443,
+        "spread_max": 2.216,
+        "queries": {k: 12.345 for k in HEADLINE},
+        "runs": 3,
+        "sf": 0.1,
+        "metric": "headline_queries_total_sec",
+        "value": 55.123,
+        "unit": "sec",
+    }
+    d = json.loads(clamp_line(p, 1950))
+    assert "queries_dropped" not in d
+    assert len(d["queries"]) == len(HEADLINE)

@@ -40,6 +40,44 @@ def test_tokenizer_deterministic(spark):
     assert a == b
 
 
+def test_tokenize_oracle_agrees_on_hostile_whitespace(spark, tmp_path):
+    """r9 advisor low: the q_tokenize oracle claimed equivalence with
+    Python str.split(), but str.split() also splits on \\x0b, \\x1c-
+    \\x1f, \\x85, NBSP... while RE2's \\s does not. Both sides now pin
+    the explicit ASCII class [ \\t\\n\\r\\f\\v]; this differential runs
+    the REAL query + oracle over documents containing exactly those
+    characters — red before the fix, green after."""
+    import duckdb
+    import pandas as pd
+
+    from team_02_spark.queries.registry import QUERIES
+    from tests.oracle_harness import compare
+
+    hostile = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "plain ascii words only",
+            "vtab\x0bsplit tab\tsplit",          # \v: in our class
+            "fs\x1cgs\x1drs\x1eus\x1f end",       # C1 seps: NOT split
+            "nel\x85nbsp\xa0joined",              # \x85/\xa0: NOT split
+            None,
+        ],
+        "lang": ["en"] * 5,
+        "source": ["fuzz"] * 5,
+        "n_chars": [22, 18, 14, 16, 0],
+    })
+    pq_path = tmp_path / "documents.parquet"
+    hostile.to_parquet(pq_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pq_path}')")
+    spec = QUERIES["q_tokenize"]
+    got = spec.fn(spark, str(tmp_path))
+    want = con.execute(spec.oracle).fetchdf()
+    assert not compare(got, want)
+    con.close()
+
+
 def test_embedder_contract(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     out = docs.select("doc_id", hash_embed(F.col("text")).alias("emb")).collect()

@@ -151,6 +151,23 @@ def test_reap_bucketed_tables_skips_live_app(spark, tmp_path):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_reap_default_prefixes_are_delimited():
+    """r9 advisor low: a bare 'b9' default would glob-delete ANY
+    warehouse dir starting with b9 (a future b900_/b9foo table). Every
+    default prefix must end with the '_' delimiter, and the set must
+    cover the scratch-table namers actually in the tree."""
+    import inspect
+
+    from team_02_spark.operators import scale
+
+    sig = inspect.signature(scale.reap_bucketed_tables)
+    defaults = sig.parameters["prefix"].default
+    assert isinstance(defaults, tuple)
+    assert all(p.endswith("_") for p in defaults), defaults
+    # the r9 CDC query's scratch prefix is covered
+    assert "b9cdc_" in defaults
+
+
 def test_reap_bucketed_tables_remote_warehouse_noop(spark):
     """A remote-scheme warehouse is never walked — retention there
     belongs to the real catalog."""

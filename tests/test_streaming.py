@@ -690,6 +690,73 @@ def test_cdc_pointer_recovery_prefers_numbered_over_seed(spark, tmp_path):
     assert _recover_version(spark, state) == "v000000000007"
 
 
+def test_cdc_heal_never_moves_pointer_backward(spark, tmp_path):
+    """r9 advisor medium: a reader that entered the flip gap, recovered
+    vN, then stalled while the writer committed vN+1 must NOT drag the
+    pointer back to vN when it finally heals — later batches would fold
+    into the stale base and silently drop the newer changes. The heal
+    yields to any pointer >= its version and returns the newer one."""
+    import os
+
+    from team_02_spark.streaming.cdc import (
+        _advance_pointer,
+        apply_cdc_batch,
+        latest_state,
+        seed_state,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_monotone")
+    seed_state(base, state)
+    for i in (0, 1):
+        b = spark.read.schema(schema).parquet(feed_dir + f"/batch_{i}.parquet")
+        apply_cdc_batch(b, i, state_dir=state, key="k", seq_col="seq")
+    newest = sorted(map(tuple, latest_state(spark, state).collect()))
+
+    # the stalled reader wakes up and heals with the OLD version
+    got = _advance_pointer(spark, state, "v000000000000", monotone=True)
+    assert got == "v000000000001", "heal did not yield to the newer pointer"
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert fh.read().strip() == "v000000000001"
+    assert sorted(map(tuple, latest_state(spark, state).collect())) == newest
+    # and the stale tmp payload was cleaned up, not left to be renamed
+    assert not os.path.exists(
+        os.path.join(state, "_LATEST.tmp.v000000000000"))
+    # yielding even against the seed pointer (v_seed > any garbage,
+    # < every numbered version)
+    assert _advance_pointer(spark, state, "v_seed", monotone=True) \
+        == "v000000000001"
+
+
+def test_cdc_version_key_total_order():
+    from team_02_spark.streaming.cdc import _version_key
+
+    assert _version_key(None) < _version_key("v_seed")
+    assert _version_key("garbage") < _version_key("v_seed")
+    assert _version_key("v_seed") < _version_key("v000000000000")
+    assert _version_key("v000000000000") < _version_key("v000000000007")
+    # a torn pointer compares lowest so a heal may overwrite it
+    assert _version_key("") == _version_key(None)
+
+
+def test_cdc_heal_into_gap_still_lands(spark, tmp_path):
+    """The ordinary crash-window heal (pointer truly missing) must
+    still install the recovered version — monotonicity only guards
+    against overwriting a NEWER pointer, not against healing at all."""
+    import os
+
+    from team_02_spark.streaming.cdc import _advance_pointer, seed_state
+
+    base, _, _, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_gap")
+    seed_state(base, state)
+    os.remove(os.path.join(state, "_LATEST"))
+    got = _advance_pointer(spark, state, "v_seed", monotone=True)
+    assert got == "v_seed"
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert fh.read().strip() == "v_seed"
+
+
 def test_cdc_latest_state_none_only_when_truly_empty(spark, tmp_path):
     from team_02_spark.streaming.cdc import latest_state
 
