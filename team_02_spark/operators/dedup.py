@@ -150,6 +150,25 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     intersect with integer compares — this is the standard trick that
     makes verified MinHash dedup tractable at corpus scale.
 
+    Hot-cluster guard (r9 verdict #4): identical shingle SETS are
+    collapsed to one representative (min id) BEFORE banding. Without
+    it, N exact copies of one document share every band bucket and the
+    band self-join emits C(N,2) pairs under ONE join key — 2·10^8
+    pairs at N=20k, all in a single task: the same funnel shape the r9
+    knn_lsh probe found in the rank window. The collapse is EXACTLY
+    semantics-preserving, not an approximation: (a) a non-rep member m
+    has Jaccard 1 with its rep r < m, so m is a loser under keep-first
+    regardless of anything else; (b) Jaccard depends only on the set,
+    so for a rep r, "exists a < r with J(a,r) >= t" holds iff it holds
+    with a restricted to reps — any witness a in group G' implies
+    min(G') < r is also a witness with the same Jaccard. Set equality
+    is keyed by xxhash64 of the sorted hashed set — the same 2^-64
+    collision tolerance the shingle hashing already accepts. Residual
+    (documented in SCALING.md): NEAR-clone clusters (distinct sets,
+    pairwise J >= t) still concentrate in band buckets and verify at
+    C(n,2) — the posture is exact-dedup-first (which this collapse now
+    builds in) and cascade ordering as in q_curation_full.
+
     Cache lifecycle: the persisted sets frame backs the (lazy) result
     DataFrame, so it is not unpersisted here; storage is
     MEMORY_AND_DISK and Spark's LRU evicts it under pressure. Callers
@@ -163,23 +182,34 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
             ).alias("__set"),
         )
+        .withColumn("__setkey", F.xxhash64(F.array_sort("__set")))
         .persist()
     )
-    ex = sets_df.select(F.col(id_col), F.explode("__set").alias("__h"))
+    reps = sets_df.groupBy("__setkey").agg(F.min(F.col(id_col)).alias(id_col))
+    # every non-representative member loses outright (J=1 with a
+    # smaller id); only representatives enter the LSH stage
+    clone_losers = (
+        sets_df.select(id_col, "__setkey")
+        .join(reps.withColumnRenamed(id_col, "__rep"), "__setkey")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col(id_col))
+    )
+    rep_sets = sets_df.join(reps, ["__setkey", id_col]).select(id_col, "__set")
+    ex = rep_sets.select(F.col(id_col), F.explode("__set").alias("__h"))
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     )
     cand = minhash_candidate_pairs(sig, id_col, num_hashes, bands)
-    a_sets = sets_df.withColumnRenamed(id_col, "a").withColumnRenamed("__set", "sa")
-    b_sets = sets_df.withColumnRenamed(id_col, "b").withColumnRenamed("__set", "sb")
+    a_sets = rep_sets.withColumnRenamed(id_col, "a").withColumnRenamed("__set", "sa")
+    b_sets = rep_sets.withColumnRenamed(id_col, "b").withColumnRenamed("__set", "sb")
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    losers = (
+    rep_losers = (
         cand.join(a_sets, "a").join(b_sets, "b")
         .filter((inter / F.greatest(union, F.lit(1))) >= threshold)
         .select(F.col("b").alias(id_col))
-        .distinct()
     )
+    losers = rep_losers.unionByName(clone_losers).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -69,12 +69,25 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
             q_id: str = "q_id", c_id: str = "vec_id",
             q_vec: str = "q_vec", c_vec: str = "embedding",
             dim: int | None = None, num_planes: int | None = None,
-            multi_probe: bool = True, seed: int = 42,
-            target_bucket_size: int = 4096,
+            multi_probe: bool = True, probe_depth: int = 1,
+            seed: int = 42, target_bucket_size: int = 4096,
             bucket_cap: int | None = None) -> DataFrame:
     """LSH-pruned top-k: bucket both sides on hyperplane sign bits,
     equi-join on bucket (queries additionally probe each 1-bit-flipped
     bucket when ``multi_probe``), exact-cosine re-rank inside buckets.
+
+    ``probe_depth`` (r9 verdict #5 — the recall dial): each query
+    probes every bucket within Hamming distance <= depth of its own,
+    i.e. sum_{d<=depth} C(num_planes, d) buckets. Depth 1 (default)
+    is the classic 1-bit multi-probe (num_planes+1 buckets); depth 2
+    adds the C(num_planes,2) two-bit flips — at 16 planes that is 137
+    probes vs 17, trading ~8x candidate volume for the recall a
+    near-boundary neighbor costs (two sign bits flipped by the
+    query-neighbor margin). Depth 0 == multi_probe=False. Measured
+    recall/cost curve on a structured corpus: SCALING.md §"ANN
+    serving — probe-depth dial". Capped at 3: beyond that the probe
+    fan-out (C(24,3)=2024) exceeds what the broadcast side should
+    carry — use more planes or IVF instead.
 
     At scale this is the plan you want: the corpus is hashed once
     (map-side), the join is a shuffle on the bucket id (or broadcast if
@@ -136,13 +149,23 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     q_sig = queries.withColumn(
         "__b0", _hyperplane_bucket(q_vec, dim, num_planes, seed)
     )
-    if multi_probe:
-        probes = F.array(
-            F.col("__b0"),
-            *[F.col("__b0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    depth = probe_depth if multi_probe else 0
+    if not 0 <= depth <= 3:
+        raise ValueError(
+            f"probe_depth must be 0..3, got {probe_depth} — beyond "
+            "depth 3 the probe fan-out outgrows the broadcast side; "
+            "use more planes or knn_ivf instead"
         )
-    else:
-        probes = F.array(F.col("__b0"))
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << p for p in flips)
+        for d in range(1, depth + 1)
+        for flips in combinations(range(num_planes), d)
+    ]
+    probes = F.array(
+        *[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks]
+    )
     q_bucket = q_sig.select(
         *[F.col(c) for c in queries.columns], F.explode(probes).alias("__bucket")
     )

@@ -58,6 +58,34 @@ def test_dedup_only_removes(spark):
     assert kept.select("doc_id").subtract(docs.select("doc_id")).count() == 0
 
 
+def test_dedup_hot_clone_cluster_exact_and_fast(spark):
+    """r9 verdict #4 guard: N exact copies of one doc used to put
+    C(N,2) candidate pairs under ONE band-bucket join key (2·10^8 at
+    N=20k — a single-task funnel). The identical-set collapse must (a)
+    keep the result EXACTLY keep-first (min id of the clone group
+    survives, every other clone drops, unrelated docs untouched) and
+    (b) keep the lane fast — pre-collapse this corpus took minutes;
+    the 120 s bound is the structural regression trap."""
+    import time
+
+    base_rows = [(i, f"unique document number {i} with its own distinct "
+                     f"payload token{i} token{i + 1} token{i + 2}")
+                 for i in range(50)]
+    clones = [(1000 + i, "the hot document that got replicated twenty "
+                         "thousand times across the crawl snapshot")
+              for i in range(10_000)]
+    docs = spark.createDataFrame(base_rows + clones,
+                                 "doc_id long, text string").repartition(32)
+    t0 = time.perf_counter()
+    kept = {r["doc_id"] for r in
+            near_dedup_minhash(docs, threshold=0.6).select("doc_id").collect()}
+    secs = time.perf_counter() - t0
+    assert 1000 in kept, "clone-group representative (min id) must survive"
+    assert not any(k > 1000 for k in kept), "a non-rep clone survived"
+    assert set(range(50)) <= kept, "an unrelated distinct doc was dropped"
+    assert secs < 120, f"hot-clone dedup took {secs:.0f}s — funnel is back"
+
+
 def test_fingerprint_repartition_stable(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     fp1 = dataset_fingerprint(docs.repartition(3), "doc_id", "text")

@@ -138,6 +138,175 @@ def embedding_probe(replication: int) -> None:
 
 
 
+def minhash_probe(replication: int) -> None:
+    """Adversarial hot-band sweep for the MinHash dedup lane (r9
+    verdict #4 — the text twin of the knnlsh probe): ONE document
+    duplicated 20k x replication ways on top of the sf0.1 corpus. All
+    copies share every band bucket, so WITHOUT the identical-set
+    collapse the band self-join emits C(20kN,2) pairs under one join
+    key — 2.0e8 / 3.2e9 / 5.1e10 at 1x/4x/16x, a single-task funnel.
+    Reports: (a) the RAW band-bucket concentration and the derived
+    pre-collapse candidate-pair total (arithmetic over bucket sizes —
+    materializing 5.1e10 pairs is exactly what the guard exists to
+    avoid); (b) the post-collapse band input (distinct sets only) and
+    its derived pair total; (c) measured end-to-end wall-clock and
+    survivor count of near_dedup_minhash WITH the collapse. Honest
+    residual also probed: 2k NEAR-clones (one distinct token appended
+    per copy -> distinct sets, pairwise J >= 0.6) stay C(n,2) in the
+    verify stage — collapse can't help there; numbers recorded so the
+    limitation is measured, not guessed."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import (
+        minhash_signature,
+        near_dedup_minhash,
+    )
+
+    spark = get_spark(f"scaling-minhash-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    hot_n = 20_000 * replication
+    hot_text = base.filter(F.col("doc_id") == 0).first()["text"]
+    hot = spark.range(hot_n).select(
+        (F.col("id") + n).alias("doc_id"), F.lit(hot_text).alias("text")
+    )
+    corpus = base.unionByName(hot).repartition(32).persist()
+    total = corpus.count()
+    corpus.write.format("noop").mode("overwrite").save()  # warm
+
+    def band_stats(df):
+        """(max band-bucket size, derived candidate pairs sum C(n,2))
+        for the signatures of df — the pre-join concentration the
+        self-join would have to pay."""
+        sig = minhash_signature(df, "doc_id", "text")
+        rows_per_band, bands = 4, 8
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{i}") for i in
+                             range(b * rows_per_band, (b + 1) * rows_per_band)]
+                           ).alias("bh"))
+            for b in range(bands)
+        ]
+        sizes = (
+            sig.select(F.explode(F.array(*band_cols)).alias("bk"))
+            .groupBy("bk.band", "bk.bh").agg(F.count("*").alias("n"))
+        )
+        agg = sizes.agg(
+            F.max("n").alias("mx"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+        ).first()
+        return int(agg["mx"]), int(agg["pairs"])
+
+    raw_max, raw_pairs = band_stats(corpus)
+    # the post-collapse band input: one representative per distinct
+    # set; exact clones have identical text, so text-keyed min-id is
+    # the same collapse the operator performs on hashed shingle sets
+    reps = (
+        corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    rep_max, rep_pairs = band_stats(reps)
+
+    t0 = time.perf_counter()
+    survivors = near_dedup_minhash(corpus, threshold=0.6).count()
+    dedup_s = time.perf_counter() - t0
+
+    # residual: 2k NEAR-clones (distinct sets, J >= 0.6 pairwise) —
+    # the collapse can't merge them; verify stays C(n,2). Fixed size,
+    # not scaled by replication: the point is the measured constant.
+    near = spark.range(2_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit(hot_text + " tail"), F.col("id").cast("string")
+                 ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    near_kept = near_dedup_minhash(
+        base.unionByName(near), threshold=0.6).count()
+    near_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "mode": "minhash", "replication": replication, "n_docs": total,
+        "hot_copies": hot_n,
+        "raw_max_band_bucket": raw_max,
+        "raw_candidate_pairs": raw_pairs,
+        "collapsed_max_band_bucket": rep_max,
+        "collapsed_candidate_pairs": rep_pairs,
+        "dedup_sec": round(dedup_s, 2), "survivors": survivors,
+        "nearclone_2k_sec": round(near_s, 2), "nearclone_kept": near_kept,
+    }))
+    spark.stop()
+
+
+def lshcurve_probe(n_clusters: int) -> None:
+    """Recall/cost curve for knn_lsh's probe_depth dial (r9 verdict
+    #5) on a STRUCTURED corpus — the counterpart to the near-uniform
+    fixture whose score-tie noise made the 0.17 cold-recall row in
+    SCALING.md §ANN meaningless as a recall measure. Corpus: 50k
+    64-dim vectors in ``n_clusters`` Gaussian clusters (unit-norm
+    centers, sigma 0.08 — tight enough that a cluster is the true
+    neighborhood, wide enough that members straddle plane boundaries);
+    40 queries drawn as fresh jittered cluster members. Ground truth:
+    brute-force cosine top-10. Reports recall@10 and wall-clock at
+    probe_depth 0/1/2 with fixed adaptive planes — the dial a user
+    turns when 1-bit probing's recall is not enough and more planes
+    (which LOWER recall) are the only other knob."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import adaptive_num_planes
+    from team_02_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    spark = get_spark(f"scaling-lshcurve-{n_clusters}")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim, n_vec, n_q = 64, 50_000, 40
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, n_vec)
+    vecs = centers[assign] + rng.normal(0, 0.08, (n_vec, dim))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n_vec)],
+        "vec_id long, embedding array<double>",
+    ).repartition(32).persist()
+    corpus.count()
+
+    q_assign = rng.randint(0, n_clusters, n_q)
+    q_vecs = centers[q_assign] + rng.normal(0, 0.08, (n_q, dim))
+    probes = spark.createDataFrame(
+        [(int(i), [float(x) for x in q_vecs[i]]) for i in range(n_q)],
+        "q_id long, q_vec array<double>",
+    ).persist()
+    probes.count()
+
+    truth: dict[int, set[int]] = {}
+    for r in knn_bruteforce(probes, corpus, 10).collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    planes = adaptive_num_planes(n_vec, 4096, lo=8, hi=24)
+    out = {"mode": "lshcurve", "n_clusters": n_clusters,
+           "n_vectors": n_vec, "dim": dim, "planes": planes}
+    for depth in (0, 1, 2):
+        t0 = time.perf_counter()
+        got = knn_lsh(probes, corpus, 10, dim=dim, num_planes=planes,
+                      probe_depth=depth).collect()
+        secs = time.perf_counter() - t0
+        hits: dict[int, int] = {q: 0 for q in truth}
+        for r in got:
+            if r["vec_id"] in truth[r["q_id"]]:
+                hits[r["q_id"]] += 1
+        out[f"depth{depth}_recall"] = round(
+            sum(hits.values()) / (10 * len(truth)), 3)
+        out[f"depth{depth}_sec"] = round(secs, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def knnlsh_probe(replication: int) -> None:
     """Adversarial data-scaling sweep for the SERVING half of the
     vector lane (r8 verdict #6 — the dedup half has the `embedding`
@@ -1183,6 +1352,12 @@ def main() -> None:
     if mode == "knnlsh":
         knnlsh_probe(arg)
         return
+    if mode == "minhash":
+        minhash_probe(arg)
+        return
+    if mode == "lshcurve":
+        lshcurve_probe(arg)
+        return
     if mode == "pairs":
         pairs_probe(arg)
         return
@@ -1233,6 +1408,10 @@ def main() -> None:
         path = build_corpus(spark, arg)
         n = spark.read.parquet(path).count()
         res = {"mode": "data", "replication": arg, "n_docs": n, "cores": 32}
+    elif mode != "cores":
+        # a typo'd/unwired mode must fail loudly, not silently run the
+        # cores sweep with the arg as a core count (burned once in r10)
+        raise SystemExit(f"unknown probe mode {mode!r}")
     else:
         spark = get_spark(f"scaling-cores-{arg}", master=f"local[{arg}]")
         spark.sparkContext.setLogLevel("ERROR")
