@@ -174,6 +174,17 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     MEMORY_AND_DISK and Spark's LRU evicts it under pressure. Callers
     doing many dedup passes in one session can clearCache() between
     passes."""
+    # The collapse: a NARROW (setkey, id) min-aggregate picks each
+    # distinct set's representative — pure longs, whole-stage hash agg
+    # with map-side combine, so a billion-row clone group sends one
+    # partial row per map partition and never funnels anywhere (a
+    # row_number window would sort the whole group in one task;
+    # aggregating first(__set) directly forces a sort-based agg on the
+    # array buffer — both measured slower/riskier). One hash join on
+    # (setkey, id) then re-attaches the representative's set. Non-reps
+    # need no explicit loser pass: the final semi-join keeps winning
+    # representatives only, so every clone drops by construction (J=1
+    # with its smaller-id rep — exactly the keep-first rule).
     sets_df = (
         ensure_parallelism(df)
         .select(
@@ -185,16 +196,16 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .withColumn("__setkey", F.xxhash64(F.array_sort("__set")))
         .persist()
     )
-    reps = sets_df.groupBy("__setkey").agg(F.min(F.col(id_col)).alias(id_col))
-    # every non-representative member loses outright (J=1 with a
-    # smaller id); only representatives enter the LSH stage
-    clone_losers = (
-        sets_df.select(id_col, "__setkey")
-        .join(reps.withColumnRenamed(id_col, "__rep"), "__setkey")
-        .filter(F.col(id_col) != F.col("__rep"))
-        .select(F.col(id_col))
+    rep_ids = (
+        sets_df.select("__setkey", id_col)
+        .groupBy("__setkey")
+        .agg(F.min(F.col(id_col)).alias(id_col))
     )
-    rep_sets = sets_df.join(reps, ["__setkey", id_col]).select(id_col, "__set")
+    rep_sets = (
+        sets_df.join(rep_ids, ["__setkey", id_col])
+        .select(id_col, "__set")
+        .persist()
+    )
     ex = rep_sets.select(F.col(id_col), F.explode("__set").alias("__h"))
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
@@ -209,8 +220,8 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .filter((inter / F.greatest(union, F.lit(1))) >= threshold)
         .select(F.col("b").alias(id_col))
     )
-    losers = rep_losers.unionByName(clone_losers).distinct()
-    return df.join(losers, id_col, "left_anti")
+    winners = rep_sets.select(id_col).join(rep_losers, id_col, "left_anti")
+    return df.join(winners, id_col, "left_semi")
 
 
 # ----------------------------------------------------------- SimHash
