@@ -288,7 +288,10 @@ def lshcurve_probe(n_clusters: int) -> None:
     for r in knn_bruteforce(probes, corpus, 10).collect():
         truth.setdefault(r["q_id"], set()).add(r["vec_id"])
 
-    planes = adaptive_num_planes(n_vec, 4096, lo=8, hi=24)
+    # SPARK_GRAFT_LSHCURVE_PLANES overrides the adaptive count — the
+    # more-planes-plus-deeper-probing row of the SCALING.md curve
+    planes = int(os.environ.get("SPARK_GRAFT_LSHCURVE_PLANES", "0")) \
+        or adaptive_num_planes(n_vec, 4096, lo=8, hi=24)
     out = {"mode": "lshcurve", "n_clusters": n_clusters,
            "n_vectors": n_vec, "dim": dim, "planes": planes}
     for depth in (0, 1, 2):
