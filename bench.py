@@ -107,13 +107,33 @@ def clamp_line(payload: dict, limit: int) -> str:
     if len(line) > limit:
         payload.pop("spread_hot", None)
         line = json.dumps(payload)
+    # Accumulate dropped seconds UNROUNDED and round once at emit
+    # (r10 advisor low): per-drop rounding drifted the
+    # sum(queries)+dropped_sec == value invariant ~0.0005/key.
+    dropped_sec = float(payload.get("queries_dropped_sec", 0.0))
     while len(line) > limit and payload["queries"]:
         cheapest = next(iter(payload["queries"]))
         payload["queries_dropped"] = payload.get("queries_dropped", 0) + 1
-        payload["queries_dropped_sec"] = round(
-            payload.get("queries_dropped_sec", 0.0)
-            + payload["queries"].pop(cheapest), 3)
+        dropped_sec += payload["queries"].pop(cheapest)
+        payload["queries_dropped_sec"] = round(dropped_sec, 3)
         line = json.dumps(payload)
+    # Floor case (r10 advisor low): a limit smaller than the fixed
+    # fields plus the drop bookkeeping can still overflow after every
+    # query is folded — shed the optional detail fields next, and if
+    # the IRREDUCIBLE core (metric/value/unit/sf + drop counters)
+    # still exceeds the limit, say so loudly on stderr rather than
+    # letting the driver's tail-truncation silently re-create the
+    # invalid-front-truncated-JSON failure this function exists to
+    # prevent.
+    for extra in ("spread_med", "spread_max", "runs"):
+        if len(line) <= limit:
+            break
+        payload.pop(extra, None)
+        line = json.dumps(payload)
+    if len(line) > limit:
+        import sys
+        print(f"bench: clamp_line floor {len(line)} > limit {limit}; "
+              "emitting over-limit line", file=sys.stderr)
     return line
 
 

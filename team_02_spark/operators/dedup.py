@@ -169,9 +169,19 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     C(n,2) — the posture is exact-dedup-first (which this collapse now
     builds in) and cascade ordering as in q_curation_full.
 
-    Cache lifecycle: the persisted sets frame backs the (lazy) result
-    DataFrame, so it is not unpersisted here; storage is
-    MEMORY_AND_DISK and Spark's LRU evicts it under pressure. Callers
+    Cache lifecycle (r10 advisor low): since the collapse refactor the
+    frame backing the lazy result is ``rep_sets`` (signatures, both
+    verify sides, and the winner semi-join all read it), so REP_SETS
+    is the only frame persisted. The pre-collapse ``sets_df`` has
+    exactly one consumer (building rep_sets via the rep-id join), so
+    persisting it would cache the full corpus-sized hashed-set frame a
+    second time for zero cross-action reuse — it stays unpersisted.
+    The rep-id agg branch and the re-attach join branch each run the
+    narrow shingle map once while rep_sets materializes (a deliberate
+    compute-twice / cache-once trade: the map is shuffle-free and
+    embarrassingly parallel, the saved cache is corpus-sized — the
+    side that actually hurts at 100 TB). Storage is
+    MEMORY_AND_DISK and Spark's LRU evicts under pressure; callers
     doing many dedup passes in one session can clearCache() between
     passes."""
     # The collapse: a NARROW (setkey, id) min-aggregate picks each
@@ -194,7 +204,6 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             ).alias("__set"),
         )
         .withColumn("__setkey", F.xxhash64(F.array_sort("__set")))
-        .persist()
     )
     rep_ids = (
         sets_df.select("__setkey", id_col)

@@ -149,13 +149,17 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     q_sig = queries.withColumn(
         "__b0", _hyperplane_bucket(q_vec, dim, num_planes, seed)
     )
-    depth = probe_depth if multi_probe else 0
-    if not 0 <= depth <= 3:
+    # Validate the ARGUMENT, not the post-override depth (r10 advisor
+    # low): multi_probe=False must coerce a VALID depth to 0, not
+    # launder an out-of-range typo (probe_depth=7) into silence that
+    # resurfaces when the caller later toggles multi_probe back on.
+    if not 0 <= probe_depth <= 3:
         raise ValueError(
             f"probe_depth must be 0..3, got {probe_depth} — beyond "
             "depth 3 the probe fan-out outgrows the broadcast side; "
             "use more planes or knn_ivf instead"
         )
+    depth = probe_depth if multi_probe else 0
     from itertools import combinations
 
     masks = [0] + [

@@ -320,7 +320,19 @@ def q_ks_drift(spark, sf_dir):
     are cumulative windows over that much smaller table, and ties are
     exact by construction (both ECDFs step at the same grouped value)
     — the same sort-the-distinct-values-not-the-corpus discipline as
-    q_auc. Exact division exits ROUND 6."""
+    q_auc. Exact division exits ROUND 6.
+
+    Bounded-grid assumption (r10 verdict nit): the per-type window
+    sorts the DISTINCT (event_type, value) grid, not the corpus — the
+    plan is corpus-size-free only while the value column is quantized
+    or otherwise bounded-cardinality (true of the fixtures, and of
+    most metric feeds, which quantize at the source). A 100 TB feed
+    with a continuous, never-repeating value column would make the
+    per-type grid grow with the data and the window sort the pressure
+    point; the scale path for that shape is q_ks_drift_binned below —
+    fixed-width pre-quantization exactly like q_psi_drift/q_pr_curve,
+    with the one-sided error bound D_binned <= D <= D_binned +
+    max-bin-mass."""
     ev = t(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     per_val = (
@@ -339,6 +351,89 @@ def q_ks_drift(spark, sf_dir):
     )
     w_all = Window.partitionBy("event_type")
     cum = per_val.select(
+        "event_type",
+        F.sum("c_ref").over(w_cum).alias("a_ref"),
+        F.sum("c_cur").over(w_cum).alias("a_cur"),
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+        F.sum("c_cur").over(w_all).alias("n_cur"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_ref").cast("bigint").alias("n_ref"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.max(F.abs(F.col("a_ref").cast("double") / F.col("n_ref")
+                        - F.col("a_cur").cast("double") / F.col("n_cur"))),
+            6,
+        ).alias("ks"),
+    )
+
+
+@query(
+    "q_ks_drift_binned",
+    oracle=f"""
+    WITH per_bin AS (
+        SELECT event_type,
+               CAST(FLOOR(value / 5.0) AS INT) AS bin,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_ref,
+               CAST(SUM(CASE WHEN {_REF_PRED} THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c_cur
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type,
+               SUM(c_ref) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS a_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS a_cur,
+               SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+        FROM per_bin
+    )
+    SELECT event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(CAST(a_ref AS DOUBLE) / n_ref
+                         - CAST(a_cur AS DOUBLE) / n_cur)), 6) AS ks
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_ks_drift_binned(spark, sf_dir):
+    """KS drift on a FIXED-WIDTH binned grid (5-unit bins, anchored
+    at 0) — the scale path for a continuous, unbounded-cardinality
+    value column where q_ks_drift's distinct-value grid would grow
+    with the corpus (r10 verdict nit). The per-type window now sorts
+    at most range/5 bins regardless of corpus size, the same
+    data-independent quantization discipline as q_psi_drift (50-unit)
+    and q_pr_curve. The statistic is deterministic (binning is a pure
+    function of value, no quantile fit), so the oracle is exact; vs
+    the exact D it is one-sided — evaluating the ECDF gap only at bin
+    edges can only miss peaks inside a bin, so D_binned <= D <=
+    D_binned + max within-bin probability mass (<= 5·density_max)."""
+    ev = t(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_bin = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("int").alias("bin"),
+            is_ref.alias("is_ref"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint").alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("bigint").alias("c_cur"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = per_bin.select(
         "event_type",
         F.sum("c_ref").over(w_cum).alias("a_ref"),
         F.sum("c_cur").over(w_cum).alias("a_cur"),

@@ -209,17 +209,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_encode", "q_multimodal_features",
 )
 
-# Re-check pins (r9): keys whose CHECK got strictly stronger — e.g. a
-# rows-only lane flipped to a full ANSI oracle — front the window
-# regardless of verified status, so the new, harder check lands a
-# driver row immediately instead of waiting out the staleness queue.
-# Value = the round the stronger check landed; the pin SELF-PRUNES
-# once a driver row from that round (or later) exists, so no hand
-# edit is needed after the CORRECTNESS file lands.
+# Re-check pins (r9, widened r11 per the r10 verdict nit #1): keys
+# whose CHECK got strictly stronger (rows-only flipped to a full ANSI
+# oracle) — OR whose IMPLEMENTATION changed in a round after their
+# newest driver row — front the window regardless of verified status,
+# so the harder check / changed code lands a driver row immediately
+# instead of waiting out the staleness queue behind unchanged keys.
+# Value = the round the stronger check or the implementation change
+# landed; the pin SELF-PRUNES once a driver row from that round (or
+# later) exists, so no hand edit is needed after the CORRECTNESS file
+# lands.
 DRIVER_RECHECK: dict[str, int] = {
     "q_crossmodal_knn": 9,       # r9: rows-only -> full DuckDB oracle
     "q_tokenize": 9,             # r9: rows-only -> full DuckDB oracle
     "q_multimodal_features": 9,  # r9: rows-only -> full DuckDB oracle
+    # r10 impl changes (identical-set collapse; monotone heal) whose
+    # driver rows predate the change, plus the r11 follow-ups
+    # (sets_df persist drop; POSIX-rename forward re-heal):
+    "q_dedup_near": 11,           # minhash collapse r10 + cache r11
+    "q_curation_full": 11,        # near-dedup stage shares that code
+    "q_cdc_stream": 11,           # heal monotone r10 + re-scan r11
+    "q_cdc_stream_bucketed": 11,  # same heal path, bucketed state
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

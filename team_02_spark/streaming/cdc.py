@@ -145,9 +145,27 @@ def _advance_pointer(spark, state_dir: str, version: str, *,
     ``monotone=True`` is the HEAL path (crash/gap recovery from
     latest_state): the pointer must never move backward, so it (a)
     yields if the current pointer already names a version >= ours and
-    (b) never deletes an existing pointer — it only renames into the
-    gap; losing the rename race to a newer flip is benign. Returns the
-    effective pointer value (ours, or the newer one that won).
+    (b) deletes an existing pointer only when it is STRICTLY OLDER
+    than the version being healed (a stale heal that landed in a
+    crash gap) — forward-only by construction, since our snapshot dir
+    is already on disk and any reader hitting the momentary gap
+    recovers to disk-max >= ours. Whether
+    rename-onto-existing FAILS (HDFS, S3A, and the checksum-wrapped
+    LocalFileSystem this stack observes) or silently REPLACES (raw
+    POSIX rename(2), which some Hadoop local-FS paths map to) is
+    filesystem- and version-dependent — and under replace semantics a
+    writer flipping to vN+1 between the pointer check and our rename
+    would be dragged back (r10 advisor low). The heal therefore no
+    longer depends on which semantics hold: after a successful rename
+    it RE-SCANS the version log and re-heals forward if a newer
+    snapshot exists. The writer always commits the snapshot dir
+    before flipping, so any flip we could have clobbered is visible
+    as an on-disk version > ours; each re-heal targets a strictly
+    greater version, so the pointer converges forward on every
+    filesystem (under fail semantics the re-heal simply loses the
+    rename and yields to the pointer the writer lands — also
+    forward). Returns the effective pointer value (ours, or the newer
+    one that won).
 
     The writer path keeps delete->rename and stays loud: Hadoop rename
     signals failure by RETURN VALUE, not exception, and a pointer left
@@ -165,14 +183,37 @@ def _advance_pointer(spark, state_dir: str, version: str, *,
     finally:
         stream.close()
     if monotone:
-        current = _read_pointer(spark, state_dir)
-        if current and _version_key(current) >= _version_key(version):
-            fs.delete(tmp, False)
-            return current
-        if fs.rename(tmp, ptr):
-            return version
-        # rename into the gap lost a race — someone else flipped first;
-        # whatever landed is >= ours by monotonicity of the version log
+        for _ in range(3):
+            current = _read_pointer(spark, state_dir)
+            if current and _version_key(current) >= _version_key(version):
+                fs.delete(tmp, False)
+                return current
+            if current:
+                # A pointer STRICTLY OLDER than ours blocks the rename
+                # under fail-on-existing semantics (it can only arise
+                # from a stale heal that landed in a crash gap — e.g. a
+                # reader that recovered vN long ago waking up after the
+                # writer died mid-flip to vN+1). Deleting it is safe
+                # and forward-only: our version's snapshot dir is
+                # already on disk, so any reader hitting the momentary
+                # gap recovers to disk-max >= ours > the stale value.
+                fs.delete(ptr, False)
+            if fs.rename(tmp, ptr):
+                # Replace-semantics guard (see docstring): this rename
+                # may have REPLACED a concurrent writer's newer flip.
+                # The writer commits its snapshot dir before flipping,
+                # so any clobbered flip shows up as an on-disk version
+                # > ours — re-heal forward to it. Each recursion
+                # targets a strictly greater version, so it terminates.
+                newest = _recover_version(spark, state_dir)
+                if newest and _version_key(newest) > _version_key(version):
+                    return _advance_pointer(
+                        spark, state_dir, newest, monotone=True
+                    ) or newest
+                return version
+            # rename lost a race — someone else flipped first; loop to
+            # re-read: whatever landed is either >= ours (yield) or a
+            # stale heal (delete-and-retry above)
         fs.delete(tmp, False)
         return _read_pointer(spark, state_dir) or version
     if fs.exists(ptr):

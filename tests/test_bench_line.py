@@ -81,3 +81,36 @@ def test_real_headline_set_fits_default_limit():
     d = json.loads(clamp_line(p, 1950))
     assert "queries_dropped" not in d
     assert len(d["queries"]) == len(HEADLINE)
+
+
+def test_no_rounding_drift_across_many_drops():
+    """r10 advisor low: queries_dropped_sec accumulates UNROUNDED and
+    rounds once at emit, so the reconstruction error stays at one
+    rounding ulp (0.0005) however many keys are folded — not
+    ~0.0005 per dropped key."""
+    p = _payload(120)
+    p["value"] = round(sum(p["queries"].values()), 3)
+    d = json.loads(clamp_line(p, 600))
+    assert d["queries_dropped"] >= 100  # nearly everything folded
+    assert abs(sum(d["queries"].values())
+               + d["queries_dropped_sec"] - d["value"]) <= 0.0006
+
+
+def test_floor_limit_sheds_detail_fields_and_stays_valid_json(capsys):
+    """r10 advisor low: a limit below fixed-fields + one query entry
+    used to exit the fold loop with an over-limit line. Now the
+    optional detail fields (spread_med/spread_max/runs) shed next;
+    the line stays valid JSON and keeps the driver-contract keys. An
+    irreducibly over-limit core logs to stderr instead of silently
+    inviting the driver's front-truncation."""
+    p = _payload(60)
+    line = clamp_line(p, 230)
+    d = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+    assert len(line) <= 230
+    # pathological floor: still valid JSON, loudly flagged
+    p2 = _payload(60)
+    line2 = clamp_line(p2, 10)
+    json.loads(line2)
+    assert "clamp_line floor" in capsys.readouterr().err

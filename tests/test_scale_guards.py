@@ -266,6 +266,11 @@ def test_knn_lsh_probe_depth_validation_and_default(spark):
         [(0, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_vec array<double>")
     with pytest.raises(ValueError, match="probe_depth"):
         knn_lsh(probes, corpus, 1, dim=dim, num_planes=4, probe_depth=4)
+    # r10 advisor low: multi_probe=False must not launder an
+    # out-of-range depth into a silent 0 — validate the argument
+    with pytest.raises(ValueError, match="probe_depth"):
+        knn_lsh(probes, corpus, 1, dim=dim, num_planes=4,
+                multi_probe=False, probe_depth=7)
     # depth 1 == the historical multi_probe=True behavior
     a = knn_lsh(probes, corpus, 1, dim=dim, num_planes=4).collect()
     b = knn_lsh(probes, corpus, 1, dim=dim, num_planes=4,

@@ -757,6 +757,73 @@ def test_cdc_heal_into_gap_still_lands(spark, tmp_path):
         assert fh.read().strip() == "v_seed"
 
 
+def test_cdc_stale_heal_into_gap_re_heals_forward(spark, tmp_path):
+    """r10 advisor low (generalized): a STALLED reader that recovered
+    vN long ago and wakes into a crash gap (pointer missing, vN+1 on
+    disk — the writer died mid-flip) used to land vN in the gap and
+    pin the pointer one version back; later batches would fold into
+    the stale base and silently drop vN+1. The heal now re-scans the
+    version log after landing and re-heals forward to disk-max — on
+    BOTH rename semantics (fail-on-existing and POSIX replace)."""
+    import os
+
+    from team_02_spark.streaming.cdc import (
+        _advance_pointer,
+        apply_cdc_batch,
+        latest_state,
+        seed_state,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_stale_heal")
+    seed_state(base, state)
+    for i in (0, 1):
+        b = spark.read.schema(schema).parquet(feed_dir + f"/batch_{i}.parquet")
+        apply_cdc_batch(b, i, state_dir=state, key="k", seq_col="seq")
+    newest_rows = sorted(map(tuple, latest_state(spark, state).collect()))
+    # the writer dies mid-flip: pointer gone, v0 AND v1 dirs intact
+    os.remove(os.path.join(state, "_LATEST"))
+    # the stalled reader heals with the version it recovered pre-stall
+    got = _advance_pointer(spark, state, "v000000000000", monotone=True)
+    assert got == "v000000000001", "stale heal did not re-heal forward"
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert fh.read().strip() == "v000000000001"
+    assert sorted(map(tuple, latest_state(spark, state).collect())) \
+        == newest_rows
+    # no stray tmp payloads left behind
+    assert not [f for f in os.listdir(state) if ".tmp." in f]
+
+
+def test_cdc_heal_replaces_strictly_older_pointer(spark, tmp_path):
+    """The delete-and-retry arm: a stale heal that already LANDED an
+    older pointer (the pre-fix end state) is repaired by the next
+    monotone heal — strictly-older pointers are replaced, never
+    yielded to."""
+    import os
+
+    from team_02_spark.streaming.cdc import (
+        _advance_pointer,
+        apply_cdc_batch,
+        seed_state,
+    )
+
+    base, feed_dir, schema, _ = _cdc_fixture(spark, tmp_path)
+    state = str(tmp_path / "state_older_ptr")
+    seed_state(base, state)
+    for i in (0, 1):
+        b = spark.read.schema(schema).parquet(feed_dir + f"/batch_{i}.parquet")
+        apply_cdc_batch(b, i, state_dir=state, key="k", seq_col="seq")
+    # simulate the pre-fix damage: pointer pinned one back via the
+    # unguarded writer path (plain open() would orphan the Hadoop
+    # ChecksumFileSystem's .crc sidecar)
+    assert _advance_pointer(spark, state, "v000000000000") \
+        == "v000000000000"
+    got = _advance_pointer(spark, state, "v000000000001", monotone=True)
+    assert got == "v000000000001"
+    with open(os.path.join(state, "_LATEST")) as fh:
+        assert fh.read().strip() == "v000000000001"
+
+
 def test_cdc_latest_state_none_only_when_truly_empty(spark, tmp_path):
     from team_02_spark.streaming.cdc import latest_state
 
