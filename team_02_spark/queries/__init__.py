@@ -37,5 +37,6 @@ from team_02_spark.queries import r7b_queries  # noqa: E402,F401
 from team_02_spark.queries import r7c_queries  # noqa: E402,F401
 from team_02_spark.queries import r8_queries  # noqa: E402,F401
 from team_02_spark.queries import r9_queries  # noqa: E402,F401
+from team_02_spark.queries import tpch_partsupp  # noqa: E402,F401
 
 __all__ = ["QUERIES", "query", "queries_map", "oracle_sql_map"]

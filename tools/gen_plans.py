@@ -57,6 +57,11 @@ HEADLINE = {
     "q_component_split": "near-dup pairs via bounded shingle co-occurrence; min-label closure shuffles only the edge set; split gate is a map over (doc_id, root)",
     "q_psi_drift": "one scan, one map-side-combined (type, bin) aggregate; totals join back at alphabet size — drift costs one shuffle of bin partials",
     "q_ks_drift": "rows collapse to per-DISTINCT-value counts first; ECDF windows run over the vocab-sized table, never a corpus sort",
+    "q_ks_drift_binned": "fixed-width 5-unit bins: the ECDF window sorts at most range/5 bins regardless of corpus size — the unbounded-cardinality scale path for q_ks_drift",
+    "q_tpch_q2ish": "partsupp synthesized as a narrow map over part + 1-row broadcast; dim chain broadcasts; per-part MIN window over a 4-rows-per-key table",
+    "q_tpch_q9ish": "one lineitem fact scan; composite-key join to the synthesized partsupp dimension (AQE-broadcastable); orders shuffle-joins unhinted; one (nation, year) agg shuffle",
+    "q_tpch_q11ish": "region-pruned partsupp values in BIGINT cents; per-part agg + 1-row totals broadcast; threshold compare pure integer",
+    "q_tpch_q20ish": "date-pruned fact agg (map-side combined) joins the partsupp dimension; distinct suppliers exit through broadcast dims",
     "q_source_overlap": "distinct (source, token) collapses the corpus to vocab-sized sets; pair fan-out per token bounded by the source alphabet",
     "q_dedup_substring": "ExactSubstr: ONE corpus explode to stride-1 gram anchors; gram-keyed aggregate is vocab-sized; join-back occurrence-keyed (no pairwise term); per-doc interval merge windows on doc_id",
     "q_cms_topk": "CMS build is one map-side-combined explode pass bounded at d*w counter rows; probe joins the parameter-sized sketch back (broadcast); min over d depths per token",
