@@ -90,6 +90,12 @@ HEADLINE = [
     # approximate triangles, the scale-relief companion to the
     # enumeration-bound exact lane (r7 verdict #6)
     "q_triangles_approx",
+    # round 11 (NEW key — prior 43 stay frozen): the bucketed-state
+    # CDC stream, so the stateful-streaming lane's wall-clock is
+    # tracked per-round like every other engine lane (it changed in
+    # r10 and r11 — monotone heal, forward re-heal — with no bench
+    # row to catch a perf regression)
+    "q_cdc_stream_bucketed",
 ]
 
 

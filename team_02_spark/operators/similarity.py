@@ -89,6 +89,17 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     fan-out (C(24,3)=2024) exceeds what the broadcast side should
     carry — use more planes or IVF instead.
 
+    Tuning rule of thumb (the two dials are not interchangeable):
+    PLANES set per-probe cost — expected bucket size is n/2^planes,
+    so raise planes until that is ~target_bucket_size (the adaptive
+    default does this). DEPTH buys back the recall that planes cost —
+    each extra plane halves bucket size but adds one more sign bit a
+    near-boundary neighbor can flip; the measured 14-plane row shows
+    depth recovering exactly what the extra planes lost. So: size
+    planes for cost first, then raise depth until recall meets
+    target; if depth 3 still falls short, the corpus wants knn_ivf
+    (trained partitions) rather than more probing.
+
     At scale this is the plan you want: the corpus is hashed once
     (map-side), the join is a shuffle on the bucket id (or broadcast if
     the probe set is small), and no pair outside a shared bucket is
