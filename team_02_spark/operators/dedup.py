@@ -169,32 +169,38 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     C(n,2) — the posture is exact-dedup-first (which this collapse now
     builds in) and cascade ordering as in q_curation_full.
 
-    Cache lifecycle (r10 advisor low): since the collapse refactor the
-    frame backing the lazy result is ``rep_sets`` (signatures, both
-    verify sides, and the winner semi-join all read it), so REP_SETS
-    is the only frame persisted. The pre-collapse ``sets_df`` has
-    exactly one consumer (building rep_sets via the rep-id join), so
-    persisting it would cache the full corpus-sized hashed-set frame a
-    second time for zero cross-action reuse — it stays unpersisted.
-    The rep-id agg branch and the re-attach join branch each run the
-    narrow shingle map once while rep_sets materializes (a deliberate
-    compute-twice / cache-once trade: the map is shuffle-free and
-    embarrassingly parallel, the saved cache is corpus-sized — the
-    side that actually hurts at 100 TB). Storage is
+    Cache lifecycle (r10 advisor low, finished in r11): the frame
+    backing the lazy result is ``rep_sets`` (signatures, both verify
+    sides, and the winner semi-join all read it), and it is the ONLY
+    frame persisted. The pre-collapse ``sets_df`` is consumed exactly
+    once — the single min/min_by aggregate that materializes rep_sets
+    — so it needs no cache at all: the shingle map runs once, the
+    aggregate collapses clone groups map-side, and the cached frame
+    is the (usually far smaller) distinct-set table. Storage is
     MEMORY_AND_DISK and Spark's LRU evicts under pressure; callers
     doing many dedup passes in one session can clearCache() between
     passes."""
-    # The collapse: a NARROW (setkey, id) min-aggregate picks each
-    # distinct set's representative — pure longs, whole-stage hash agg
-    # with map-side combine, so a billion-row clone group sends one
-    # partial row per map partition and never funnels anywhere (a
-    # row_number window would sort the whole group in one task;
-    # aggregating first(__set) directly forces a sort-based agg on the
-    # array buffer — both measured slower/riskier). One hash join on
-    # (setkey, id) then re-attaches the representative's set. Non-reps
-    # need no explicit loser pass: the final semi-join keeps winning
-    # representatives only, so every clone drops by construction (J=1
-    # with its smaller-id rep — exactly the keep-first rule).
+    # The collapse (r11 single-pass form): ONE (setkey)-keyed
+    # aggregate picks each distinct set's representative id AND
+    # carries the representative's own array via min_by — map-side
+    # combine keeps at most one (id, set) candidate per group per
+    # partition, so a billion-row clone group sends one partial row
+    # per map partition and never funnels anywhere (a row_number
+    # window would sort the whole group in one task). This replaces
+    # the r10 two-branch form (min-id agg + join-back), which read
+    # the shingle map twice once sets_df stopped being persisted:
+    # probed at the 16x hot-clone shape, min_by lands the same
+    # collapse in one pass with no join and ONE cached frame. The
+    # array-valued buffer makes Spark pick a sort-based aggregate for
+    # this step, but with PARTIAL (map-side) combine: each partition
+    # sorts its own slice by setkey and keeps one (id, set) candidate
+    # per group, so a hot clone group still never funnels into one
+    # task — measured flat (3.9/5.8/12.5 s at 1x/4x/16x hot clones,
+    # beating both the r10 two-branch form and a windowed rank).
+    # Non-reps need no explicit loser pass: the final
+    # semi-join keeps winning representatives only, so every clone
+    # drops by construction (J=1 with its smaller-id rep — exactly
+    # the keep-first rule).
     sets_df = (
         ensure_parallelism(df)
         .select(
@@ -205,13 +211,12 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         )
         .withColumn("__setkey", F.xxhash64(F.array_sort("__set")))
     )
-    rep_ids = (
-        sets_df.select("__setkey", id_col)
-        .groupBy("__setkey")
-        .agg(F.min(F.col(id_col)).alias(id_col))
-    )
     rep_sets = (
-        sets_df.join(rep_ids, ["__setkey", id_col])
+        sets_df.groupBy("__setkey")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.min_by("__set", F.col(id_col)).alias("__set"),
+        )
         .select(id_col, "__set")
         .persist()
     )
