@@ -83,24 +83,10 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidate_pairs(sig: DataFrame, id_col: str,
-                            num_hashes: int = 32, bands: int = 8) -> DataFrame:
-    """LSH banding: split the k signatures into ``bands`` bands of
-    k/bands rows, hash each band, self-join on (band_idx, band_hash).
-    Emits candidate pairs (a, b) with a < b — each pair once.
-
-    The band join is an equi-join on the band hash — Catalyst plans a
-    shuffle hash join keyed on the bucket, which is exactly the LSH
-    partitioning you want at scale (only same-bucket rows meet).
-    """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+def _plain_band_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Band-bucket self-join: all (a, b), a < b, sharing a (band, bh)
+    key. One task per join key — fine for cold buckets, the funnel
+    for hot ones (the caller splits those off first)."""
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -111,8 +97,105 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str,
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
     )
+
+
+def minhash_candidate_pairs(sig: DataFrame, id_col: str,
+                            num_hashes: int = 32, bands: int = 8,
+                            hot_bucket_cap: int | None = 1024) -> DataFrame:
+    """LSH banding: split the k signatures into ``bands`` bands of
+    k/bands rows, hash each band, self-join on (band_idx, band_hash).
+    Emits candidate pairs (a, b) with a < b — each pair once.
+
+    The band join is an equi-join on the band hash — Catalyst plans a
+    shuffle hash join keyed on the bucket, which is exactly the LSH
+    partitioning you want at scale (only same-bucket rows meet).
+
+    Hot-bucket triangle split (r10 verdict #3): a NEAR-clone cluster
+    of size c (distinct shingle sets, pairwise J >= t — the identical-
+    set collapse upstream cannot merge them) shares every band bucket,
+    so the plain self-join generates its C(c,2) pairs under ONE
+    (band, bh) join key — one task owns 2e8 pairs at c = 20k. The
+    pairs themselves are contracted output (every one must be
+    verified), but their GENERATION need not be one task: buckets
+    whose size exceeds ``hot_bucket_cap`` are split into
+    S = ceil(c / cap) (clamped to 64) hash sub-groups and the self-
+    join runs per triangle cell (i, j), 0 <= i <= j < S — the classic
+    triangle-partitioned self-join. Every unordered pair lands in
+    exactly one cell: cross-group pairs (ga < gb) in cell (ga, gb)
+    via the left row exploding j in [g, S) and the right row i in
+    [0, g]; same-group pairs on the diagonal under id-order. Max
+    task shrinks from C(c,2) to ~cap^2 pair candidates; each hot row
+    is replicated S+1 ways (narrow: id + 2 key longs + 2 ints), cold
+    buckets pay nothing but the one count pass. This is EXACT — every
+    same-bucket pair is still emitted, unlike knn_lsh's negative-space
+    refinement (remap_hot_buckets), which re-hashes hot buckets into
+    sub-buckets and accepts recall loss; dedup's verify contract
+    (every banded pair gets exact-Jaccard'd) forbids that.
+
+    ``hot_bucket_cap=None`` disables the split (and the extra count
+    pass) — the pre-r11 plan. Beyond c = 64 * cap (~65k at the 1024
+    default, chosen to match the repo-wide LSH target_bucket_size)
+    the clamp makes cells grow linearly again; a near-clone cluster
+    past that is a curation bug upstream of dedup (SCALING.md
+    §near-clone residual). Measured (tools/scaling_probe.py minhash):
+    the 2k near-clone residual drops 28.1 s → 9.5 s end-to-end once
+    its generation is forced hot (cap=512), same survivors; at 20k
+    near-clones the former 2.0e8-pair single key spreads over S=20
+    sub-groups / 210 cells with a 1.10e6-pair max cell (181×).
+
+    Cache lifecycle: ``buckets`` (bands narrow rows per doc) backs
+    both the hot-bucket count and the join input, so it is persisted
+    for the session — without it the signature aggregation upstream
+    would run twice. Spark's LRU evicts under pressure.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if hot_bucket_cap is None:
+        return _plain_band_pairs(buckets, id_col).distinct()
+    buckets = buckets.persist()
+    hot = (
+        buckets.groupBy("band", "bh").agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_bucket_cap)
+        .select(
+            "band", "bh",
+            F.least(F.ceil(F.col("__n") / hot_bucket_cap), F.lit(64))
+            .cast("int").alias("__s"),
+        )
+    )
+    tagged = buckets.join(F.broadcast(hot), ["band", "bh"], "left")
+    cold_pairs = _plain_band_pairs(
+        tagged.filter(F.col("__s").isNull()).drop("__s"), id_col
+    )
+    hotb = tagged.filter(F.col("__s").isNotNull()).withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    )
+    lft = hotb.select(
+        F.col(id_col), "band", "bh", F.col("__g").alias("i"),
+        F.explode(F.sequence(F.col("__g"), F.col("__s") - 1)).alias("j"),
+    ).alias("l")
+    rgt = hotb.select(
+        F.col(id_col), "band", "bh", F.col("__g").alias("j"),
+        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("i"),
+    ).alias("r")
+    hot_pairs = (
+        lft.join(rgt, ["band", "bh", "i", "j"])
+        .filter(
+            (F.col("i") < F.col("j"))
+            | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
@@ -137,7 +220,8 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
 
 def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        threshold: float = 0.8, num_hashes: int = 32,
-                       bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                       bands: int = 8, shingle_n: int = 3,
+                       hot_bucket_cap: int | None = 1024) -> DataFrame:
     """MinHash-LSH near-duplicate removal. A row is dropped iff a
     verified-similar row with a smaller id exists (keep-first rule —
     one anti-join, no iterative closure).
@@ -166,8 +250,13 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     collision tolerance the shingle hashing already accepts. Residual
     (documented in SCALING.md): NEAR-clone clusters (distinct sets,
     pairwise J >= t) still concentrate in band buckets and verify at
-    C(n,2) — the posture is exact-dedup-first (which this collapse now
-    builds in) and cascade ordering as in q_curation_full.
+    C(n,2) — the pair COUNT is contracted output, but since r11 its
+    GENERATION is no longer one task: buckets over ``hot_bucket_cap``
+    are triangle-split across ~(c/cap)^2/2 sub-keys in
+    minhash_candidate_pairs (r10 verdict #3), so the remaining cost is
+    the verify volume itself, spread flat. Posture stays
+    exact-dedup-first (which the collapse builds in) and cascade
+    ordering as in q_curation_full.
 
     Cache lifecycle (r10 advisor low, finished in r11): the frame
     backing the lazy result is ``rep_sets`` (signatures, both verify
@@ -224,7 +313,8 @@ def near_dedup_minhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     )
-    cand = minhash_candidate_pairs(sig, id_col, num_hashes, bands)
+    cand = minhash_candidate_pairs(sig, id_col, num_hashes, bands,
+                                   hot_bucket_cap=hot_bucket_cap)
     a_sets = rep_sets.withColumnRenamed(id_col, "a").withColumnRenamed("__set", "sa")
     b_sets = rep_sets.withColumnRenamed(id_col, "b").withColumnRenamed("__set", "sb")
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))

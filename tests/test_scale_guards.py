@@ -117,6 +117,57 @@ def test_embedding_bucket_stats_bounded_after_collapse(spark):
     assert max_n == 1  # one distinct vector -> one row per band
 
 
+# --------------------------------------- minhash hot-bucket triangle
+
+def _nearclone_docs(spark, n_clones: int = 15):
+    """A near-clone cluster the identical-set collapse canNOT merge:
+    every copy shares a 30-word base but appends one distinct token,
+    so shingle sets are distinct with pairwise J ~ 0.85 >= 0.6. Plus
+    a handful of mutually dissimilar docs (cold singleton buckets)."""
+    base = " ".join(f"word{i}" for i in range(30))
+    rows = [(i, f"{base} tail{i}") for i in range(n_clones)]
+    for j in range(100, 106):
+        rows.append((j, " ".join(f"doc{j}tok{k}" for k in range(12))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_pairs_triangle_split_preserves_pairs(spark):
+    """r10 verdict #3 exactness: cap=2 forces the triangle split on
+    every cluster bucket (15 > 2 -> S=8 sub-groups); the emitted
+    candidate-pair SET must equal the plain self-join's."""
+    from team_02_spark.operators.dedup import (
+        minhash_candidate_pairs, minhash_signature,
+    )
+    sig = minhash_signature(_nearclone_docs(spark), "doc_id", "text")
+    plain = {(r["a"], r["b"]) for r in
+             minhash_candidate_pairs(sig, "doc_id",
+                                     hot_bucket_cap=None).collect()}
+    split = {(r["a"], r["b"]) for r in
+             minhash_candidate_pairs(sig, "doc_id",
+                                     hot_bucket_cap=2).collect()}
+    assert split == plain
+    # the cluster's pairs actually flowed through the hot path: every
+    # clone pair shares all 8 bands (J ~0.85), so all C(15,2) appear
+    import itertools
+    assert set(itertools.combinations(range(15), 2)) <= split
+    # output contract: a < b everywhere
+    assert all(a < b for a, b in split)
+
+
+def test_minhash_dedup_hot_cap_preserves_result(spark):
+    from team_02_spark.operators.dedup import near_dedup_minhash
+    docs = _nearclone_docs(spark)
+    base = {r["doc_id"] for r in
+            near_dedup_minhash(docs, threshold=0.6,
+                               hot_bucket_cap=None).select("doc_id").collect()}
+    split = {r["doc_id"] for r in
+             near_dedup_minhash(docs, threshold=0.6,
+                                hot_bucket_cap=2).select("doc_id").collect()}
+    assert split == base
+    # keep-first: one survivor from the clone cluster, all cold docs kept
+    assert base == {0} | set(range(100, 106))
+
+
 # ------------------------------------------------ simhash block guard
 
 def _simhash_fixture(spark):

@@ -19,7 +19,7 @@ HEADLINE = {
     "q_window_rank": "one hashpartitioning exchange on the window key; rnk filter above",
     "q_topk": "TakeOrderedAndProject — per-partition heap, no global sort",
     "q_knn_topk": "probe set broadcast; corpus streams map-side; per-probe window keeps k",
-    "q_dedup_near": "minhash on pre-hashed longs; band-bucket equi-join; anti-join finish",
+    "q_dedup_near": "minhash on pre-hashed longs; band-bucket equi-join with hot-bucket triangle split (cold/hot union, +3 exchanges for the count pass + cell join — the r11 near-clone guard); anti-join finish",
     "q_join_asof": "union+window as-of: ONE shuffle on (user, time) instead of a range join",
     "q_dedup_embedding": "exact pre-collapse window; banded signature = ONE Arrow matmul UDF; bucket self-join carries vectors; cosine verify in-join (no reps re-join)",
     "q_knn_lsh": "corpus hashed map-side (single matmul UDF); multi-probe buckets broadcast; TWO-stage top-k (r9): partial rank per (probe, partition) bounds the final per-probe window however hot the direction",

@@ -219,15 +219,50 @@ def minhash_probe(replication: int) -> None:
     # residual: 2k NEAR-clones (distinct sets, J >= 0.6 pairwise) —
     # the collapse can't merge them; verify stays C(n,2). Fixed size,
     # not scaled by replication: the point is the measured constant.
+    # Since r11 (verdict #3) the C(n,2) GENERATION is triangle-split:
+    # measured twice, plain (cap=None) vs forced-hot (cap=512 -> the
+    # 2k bucket splits S=4 ways over 10 cells), same survivors.
     near = spark.range(2_000).select(
         (F.col("id") + 10_000_000).alias("doc_id"),
         F.concat(F.lit(hot_text + " tail"), F.col("id").cast("string")
                  ).alias("text"),
     )
+    near_corpus = base.unionByName(near)
     t0 = time.perf_counter()
     near_kept = near_dedup_minhash(
-        base.unionByName(near), threshold=0.6).count()
+        near_corpus, threshold=0.6, hot_bucket_cap=None).count()
     near_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    near_kept_split = near_dedup_minhash(
+        near_corpus, threshold=0.6, hot_bucket_cap=512).count()
+    near_split_s = time.perf_counter() - t0
+
+    # the 20k near-clone shape (verdict #3's probe ask) is too big to
+    # verify end-to-end locally (C(20k,2) x 8 bands ~ 1.6e9 raw pair
+    # rows — that VOLUME is contracted; the question is its SPREAD),
+    # so measure the generation layout exactly: group sizes under the
+    # operator's own pmod(xxhash64(id), S) split at the default cap,
+    # then the per-cell pair counts |g_i||g_j| (C(|g_i|,2) diagonal).
+    # max_cell is what the single biggest join key generates — the
+    # former single task owned pairs_total.
+    cap = 1024  # the operator default (minhash_candidate_pairs)
+    n_near = 20_000
+    s = min(64, -(-n_near // cap))  # ceil
+    groups = (
+        spark.range(n_near)
+        .select(F.pmod(F.xxhash64((F.col("id") + 10_000_000)), F.lit(s))
+                .cast("int").alias("g"))
+        .groupBy("g").count().collect()
+    )
+    gsz = {r["g"]: r["count"] for r in groups}
+    cells = {}
+    for i in range(s):
+        for j in range(i, s):
+            cells[(i, j)] = (
+                gsz.get(i, 0) * (gsz.get(i, 0) - 1) // 2 if i == j
+                else gsz.get(i, 0) * gsz.get(j, 0)
+            )
+    pairs_total = n_near * (n_near - 1) // 2
 
     print(json.dumps({
         "mode": "minhash", "replication": replication, "n_docs": total,
@@ -238,6 +273,13 @@ def minhash_probe(replication: int) -> None:
         "collapsed_candidate_pairs": rep_pairs,
         "dedup_sec": round(dedup_s, 2), "survivors": survivors,
         "nearclone_2k_sec": round(near_s, 2), "nearclone_kept": near_kept,
+        "nearclone_2k_split_sec": round(near_split_s, 2),
+        "nearclone_kept_split": near_kept_split,
+        "nc20k_subgroups": s,
+        "nc20k_cells": len(cells),
+        "nc20k_pairs_total": pairs_total,
+        "nc20k_max_cell_pairs": max(cells.values()),
+        "nc20k_spread_x": round(pairs_total / max(cells.values()), 1),
     }))
     spark.stop()
 
