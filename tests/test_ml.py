@@ -99,7 +99,8 @@ def test_embedder_deterministic_across_partitions(spark):
 
 
 @pytest.mark.parametrize("name", ["random_forest", "logistic_regression",
-                                  "linear_svc", "gaussian_nb", "gbt"])
+                                  "linear_svc", "svc_rbf_rff",
+                                  "gaussian_nb", "gbt"])
 def test_trainer_zoo(spark, name):
     """U3-U5/U7: each estimator fits on the embeddings fixture (binary
     label = label>=2) and beats random on the holdout."""
@@ -115,6 +116,60 @@ def test_trainer_zoo(spark, name):
     # metric structure and valid rates
     assert 0.0 <= metrics["precision"] <= 1.0
     assert 0.0 <= metrics["recall"] <= 1.0
+
+
+def _circles_df(spark, n_per_class: int = 200, seed: int = 3):
+    """Concentric circles (radius ~1 vs ~3, 2-d): the classic fixture
+    NO linear separator can beat by much, while an RBF kernel (and so
+    its random-Fourier approximation) separates cleanly."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for label, radius in ((0, 1.0), (1, 3.0)):
+        theta = rng.uniform(0, 2 * np.pi, n_per_class)
+        r = radius + rng.normal(0, 0.1, n_per_class)
+        for t, rr in zip(theta, r):
+            rows.append(([float(rr * np.cos(t)), float(rr * np.sin(t))],
+                         float(label)))
+    return spark.createDataFrame(rows, "embedding array<double>, y double")
+
+
+def test_rff_svc_separates_circles_where_linear_cannot(spark):
+    """U5: the RFF approximation must actually buy RBF behavior —
+    on concentric circles plain LinearSVC is near chance while
+    RFFLinearSVC classifies ≥ 90%. Deterministic fixture + seeds."""
+    from pyspark.ml.classification import LinearSVC
+    from team_02_spark.ml.models import RFFLinearSVC, _to_features
+
+    feats = _to_features(_circles_df(spark), "embedding", "y")
+    train, test = feats.randomSplit([0.8, 0.2], seed=15)
+
+    def accuracy(model):
+        agg = model.transform(test).agg(
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            .alias("acc")
+        ).first()
+        return agg["acc"]
+
+    linear_acc = accuracy(LinearSVC().fit(train))
+    rff_acc = accuracy(RFFLinearSVC(seed=0).fit(train))
+    assert rff_acc >= 0.9
+    assert linear_acc <= 0.7  # no linear split separates the rings
+    assert rff_acc > linear_acc
+
+
+def test_rff_svc_deterministic_and_validated(spark):
+    from team_02_spark.ml.models import RFFLinearSVC, _to_features
+
+    with pytest.raises(ValueError):
+        RFFLinearSVC(n_features=0)
+    feats = _to_features(_circles_df(spark, n_per_class=50), "embedding", "y")
+    a = RFFLinearSVC(n_features=64, seed=7).fit(feats)
+    b = RFFLinearSVC(n_features=64, seed=7).fit(feats)
+    pa = [r["prediction"] for r in a.transform(feats).collect()]
+    pb = [r["prediction"] for r in b.transform(feats).collect()]
+    assert pa == pb  # same seed -> same W/b -> same fitted surface
 
 
 def test_knn_classifier(spark):
