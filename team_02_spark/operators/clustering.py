@@ -1,0 +1,141 @@
+"""Distributed k-means clustering (Lloyd's algorithm) — the semantic-
+curation primitive (SemDeDup-style cluster-then-prune, source mixing
+by semantic bucket, IVF partition training at full scale).
+
+The reference has no clustering (its only unsupervised structure is
+the 199-line pandas script's absence of one); this is an LLM-data-
+pipeline extension operator like the dedup/ANN lanes. The IVF lane
+(operators/similarity.py) fits its codebook with a bounded DRIVER-side
+Lloyd on a ≤100k sample — correct for codebooks, but not a clustering
+OPERATOR: this one runs every iteration as DataFrame aggregations, so
+the full corpus participates at any scale.
+
+Exactness across engines (the DuckDB oracle hash-matches, not just
+row-counts): all arithmetic after a single deterministic quantization
+is INTEGER, so no floating-point reassociation can flip an argmin —
+the classic cross-engine k-means failure. Specifically:
+
+- quantize: q_i = FLOOR(CAST(v_i AS DOUBLE) * scale) AS BIGINT.
+  float→double is exact, one double multiply is one IEEE op (same
+  bits everywhere), FLOOR is exact — identical q in both engines.
+- distances: Σ (q_i − c_i)² in BIGINT — order-independent, exact.
+- argmin: min over (dist, cid) pairs — deterministic tie-break on
+  the smaller cluster id.
+- centroid update: component = FLOOR(CAST(Σ q_i AS DOUBLE) / n).
+  The BIGINT sum is exact and order-independent; ONE double divide
+  is one IEEE op; FLOOR is exact. (Integer `div` is avoided because
+  truncation direction for negatives differs across engines.)
+
+Scale posture (100 TB): per iteration, assignment is a k-row
+broadcast crossJoin (k ≤ 64 centroids of d longs — bytes, not data)
+plus one groupBy(id) min-struct shuffle; the update is one
+groupBy(cluster, pos) integer-sum shuffle (k·d output rows) plus a
+k-row centroid rebuild. No driver collect, no iteration-growing
+lineage beyond the fixed unrolled depth. Empty clusters drop (plain
+Lloyd semantics) — both engines drop them identically.
+
+Overflow headroom: |q_i| ≤ scale·max|v|; per-pair term ≤ (2·scale)²,
+×d ≈ 2.6e10 at scale=1e4, d=64. The update sum ≤ scale·N — exact in
+BIGINT to N ~ 9e14 rows/cluster, and exact in the double divide to
+Σ ≤ 2^53 (N ~ 9e11 rows/cluster at scale=1e4): far past any real
+cluster before rounding in the MEAN's last quantum could occur, and
+even then both engines round the same IEEE way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def quantize_vec(vec_col: str, scale: int = 10_000):
+    """array<float/double> → array<bigint>, exactly reproducible in
+    DuckDB as list_transform(v, x -> CAST(FLOOR(CAST(x AS DOUBLE) *
+    scale) AS BIGINT))."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _sqdist(a, b):
+    """Σ (a_i − b_i)² as a BIGINT left fold — integer, so engine
+    summation order cannot matter."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(qdf: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, __q) × broadcast centroids (cid, __c) → (id, cluster).
+    k-row broadcast crossJoin: every row scores every centroid, the
+    min (dist, cid) struct is the deterministic argmin."""
+    scored = qdf.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.struct(
+            _sqdist(F.col("__q"), F.col("__c")).alias("d"),
+            F.col("cid"),
+        ).alias("__dc"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min("__dc").getField("cid").alias("cluster")
+    )
+
+
+def _update(qdf: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
+    """Recompute centroids from an assignment: exact BIGINT component
+    sums, then one double divide + FLOOR per component (see module
+    docstring for why not integer div)."""
+    ex = (
+        qdf.join(assign, id_col)
+        .select("cluster", F.posexplode("__q").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        ex.withColumn(
+            "c",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("long"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st.getField("c"),
+            ).alias("__c")
+        )
+        .select(F.col("cluster").alias("cid"), "__c")
+    )
+
+
+def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", *, k: int = 8, iters: int = 2,
+                  scale: int = 10_000) -> DataFrame:
+    """Lloyd's k-means, ``iters`` unrolled iterations, deterministic:
+    initial centroids are the quantized vectors of the k smallest ids
+    (the seeding every engine can reproduce — k-means++ needs an RNG
+    the oracle can't share). Returns (id_col, cluster int).
+
+    ``iters`` is a fixed unroll (like q_pagerank's fixed-point
+    rounds), not convergence-tested — the operator is a curation
+    primitive (bucket the corpus semantically), not a model-quality
+    fit; callers wanting convergence run more iterations.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
+    w = Window.orderBy(id_col)
+    cents = (
+        qdf.orderBy(id_col).limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
+                F.col("__q").alias("__c"))
+    )
+    assign = _assign(qdf, cents, id_col)
+    for _ in range(iters - 1):
+        cents = _update(qdf, assign, id_col)
+        assign = _assign(qdf, cents, id_col)
+    return assign.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))

@@ -637,3 +637,77 @@ def q_embedding_drift(spark, sf_dir):
         F.round(cos, 4).alias("centroid_cosine"),
         F.round(F.lit(1.0) - cos, 4).alias("drift"),
     )
+
+
+# Lloyd k-means, 2 unrolled iterations, in EXACT fixed-point integer
+# arithmetic (operators/clustering.py module docstring carries the
+# cross-engine exactness argument: one deterministic FLOOR(double*1e4)
+# quantization, then BIGINT distances/sums and a single IEEE divide
+# per centroid component — no reassociation can flip an argmin, so
+# the oracle hash-matches the assignment, not just its shape).
+_KMEANS_ORACLE = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               qv AS cv
+        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+    ),
+    d1 AS (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+        FROM q CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    u1 AS (
+        SELECT a1.cluster, t.pos, SUM(q.qv[t.pos]) AS s, COUNT(*) AS n
+        FROM a1 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) t
+        GROUP BY a1.cluster, t.pos
+    ),
+    c1 AS (
+        SELECT cluster AS cid,
+               list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY pos) AS cv
+        FROM u1 GROUP BY cluster
+    ),
+    d2 AS (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+        FROM q CROSS JOIN c1 c
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+    """
+
+
+@query("q_kmeans", oracle=_KMEANS_ORACLE)
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means (k=8, 2 Lloyd iterations) over the
+    embedding corpus — the SemDeDup-style semantic-bucketing
+    primitive (cluster, then prune/mix/balance per bucket). Per
+    iteration: a k-row broadcast crossJoin for assignment + one
+    integer-sum shuffle for the update; no driver collect; empty
+    clusters drop (plain Lloyd). Deterministic seeding (k smallest
+    vec_ids) so the DuckDB twin reproduces the exact assignment."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)

@@ -451,3 +451,48 @@ def test_mmr_diversify_single_candidate_query(spark):
     )
     out = mmr_diversify(probes, emb, k=3, shortlist_n=1).collect()
     assert len(out) == 1 and out[0]["c_id"] == 1 and out[0]["sel_rank"] == 1
+
+
+# --------------------------------------------- distributed k-means
+
+def test_kmeans_partitions_ids_exactly_once(spark):
+    """Every vector gets exactly one cluster in [0, k)."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2).collect()
+    assert len(out) == emb.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    assert all(0 <= r["cluster"] < 8 for r in out)
+
+
+def test_kmeans_k1_and_validation(spark):
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    out = kmeans_assign(emb, "embedding", "vec_id", k=1, iters=1).collect()
+    assert {r["cluster"] for r in out} == {0}
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, "embedding", "vec_id", k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, "embedding", "vec_id", iters=0)
+
+
+def test_kmeans_identical_vectors_coassigned_and_deterministic(spark):
+    """Identical vectors quantize identically, so they share distances
+    to every centroid and the deterministic (dist, cid) tie-break
+    must co-assign them; the whole assignment repeats bit-for-bit."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    base = [([1.0, 0.0, 0.0, 0.0], i) for i in range(3)]          # clones
+    far = [([0.0, 1.0, 0.0, 0.0], 10), ([0.0, 0.0, 1.0, 0.0], 11),
+           ([0.0, 0.0, 0.0, 1.0], 12)]
+    df = spark.createDataFrame(
+        [(i, v) for v, i in base + far], "vec_id long, embedding array<double>"
+    )
+    a = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(df, k=3, iters=2).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(df, k=3, iters=2).collect()}
+    assert a == b
+    assert len({a[0], a[1], a[2]}) == 1  # clones share a cluster

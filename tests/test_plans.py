@@ -149,6 +149,21 @@ def test_behavior_lane_shuffle_budgets(spark):
     assert shuffle_count(_q(spark, "q_transition_matrix")) <= 3
 
 
+def test_kmeans_assignments_broadcast_and_bounded(spark):
+    """q_kmeans: every assignment must broadcast the k-row centroid
+    side (the corpus is never shuffled to score), no Python stage,
+    and the whole 2-iteration unroll stays inside a fixed exchange
+    budget (init sort/window + 1 assign-agg per iteration + 2 update
+    exchanges) — a regression to a shuffled centroid join or a UDF
+    would break the 100 TB posture."""
+    from team_02_spark.plans.inspect import uses_python_udf
+
+    df = _q(spark, "q_kmeans")
+    assert has_broadcast_join(df)
+    assert not uses_python_udf(df)
+    assert shuffle_count(df) <= 9
+
+
 def test_zscore_stats_join_is_broadcast(spark):
     # the |alphabet|-row stats side must broadcast; the fact table is
     # never shuffled (only the stats aggregate exchanges)

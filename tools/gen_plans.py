@@ -79,6 +79,7 @@ HEADLINE = {
     "q_growth_accounting": "events collapse to distinct (user, month) first; new/retained/resurrected/churned classify via ONE user_id window (lag); month cells are calendar-sized",
     "q_assoc_rules": "basket pairs bounded by per-order width (~7 lines); support/confidence/lift join item counts back at item-alphabet size — never a corpus self-join",
     "q_triangles_approx": "DOULION p=1/4: deterministic md5 edge gate is a MAP filter before the census; wedge join ~16x and closing join ~64x cheaper than exact; estimate = count x 64",
+    "q_kmeans": "integer-exact Lloyd: k-row BroadcastNestedLoopJoin per assignment (centroids are bytes), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
 }
 
 
