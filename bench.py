@@ -96,11 +96,14 @@ HEADLINE = [
     # r10 and r11 — monotone heal, forward re-heal — with no bench
     # row to catch a perf regression)
     "q_cdc_stream_bucketed",
-    # round 11 (NEW key): distributed integer-exact Lloyd k-means —
+    # round 11 (NEW keys): distributed integer-exact Lloyd k-means —
     # the semantic-bucketing lane (two broadcast-assign + one
     # integer-sum update shuffle per iteration; the first full-corpus
-    # iterative-clustering lane in the headline set)
+    # iterative-clustering lane in the headline set) — and the
+    # SemDeDup composite built on it (within-cluster cosine prune,
+    # the published cluster-then-dedup cascade)
     "q_kmeans",
+    "q_semdedup",
 ]
 
 

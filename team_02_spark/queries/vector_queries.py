@@ -18,7 +18,7 @@ from team_02_spark.operators.dedup import near_dedup_embedding
 from team_02_spark.operators.similarity import knn_classify, knn_lsh
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
-from team_02_spark.util import ensure_parallelism
+from team_02_spark.util import ensure_parallelism, shared_pass
 
 # Cosine in portable SQL: unnest both fixed-length lists positionally,
 # accumulate in double. DuckDB's generate_subscripts/list arithmetic:
@@ -645,7 +645,9 @@ def q_embedding_drift(spark, sf_dir):
 # quantization, then BIGINT distances/sums and a single IEEE divide
 # per centroid component — no reassociation can flip an argmin, so
 # the oracle hash-matches the assignment, not just its shape).
-_KMEANS_ORACLE = """
+# The CTE chain is shared with q_semdedup's oracle, which prunes
+# within the SAME clusters.
+_KMEANS_CTES = """
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -688,13 +690,19 @@ _KMEANS_ORACLE = """
                list_sum(list_transform(range(1, 65),
                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
         FROM q CROSS JOIN c1 c
+    ),
+    asg AS (
+        SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d2
+        ) WHERE rn = 1
     )
-    SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d, cid) AS rn
-        FROM d2
-    ) WHERE rn = 1
+    """
+
+_KMEANS_ORACLE = _KMEANS_CTES + """
+    SELECT vec_id, cluster FROM asg
     """
 
 
@@ -711,3 +719,75 @@ def q_kmeans(spark, sf_dir):
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+
+
+_SEMDEDUP_ORACLE = _KMEANS_CTES + """
+    , losers AS (
+        SELECT DISTINCT yb.vec_id
+        FROM asg xa JOIN asg ya
+          ON xa.cluster = ya.cluster AND xa.vec_id < ya.vec_id
+        JOIN embeddings xb ON xb.vec_id = xa.vec_id
+        JOIN embeddings yb ON yb.vec_id = ya.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(xb.embedding[i] AS DOUBLE)
+                     * CAST(yb.embedding[i] AS DOUBLE)))
+              / (SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(xb.embedding[i] AS DOUBLE)
+                       * CAST(xb.embedding[i] AS DOUBLE))))
+               * SQRT(list_sum(list_transform(range(1, 65),
+                    i -> CAST(yb.embedding[i] AS DOUBLE)
+                       * CAST(yb.embedding[i] AS DOUBLE)))))
+              >= 0.95
+    )
+    SELECT a.vec_id, a.cluster FROM asg a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+@query("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, public): k-means-bucket the
+    corpus, then prune cosine >= 0.95 near-duplicates WITHIN each
+    cluster, keep-first — the published semantic-dedup cascade that
+    avoids the all-pairs join by only comparing semantic neighbors.
+    Cross-cluster near-dups are deliberately not compared (the
+    paper's approximation); the oracle prunes within the SAME
+    deterministic clusters, so the survivor set hash-matches exactly.
+    Returns survivors as (vec_id, cluster).
+
+    Scale posture: cluster ids are the pair-join keys, so per-key
+    work is C(n/k, 2) — the SemDeDup dial is k itself (the paper
+    runs k ~ 11k on LAION so clusters stay small; kmeans_assign's k
+    scales the same way and each Lloyd iteration stays broadcast +
+    bounded shuffles). At the fixture SFs k=8 keeps the oracle's
+    quadratic twin cheap. The pair verify is punit+pdot (Arrow-batch
+    numpy — the HOF cosine fold was measured 5x slower on the ~1.5e6
+    within-cluster pairs): numpy's pairwise summation differs from
+    the oracle's left fold only in last ulps, and the 0.95 boundary
+    carries fixture margin (max real-fixture pair ~0.51; synthetic
+    near-dups sit >= 0.999 — the same guarantee q_dedup_embedding's
+    pdot verify relies on), so the survivor SET cannot flip."""
+    from team_02_spark.functions.vectors import pdot, punit
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    clusters = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+    # three consumers (both pair sides + the survivor anti-join) —
+    # lazily localCheckpoint so the 2-iteration clustering runs ONCE
+    tagged = emb.join(clusters, "vec_id").select(
+        "vec_id", "cluster", punit(F.col("embedding")).alias("u")
+    ).transform(shared_pass)
+    a = tagged.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("u").alias("ua")
+    )
+    b = tagged.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("u").alias("ub")
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(pdot(F.col("ua"), F.col("ub")) >= 0.95)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return tagged.select("vec_id", "cluster").join(losers, "vec_id", "left_anti")

@@ -496,3 +496,44 @@ def test_kmeans_identical_vectors_coassigned_and_deterministic(spark):
          for r in kmeans_assign(df, k=3, iters=2).collect()}
     assert a == b
     assert len({a[0], a[1], a[2]}) == 1  # clones share a cluster
+
+
+def test_semdedup_prunes_within_cluster_and_matches_oracle(spark, tmp_path):
+    """The driver fixture has NO cosine-0.95 pair (max pairwise cosine
+    ~0.51), so q_semdedup's driver row proves clustering + the no-op
+    prune only. This differential injects real near-duplicates (exact
+    clones + an epsilon-perturbed copy) into a synthetic embeddings
+    table and runs the REAL query against the REAL oracle on it: the
+    prune must bite (clones dropped, keep-first) AND still hash-match
+    DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from team_02_spark.queries.registry import QUERIES
+    from tests.oracle_harness import compare
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i]) for i in range(40)]
+    rows += [(100, base[0]), (101, base[0])]          # exact clones of 0
+    near = base[1] + 0.01 * base[2]                    # cosine ~0.9999 to 1
+    rows.append((102, (near / np.linalg.norm(near)).astype("float32")))
+    pdf = pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [list(map(float, r[1])) for r in rows],
+        "label": [0] * len(rows),
+    })
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'embeddings.parquet'}')")
+    spec = QUERIES["q_semdedup"]
+    got = spec.fn(spark, str(tmp_path))
+    want = con.execute(spec.oracle).fetchdf()
+    assert not compare(got, want)
+    kept = {r["vec_id"] for r in got.collect()}
+    assert {100, 101, 102}.isdisjoint(kept)  # clones + near-dup dropped
+    assert {0, 1} <= kept                    # keep-first originals survive
+    con.close()
