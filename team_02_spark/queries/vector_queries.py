@@ -766,21 +766,53 @@ def q_semdedup(spark, sf_dir):
     the oracle's left fold only in last ulps, and the 0.95 boundary
     carries fixture margin (max real-fixture pair ~0.51; synthetic
     near-dups sit >= 0.999 — the same guarantee q_dedup_embedding's
-    pdot verify relies on), so the survivor SET cannot flip."""
+    pdot verify relies on), so the survivor SET cannot flip.
+
+    Exact pre-collapse (the near_dedup_embedding guard, applied here
+    because the k dial canNOT split identical points — 20k exact
+    clones co-cluster at ANY k and would pay C(20k,2) under one
+    cluster key): unit-identical vectors collapse to their min-id
+    representative before the pair join. Exactness: a non-rep m has
+    dot(u, u) = 1 >= t with its rep r < m (loser regardless), and any
+    non-rep witness x < r for a rep r implies its own rep x0 <= x is
+    an equal-cosine witness in the same cluster (identical u ⇒ same
+    quantization ⇒ same cluster) — the minhash-collapse proof verbatim.
+    The collapse is the minhash r11 single-pass form (xxhash64(u)-keyed
+    min/min_by hash-agg with map-side combine — a window partitioned
+    on u would sort each clone group in ONE task, the very funnel the
+    guard removes; hash keying accepts the repo-standard 2^-64
+    collision tolerance). Zero vectors (cosine 0 by convention) key
+    on their own id so they never collapse."""
     from team_02_spark.functions.vectors import pdot, punit
     from team_02_spark.operators.clustering import kmeans_assign
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     clusters = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
-    # three consumers (both pair sides + the survivor anti-join) —
-    # lazily localCheckpoint so the 2-iteration clustering runs ONCE
     tagged = emb.join(clusters, "vec_id").select(
         "vec_id", "cluster", punit(F.col("embedding")).alias("u")
-    ).transform(shared_pass)
-    a = tagged.select(
+    )
+    key = F.when(
+        F.exists(F.col("u"), lambda x: x != 0.0), F.xxhash64(F.col("u"))
+    ).otherwise(F.xxhash64(F.col("u"), F.col("vec_id")))
+    reps = (
+        tagged.groupBy(key.alias("__k"))
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.min_by(F.struct("cluster", "u"), F.col("vec_id")).alias("__cu"),
+        )
+        .select(
+            "vec_id",
+            F.col("__cu.cluster").alias("cluster"),
+            F.col("__cu.u").alias("u"),
+        )
+        # three consumers (both pair sides + the survivor anti-join) —
+        # lazily localCheckpoint so clustering + collapse run ONCE
+        .transform(shared_pass)
+    )
+    a = reps.select(
         "cluster", F.col("vec_id").alias("a"), F.col("u").alias("ua")
     )
-    b = tagged.select(
+    b = reps.select(
         "cluster", F.col("vec_id").alias("b"), F.col("u").alias("ub")
     )
     losers = (
@@ -790,4 +822,4 @@ def q_semdedup(spark, sf_dir):
         .select(F.col("b").alias("vec_id"))
         .distinct()
     )
-    return tagged.select("vec_id", "cluster").join(losers, "vec_id", "left_anti")
+    return reps.select("vec_id", "cluster").join(losers, "vec_id", "left_anti")

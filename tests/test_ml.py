@@ -537,3 +537,41 @@ def test_semdedup_prunes_within_cluster_and_matches_oracle(spark, tmp_path):
     assert {100, 101, 102}.isdisjoint(kept)  # clones + near-dup dropped
     assert {0, 1} <= kept                    # keep-first originals survive
     con.close()
+
+
+def test_semdedup_adversarial_replication_collapses_before_pairs(spark, tmp_path):
+    """The k dial cannot split identical points (clones co-cluster at
+    any k), so q_semdedup pre-collapses unit-identical vectors before
+    the within-cluster pair join — 500 clones cost one window, not
+    C(500,2) pair rows. Still oracle-hash-matched on the temp table
+    (the collapse is exactness-preserving)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from team_02_spark.queries.registry import QUERIES
+    from tests.oracle_harness import compare
+
+    rng = np.random.RandomState(9)
+    distinct = rng.standard_normal((10, 64)).astype("float32")
+    distinct /= np.linalg.norm(distinct, axis=1, keepdims=True)
+    v = distinct[0]
+    rows = [(i, v) for i in range(500)]                      # clone block
+    rows += [(1000 + j, distinct[j]) for j in range(1, 10)]  # distinct tail
+    pdf = pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [list(map(float, r[1])) for r in rows],
+        "label": [0] * len(rows),
+    })
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'embeddings.parquet'}')")
+    spec = QUERIES["q_semdedup"]
+    got = spec.fn(spark, str(tmp_path))
+    want = con.execute(spec.oracle).fetchdf()
+    assert not compare(got, want)
+    kept = {r["vec_id"] for r in got.collect()}
+    assert 0 in kept and kept.isdisjoint(set(range(1, 500)))
+    assert set(range(1001, 1010)) <= kept
+    con.close()

@@ -80,6 +80,7 @@ HEADLINE = {
     "q_assoc_rules": "basket pairs bounded by per-order width (~7 lines); support/confidence/lift join item counts back at item-alphabet size — never a corpus self-join",
     "q_triangles_approx": "DOULION p=1/4: deterministic md5 edge gate is a MAP filter before the census; wedge join ~16x and closing join ~64x cheaper than exact; estimate = count x 64",
     "q_kmeans": "integer-exact Lloyd: k-row BroadcastNestedLoopJoin per assignment (centroids are bytes), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
+    "q_semdedup": "SemDeDup cascade: kmeans clusters -> xxhash64(u) min/min_by exact pre-collapse (clone-immune) -> within-cluster pair join on reps with Arrow pdot verify -> keep-first anti-join",
 }
 
 
