@@ -1371,6 +1371,67 @@ def basket_probe(replication: int) -> None:
     spark.stop()
 
 
+def kmeans_probe(replication: int) -> None:
+    """Clustering-lane sweep: (a) kmeans_assign end-to-end on the
+    sf0.1 embeddings replicated Nx (fresh vec_ids, vector VALUES
+    repeat — the build_sf1 convention), expecting scan-linear
+    wall-clock: every per-iteration structure (k-row broadcast, k*d
+    update output) is corpus-size-independent; (b) the SemDeDup
+    adversarial clone shape — ONE vector cloned 20k x on top of the
+    base corpus — where the k dial is useless (identical points
+    co-cluster at any k) and only the exact pre-collapse keeps the
+    within-cluster pair join off a C(20k,2) single key. (b) is
+    fixed-size by design: the point is the measured constant."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.clustering import kmeans_assign
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-kmeans-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = base.count()
+    corp = base
+    for i in range(1, replication):
+        corp = corp.unionByName(
+            base.select((F.col("vec_id") + i * n).alias("vec_id"),
+                        "embedding", "label")
+        )
+    corp = corp.repartition(32).persist()
+    total = corp.count()
+    corp.write.format("noop").mode("overwrite").save()  # warm
+
+    t0 = time.perf_counter()
+    asg = kmeans_assign(corp, "embedding", "vec_id", k=8, iters=2)
+    asg.write.format("noop").mode("overwrite").save()
+    kmeans_s = time.perf_counter() - t0
+
+    # (b) clone-adversarial SemDeDup via the real query on a temp dir
+    hot = base.filter(F.col("vec_id") == 0).first()
+    clones = spark.range(20_000).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.lit(hot["embedding"]).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    tmp = tempfile.mkdtemp(prefix="kmeans_probe_")
+    base.unionByName(clones.select("vec_id", "embedding", "label")) \
+        .write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    t0 = time.perf_counter()
+    kept = QUERIES["q_semdedup"].fn(spark, tmp).count()
+    sem_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "mode": "kmeans", "replication": replication, "n_vecs": total,
+        "kmeans_sec": round(kmeans_s, 2),
+        "semdedup_clone20k_sec": round(sem_s, 2),
+        "semdedup_kept": kept,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     mode, arg = sys.argv[1], int(sys.argv[2])
     if mode == "skew":
@@ -1440,6 +1501,9 @@ def main() -> None:
         return
     if mode == "bigram_lm":
         bigram_lm_probe(arg)
+        return
+    if mode == "kmeans":
+        kmeans_probe(arg)
         return
     if mode == "basket":
         basket_probe(arg)
