@@ -100,6 +100,22 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     target; if depth 3 still falls short, the corpus wants knn_ivf
     (trained partitions) rather than more probing.
 
+    Recommended settings (measured, SCALING.md lshcurve table — 50k
+    vectors in 200/1000 Gaussian clusters, recall@10 vs brute force):
+
+    ========== ====== ========= =====================================
+    planes     depth  probes    measured recall@10 (200 cl / 1000 cl)
+    ========== ====== ========= =====================================
+    8          1      9         0.62 / 0.48 — cheap default
+    8          2      37        0.88 / 0.73 — recall >= 0.85 target
+    14         2      106       0.53 — when per-bucket cost dominates
+                                (64x smaller buckets; depth buys back
+                                what the extra planes cost)
+    ========== ====== ========= =====================================
+
+    Marginal cost of depth 1 -> 2 was ~+15% wall-clock on that
+    corpus; depth > 3 raises (guarded by test_scale_guards).
+
     At scale this is the plan you want: the corpus is hashed once
     (map-side), the join is a shuffle on the bucket id (or broadcast if
     the probe set is small), and no pair outside a shared bucket is
