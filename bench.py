@@ -104,6 +104,9 @@ HEADLINE = [
     # the published cluster-then-dedup cascade)
     "q_kmeans",
     "q_semdedup",
+    # round 11 (NEW key): JL ±1 random projection — the map-only
+    # dim-reduction pre-step (plan-time literal matrix, zero shuffle)
+    "q_jl_project",
 ]
 
 

@@ -139,3 +139,70 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         cents = _update(qdf, assign, id_col)
         assign = _assign(qdf, cents, id_col)
     return assign.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
+
+
+# ------------------------------------------------- JL random projection
+
+def achlioptas_signs(d_out: int, d_in: int) -> list[list[float]]:
+    """±1 projection matrix from md5 parity — the Achlioptas (2001)
+    database-friendly JL construction (±1 entries satisfy the JL
+    lemma; no Gaussians needed), derived so ANY engine can recompute
+    it exactly: s[i][j] = +1 iff the FIRST hex digit of
+    md5("{i}_{j}") is even (the portable-SimHash md5-digit trick).
+    The oracle rebuilds the same matrix in SQL — the synthesized-
+    partsupp pattern: both engines derive the fixture from identical
+    public arithmetic, so the projection is fully hash-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "02468ace"
+            else -1.0
+            for j in range(d_in)
+        ]
+        for i in range(d_out)
+    ]
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding", *,
+               d_out: int = 16, d_in: int = 64,
+               decimals: int = 6) -> DataFrame:
+    """Johnson–Lindenstrauss projection to ``d_out`` dims:
+    z_i = (1/sqrt(d_out)) · Σ_j x_j · s_ij with the Achlioptas ±1
+    matrix above. The workhorse PRE-step for ANN/clustering at
+    corpus scale — distance-preserving (JL lemma) at a fraction of
+    the per-pair cost, entirely map-side (the matrix is a plan-time
+    literal, ~d_out·d_in doubles; no shuffle, no UDF, no driver
+    collect).
+
+    Cross-engine exactness: the inner product folds LEFT-TO-RIGHT
+    over j (F.aggregate ≡ DuckDB list_sum/list_transform — the
+    repo-standard sequential-accumulation identity), the 1/sqrt(16)
+    scale is the exactly-representable 0.25 when d_out is a perfect
+    square of a power of two, and the result is rounded to
+    ``decimals``. Output: input columns minus vec_col, plus ``z``
+    (array<double>, d_out entries)."""
+    import math
+
+    if d_out < 1:
+        raise ValueError(f"d_out must be >= 1, got {d_out}")
+    signs = achlioptas_signs(d_out, d_in)
+    scale = 1.0 / math.sqrt(d_out)
+    smat = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in signs
+    ])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    z = F.transform(
+        smat,
+        lambda srow: F.round(
+            F.aggregate(
+                F.zip_with(x, srow, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            decimals,
+        ),
+    )
+    return df.withColumn("z", z).drop(vec_col)

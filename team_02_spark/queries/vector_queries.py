@@ -823,3 +823,51 @@ def q_semdedup(spark, sf_dir):
         .distinct()
     )
     return reps.select("vec_id", "cluster").join(losers, "vec_id", "left_anti")
+
+
+@query(
+    "q_jl_project",
+    oracle="""
+    WITH sgn AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 16) i CROSS JOIN range(0, 64) j
+    ),
+    srows AS (SELECT i, list(s ORDER BY j) AS srow FROM sgn GROUP BY i),
+    smat AS (SELECT list(srow ORDER BY i) AS m FROM srows),
+    proj AS (
+        SELECT e.vec_id,
+               list_transform(range(1, 17), i ->
+                   ROUND(list_sum(list_transform(range(1, 65), j ->
+                       CAST(e.embedding[j] AS DOUBLE) * t.m[i][j])) * 0.25, 6)
+               ) AS z
+        FROM embeddings e CROSS JOIN smat t
+    )
+    SELECT vec_id, CAST(dim - 1 AS INT) AS dim, z[dim] AS v
+    FROM proj CROSS JOIN range(1, 17) r(dim)
+    """,
+)
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with the
+    Achlioptas ±1 matrix derived from md5 first-hex-digit parity —
+    the dimensionality-reduction pre-step for ANN/clustering at
+    corpus scale, fully oracle-checkable because BOTH engines derive
+    the same matrix from the same public md5 arithmetic (the
+    synthesized-partsupp pattern). Map-side only: the matrix is a
+    plan-time literal, no shuffle, no UDF, no driver collect; the
+    1/sqrt(16) scale is the exactly-representable 0.25 and the fold
+    order matches DuckDB's list_sum.
+
+    Exits EXPLODED — (vec_id, dim, v) — so the driver compares plain
+    doubles instead of engine-specific array renderings."""
+    from team_02_spark.operators.clustering import jl_project
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    proj = jl_project(emb, "embedding", d_out=16, d_in=64)
+    return proj.select(
+        "vec_id", F.posexplode("z").alias("dim", "v")
+    ).withColumn("dim", F.col("dim").cast("int"))

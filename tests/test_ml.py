@@ -575,3 +575,51 @@ def test_semdedup_adversarial_replication_collapses_before_pairs(spark, tmp_path
     assert 0 in kept and kept.isdisjoint(set(range(1, 500)))
     assert set(range(1001, 1010)) <= kept
     con.close()
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL lemma sanity on real fixture vectors: squared-distance
+    ratios between 16-dim projections and 64-dim originals
+    concentrate near 1 (loose bounds — d_out=16 gives wide but
+    bounded distortion; the MEDIAN must sit well inside)."""
+    import itertools
+
+    import numpy as np
+
+    from team_02_spark.operators.clustering import jl_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 30
+    )
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    proj = {r["vec_id"]: np.array(r["z"], dtype="float64")
+            for r in jl_project(emb.select("vec_id", "embedding")).collect()}
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+        d1 = float(np.sum((proj[a] - proj[b]) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    med = float(np.median(ratios))
+    assert 0.8 <= med <= 1.25  # measured 0.996 on the fixture
+    # individual pairs at d_out=16 have wide JL distortion (measured
+    # tail 0.27..2.86) — bound the envelope, not each pair tightly
+    assert all(0.1 <= r <= 4.0 for r in ratios)
+
+
+def test_jl_projection_deterministic_and_validated(spark):
+    from team_02_spark.operators.clustering import (
+        achlioptas_signs, jl_project,
+    )
+
+    with pytest.raises(ValueError):
+        jl_project(load_table(spark, SF_SMOKE, "embeddings"), d_out=0)
+    # the sign matrix is a pure function of (i, j): stable across calls
+    assert achlioptas_signs(4, 8) == achlioptas_signs(4, 8)
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(10).select(
+        "vec_id", "embedding"
+    )
+    a = {r["vec_id"]: r["z"] for r in jl_project(emb).collect()}
+    b = {r["vec_id"]: r["z"] for r in jl_project(emb).collect()}
+    assert a == b

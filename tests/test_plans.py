@@ -164,6 +164,20 @@ def test_kmeans_assignments_broadcast_and_bounded(spark):
     assert shuffle_count(df) <= 9
 
 
+def test_jl_projection_is_map_only(spark):
+    """q_jl_project: the sign matrix is a plan-time literal and the
+    fold is per-row — ZERO exchanges, no Python stage. A shuffle or
+    UDF here would break the map-only dim-reduction contract."""
+    from team_02_spark.plans.inspect import uses_python_udf
+
+    df = _q(spark, "q_jl_project")
+    # the ONE allowed exchange is ensure_parallelism's round-robin
+    # repartition of the single-file local fixture (fan-out for 32
+    # cores) — the projection itself adds zero exchanges on top
+    assert shuffle_count(df) <= 1
+    assert not uses_python_udf(df)
+
+
 def test_zscore_stats_join_is_broadcast(spark):
     # the |alphabet|-row stats side must broadcast; the fact table is
     # never shuffled (only the stats aggregate exchanges)

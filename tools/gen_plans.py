@@ -81,6 +81,7 @@ HEADLINE = {
     "q_triangles_approx": "DOULION p=1/4: deterministic md5 edge gate is a MAP filter before the census; wedge join ~16x and closing join ~64x cheaper than exact; estimate = count x 64",
     "q_kmeans": "integer-exact Lloyd: k-row BroadcastNestedLoopJoin per assignment (centroids are bytes), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
     "q_semdedup": "SemDeDup cascade: kmeans clusters -> xxhash64(u) min/min_by exact pre-collapse (clone-immune) -> within-cluster pair join on reps with Arrow pdot verify -> keep-first anti-join",
+    "q_jl_project": "map-only JL projection: plan-time literal sign matrix, per-row left-fold dots, posexplode exit; zero exchanges from the operator (the one visible is ensure_parallelism's local-fixture fan-out) — the map-only shape a 100 TB pre-step must have",
 }
 
 
