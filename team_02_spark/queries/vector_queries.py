@@ -871,3 +871,121 @@ def q_jl_project(spark, sf_dir):
     return proj.select(
         "vec_id", F.posexplode("z").alias("dim", "v")
     ).withColumn("dim", F.col("dim").cast("int"))
+
+
+@query(
+    "q_knn_jl",
+    oracle="""
+    WITH sgn AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 16) i CROSS JOIN range(0, 64) j
+    ),
+    srows AS (SELECT i, list(s ORDER BY j) AS srow FROM sgn GROUP BY i),
+    smat AS (SELECT list(srow ORDER BY i) AS m FROM srows),
+    proj AS (
+        SELECT e.vec_id, e.embedding,
+               list_transform(range(1, 17), i ->
+                   ROUND(list_sum(list_transform(range(1, 65), j ->
+                       CAST(e.embedding[j] AS DOUBLE) * t.m[i][j])) * 0.25, 6)
+               ) AS z
+        FROM embeddings e CROSS JOIN smat t
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, z AS qz
+          FROM proj WHERE vec_id < 5),
+    coarse AS (
+        SELECT q.q_id, c.vec_id AS c_id, c.embedding, q.q_vec,
+               ROUND(list_sum(list_transform(range(1, 17), i ->
+                   (q.qz[i] - c.z[i]) * (q.qz[i] - c.z[i]))), 6) AS d2
+        FROM proj c, q
+        WHERE c.vec_id <> q.q_id
+    ),
+    cand AS (
+        SELECT q_id, c_id, embedding, q_vec FROM (
+            SELECT q_id, c_id, embedding, q_vec,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY d2, c_id) AS crnk
+            FROM coarse
+        ) WHERE crnk <= 50
+    ),
+    exact AS (
+        SELECT q_id, c_id,
+               ROUND(list_sum(list_transform(range(1, 65),
+                   i -> CAST(q_vec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+               , 6) AS score
+        FROM cand
+    )
+    SELECT q_id, c_id, score, rnk FROM (
+        SELECT q_id, c_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, c_id) AS INT) AS rnk
+        FROM exact
+    ) WHERE rnk <= 10
+    """,
+)
+def q_knn_jl(spark, sf_dir):
+    """Project-filter-refine ANN (J5): JL-project corpus + probes to
+    16 dims (map-only, deterministic Achlioptas matrix), coarse
+    top-50 per probe by projected squared-L2 (4x cheaper per pair
+    than 64-dim scoring), exact 64-dim cosine re-rank to top-10.
+    Unlike q_knn_lsh (probabilistic buckets → rows-only), EVERY stage
+    here is deterministic in both engines, so this approximate-ANN
+    lane carries a full value-hash oracle — candidate set included.
+    The coarse stage is the oracle-able brute baseline of the
+    template; at 100 TB the same refine pattern runs behind knn_lsh /
+    knn_ivf candidate generation instead of a full scan. Ties break
+    on c_id at both stages; all scores rounded 6dp pre-rank.
+
+    Measured recall@10 vs q_knn_topk: 0.76 on a structured corpus
+    (20 Gaussian clusters x 100 members, pinned >= 0.7 in test_ml)
+    while exactly re-ranking only 50/2000 = 2.5% of the corpus;
+    0.16 on the near-uniform driver fixture — the SAME fixture
+    pathology as knn_lsh's documented 0.17 cold row (all cosines
+    concentrate, rank is score-tie noise), not the template ceiling.
+    Dials: candidate width (50) trades exact-rerank cost for recall;
+    d_out (16) trades coarse-stage cost for JL distortion."""
+    from team_02_spark.operators.clustering import jl_project
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    proj = jl_project(emb.withColumn("__e", F.col("embedding")), "embedding") \
+        .withColumnRenamed("__e", "embedding")
+    probes = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("z").alias("qz"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qz"), F.col("z"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    coarse = (
+        proj.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        .withColumn("d2", d2)
+    )
+    wc = Window.partitionBy("q_id").orderBy("d2", F.col("vec_id"))
+    cand = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= 50)
+        .select("q_id", F.col("vec_id").alias("c_id"), "q_vec", "embedding")
+    )
+    exact = cand.withColumn(
+        "score", F.round(cosine(F.col("q_vec"), F.col("embedding")), 6)
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("c_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(we).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "c_id", "score", "rnk")
+    )

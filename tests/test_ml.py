@@ -623,3 +623,38 @@ def test_jl_projection_deterministic_and_validated(spark):
     a = {r["vec_id"]: r["z"] for r in jl_project(emb).collect()}
     b = {r["vec_id"]: r["z"] for r in jl_project(emb).collect()}
     assert a == b
+
+
+def test_knn_jl_recall_on_structured_corpus(spark, tmp_path):
+    """q_knn_jl's project-filter-refine template: on a corpus where
+    recall is well-defined (20 Gaussian clusters — the lshcurve
+    construction) the JL coarse@50 stage keeps >= 0.7 of the exact
+    top-10 while re-ranking only 2.5% of the corpus exactly. (On the
+    near-uniform driver fixture recall is score-tie noise — the
+    documented knn_lsh fixture pathology.)"""
+    import numpy as np
+    import pandas as pd
+
+    from team_02_spark.queries.registry import QUERIES
+
+    rng = np.random.RandomState(4)
+    centers = rng.standard_normal((20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(100):
+            v = centers[c] + 0.08 * rng.standard_normal(64)
+            v = (v / np.linalg.norm(v)).astype("float32")
+            rows.append((vid, list(map(float, v)), c))
+            vid += 1
+    pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [r[1] for r in rows],
+        "label": [r[2] for r in rows],
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    exact = {(r["q_id"], r["c_id"]) for r in
+             QUERIES["q_knn_topk"].fn(spark, str(tmp_path)).collect()}
+    jl = {(r["q_id"], r["c_id"]) for r in
+          QUERIES["q_knn_jl"].fn(spark, str(tmp_path)).collect()}
+    assert len(exact & jl) / len(exact) >= 0.7  # measured 0.76
