@@ -989,3 +989,43 @@ def q_knn_jl(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .select("q_id", "c_id", "score", "rnk")
     )
+
+
+@query(
+    "q_cluster_profile",
+    oracle=_KMEANS_CTES + """
+    , tot AS (SELECT COUNT(*) AS n_total FROM asg)
+    SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS share,
+           MIN(a.vec_id) AS first_member
+    FROM asg a CROSS JOIN tot t
+    GROUP BY a.cluster, t.n_total
+    """,
+)
+def q_cluster_profile(spark, sf_dir):
+    """Cluster observability: per-bucket size, corpus share, and the
+    representative (min-id) member for the deterministic k-means
+    assignment — the balance check a SemDeDup-style pipeline runs
+    BEFORE pruning (a bucket holding half the corpus means k is too
+    small; an empty one means Lloyd dropped it). Reuses the exact
+    clustering, so it hash-matches the same CTE chain; the share
+    divide is one IEEE op rounded 6dp."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    asg = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+    tot = asg.agg(F.count("*").alias("n_total"))
+    return (
+        asg.crossJoin(F.broadcast(tot))
+        .groupBy("cluster", "n_total")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("vec_id").alias("first_member"),
+        )
+        .select(
+            "cluster", "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+            .alias("share"),
+            "first_member",
+        )
+    )
