@@ -73,6 +73,8 @@ def _rff_map_col(df: DataFrame, features_col: str, w, b):
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _rff(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:  # np.vstack raises on an empty Arrow batch
+            return pd.Series([], dtype="object")
         x = np.vstack(batch.to_numpy())          # (n, d_in)
         z = scale * np.cos(x @ w.T + b)          # (n, D)
         return pd.Series(list(z))

@@ -187,12 +187,27 @@ def jl_project(df: DataFrame, vec_col: str = "embedding", *,
 
     if d_out < 1:
         raise ValueError(f"d_out must be >= 1, got {d_out}")
+    if d_in < 1:
+        raise ValueError(f"d_in must be >= 1, got {d_in}")
     signs = achlioptas_signs(d_out, d_in)
     scale = 1.0 / math.sqrt(d_out)
     smat = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in signs
     ])
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # Dimension guard: zip_with null-pads on length mismatch, which
+    # would silently turn z components null instead of failing — so a
+    # row whose vector is not exactly d_in long raises at execution.
+    x = F.when(
+        F.size(F.col(vec_col)) == d_in,
+        F.transform(F.col(vec_col), lambda v: v.cast("double")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: expected {d_in}-dim vector, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     z = F.transform(
         smat,
         lambda srow: F.round(

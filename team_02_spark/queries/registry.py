@@ -230,6 +230,10 @@ DRIVER_RECHECK: dict[str, int] = {
     "q_curation_full": 11,        # near-dedup stage shares that code
     "q_cdc_stream": 11,           # heal monotone r10 + re-scan r11
     "q_cdc_stream_bucketed": 11,  # same heal path, bucketed state
+    # r12 impl changes (same-day pins per the proven r11 convention):
+    "q_semdedup": 12,     # collapse key u -> raw embedding (advisor)
+    "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
+    "q_knn_jl": 12,       # shares jl_project's guarded map stage
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

@@ -771,15 +771,21 @@ def q_semdedup(spark, sf_dir):
     Exact pre-collapse (the near_dedup_embedding guard, applied here
     because the k dial canNOT split identical points — 20k exact
     clones co-cluster at ANY k and would pay C(20k,2) under one
-    cluster key): unit-identical vectors collapse to their min-id
-    representative before the pair join. Exactness: a non-rep m has
-    dot(u, u) = 1 >= t with its rep r < m (loser regardless), and any
-    non-rep witness x < r for a rep r implies its own rep x0 <= x is
-    an equal-cosine witness in the same cluster (identical u ⇒ same
-    quantization ⇒ same cluster) — the minhash-collapse proof verbatim.
-    The collapse is the minhash r11 single-pass form (xxhash64(u)-keyed
-    min/min_by hash-agg with map-side combine — a window partitioned
-    on u would sort each clone group in ONE task, the very funnel the
+    cluster key): RAW-identical vectors collapse to their min-id
+    representative before the pair join. The key is the raw embedding
+    (r11 advisor fix: a unit-vector key is NOT cluster-safe — v and
+    2v share u bitwise but FLOOR(raw*1e4) can quantize them into
+    different clusters, and a collapsed non-rep in another cluster
+    would be dropped where the no-collapse oracle keeps it).
+    Exactness with the raw key: raw-identical rows provably share
+    quantization, hence cluster, hence unit vector — so a non-rep m
+    has dot(u, u) = 1 >= t with its rep r < m in the SAME cluster
+    (loser regardless), and any non-rep witness x < r for a rep r
+    implies its own rep x0 <= x is an equal-cosine same-cluster
+    witness — the minhash-collapse proof verbatim. The collapse is
+    the minhash r11 single-pass form (xxhash64(raw)-keyed min/min_by
+    hash-agg with map-side combine — a window partitioned on the key
+    would sort each clone group in ONE task, the very funnel the
     guard removes; hash keying accepts the repo-standard 2^-64
     collision tolerance). Zero vectors (cosine 0 by convention) key
     on their own id so they never collapse."""
@@ -789,11 +795,15 @@ def q_semdedup(spark, sf_dir):
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     clusters = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
     tagged = emb.join(clusters, "vec_id").select(
-        "vec_id", "cluster", punit(F.col("embedding")).alias("u")
+        "vec_id",
+        "cluster",
+        F.col("embedding").alias("__raw"),
+        punit(F.col("embedding")).alias("u"),
     )
     key = F.when(
-        F.exists(F.col("u"), lambda x: x != 0.0), F.xxhash64(F.col("u"))
-    ).otherwise(F.xxhash64(F.col("u"), F.col("vec_id")))
+        F.exists(F.col("__raw"), lambda x: x != 0.0),
+        F.xxhash64(F.col("__raw")),
+    ).otherwise(F.xxhash64(F.col("__raw"), F.col("vec_id")))
     reps = (
         tagged.groupBy(key.alias("__k"))
         .agg(

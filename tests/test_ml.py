@@ -615,6 +615,15 @@ def test_jl_projection_deterministic_and_validated(spark):
 
     with pytest.raises(ValueError):
         jl_project(load_table(spark, SF_SMOKE, "embeddings"), d_out=0)
+    with pytest.raises(ValueError):
+        jl_project(load_table(spark, SF_SMOKE, "embeddings"), d_in=0)
+    # r11 advisor fix: a vector whose length != d_in must RAISE at
+    # execution, not null-pad through zip_with into silent null z's
+    bad = load_table(spark, SF_SMOKE, "embeddings").limit(1).select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(Exception, match="jl_project: expected 64-dim"):
+        jl_project(bad, d_in=64).collect()
     # the sign matrix is a pure function of (i, j): stable across calls
     assert achlioptas_signs(4, 8) == achlioptas_signs(4, 8)
     emb = load_table(spark, SF_SMOKE, "embeddings").limit(10).select(
