@@ -412,23 +412,89 @@ def simhash_block_stats(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return stacked.groupBy("block", "blk_value").agg(F.count("*").alias("n"))
 
 
+def _block_triangle_pairs(side: DataFrame, key: str, id_col: str,
+                          cap: int) -> DataFrame:
+    """Every unordered same-``key`` pair from ``side`` (columns:
+    id_col, simhash, key) as (a, b, hd), a < b, with key groups larger
+    than ``cap`` generated via the exact triangle split — the
+    ``minhash_candidate_pairs`` construction ported (r11 verdict #3):
+    S = ceil(n / cap) (clamped 64) hash sub-groups, self-join per
+    triangle cell (i, j) with 0 <= i <= j < S. Every pair lands in
+    exactly one cell (cross-group in (ga, gb), ga < gb; same-group on
+    the diagonal under id order — proof at minhash_candidate_pairs),
+    so the max generation task shrinks from C(n,2) to ~cap² while the
+    pair SET is unchanged. Cold keys pay only the one count probe."""
+    hot = (
+        side.groupBy(key).agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(
+            key,
+            F.least(F.ceil(F.col("__n") / cap), F.lit(64))
+            .cast("int").alias("__s"),
+        )
+    )
+    tagged = side.join(F.broadcast(hot), key, "left")
+    cold = tagged.filter(F.col("__s").isNull()).drop("__s")
+    cl, cr = cold.alias("l"), cold.alias("r")
+    cold_pairs = cl.join(
+        cr,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("a"),
+        F.col(f"r.{id_col}").alias("b"),
+        hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hd"),
+    )
+    hotb = tagged.filter(F.col("__s").isNotNull()).withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    )
+    lft = hotb.select(
+        F.col(id_col), "simhash", key, F.col("__g").alias("i"),
+        F.explode(F.sequence(F.col("__g"), F.col("__s") - 1)).alias("j"),
+    ).alias("l")
+    rgt = hotb.select(
+        F.col(id_col), "simhash", key, F.col("__g").alias("j"),
+        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("i"),
+    ).alias("r")
+    hot_pairs = (
+        lft.join(rgt, [key, "i", "j"])
+        .filter(
+            (F.col("i") < F.col("j"))
+            | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hd"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
                       max_hamming: int = 3,
-                      block_bucket_cap: int | None = 100_000) -> DataFrame:
+                      block_bucket_cap: int | None = 4096) -> DataFrame:
     """Candidate generation + verify for SimHash dedup over a
     fingerprint frame (id_col, simhash): 4-block pigeonhole equi-joins,
     full-distance verify. Returns verified dup pairs (a, b), a < b.
 
-    Skew guard: real text skews the 16-bit blocks (shared prefixes /
+    Skew guard (r12 — exact, replaces the former recall-degrading
+    exclusion): real text skews the 16-bit blocks (shared prefixes /
     boilerplate make one block value hot), and a hot block bucket is
     quadratic in its size. Block values whose bucket exceeds
-    ``block_bucket_cap`` are EXCLUDED from that one block's join — the
-    stop-word trick. A true pair (hamming ≤ max_hamming ≤ 3) shares
-    ≥ 1 of the 4 blocks by pigeonhole; it is missed only if EVERY
-    block it shares is hot, so recall degrades gracefully and only on
-    pathological corpora. Cap None disables the guard."""
+    ``block_bucket_cap`` now generate their pairs via the exact
+    triangle split (``_block_triangle_pairs`` — the
+    minhash_candidate_pairs construction): S = ceil(n/cap) hash
+    sub-groups, per-cell joins, every pair in exactly one cell. The
+    pair set is IDENTICAL to the unguarded self-join at any cap
+    (pinned by test_simhash_triangle_split_preserves_pairs), so
+    pigeonhole recall at hamming ≤ max_hamming ≤ 3 is unconditional —
+    no bucket is ever suppressed. Max generation task ~cap² pair
+    candidates (bit-ops only); beyond n = 64·cap (~262k at the 4096
+    default) the S-clamp makes cells grow linearly again. Cap None
+    disables the split (and the four count probes)."""
     # the block frame feeds every pigeonhole join side plus the four
-    # hot-bucket probes (up to 12 consumers) — lazily localCheckpoint
+    # hot-bucket probes (up to 20 consumers) — lazily localCheckpoint
     # so the fingerprint derivation runs ONCE, not per consumer (an
     # unshared plan recomputed the corpus fingerprints 17 times)
     blocks = fps.select(
@@ -441,27 +507,27 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
     ).transform(shared_pass)
     pair_frames = []
     for i in range(4):
-        side = blocks
+        side = blocks.select(id_col, "simhash", f"blk{i}")
         if block_bucket_cap is not None:
-            hot = (
-                blocks.groupBy(f"blk{i}")
-                .agg(F.count("*").alias("__n"))
-                .filter(F.col("__n") > block_bucket_cap)
-                .select(f"blk{i}")
+            pair_frames.append(
+                _block_triangle_pairs(side, f"blk{i}", id_col,
+                                      block_bucket_cap)
             )
-            side = blocks.join(F.broadcast(hot), f"blk{i}", "left_anti")
-        l, r = side.alias("l"), side.alias("r")
-        pair_frames.append(
-            l.join(
-                r,
-                (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            ).select(
-                F.col(f"l.{id_col}").alias("a"),
-                F.col(f"r.{id_col}").alias("b"),
-                hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hd"),
+        else:
+            l, r = side.alias("l"), side.alias("r")
+            pair_frames.append(
+                l.join(
+                    r,
+                    (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+                ).select(
+                    F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"),
+                    hamming64(
+                        F.col("l.simhash"), F.col("r.simhash")
+                    ).alias("hd"),
+                )
             )
-        )
     pairs = pair_frames[0]
     for pf in pair_frames[1:]:
         pairs = pairs.unionByName(pf)
@@ -470,15 +536,15 @@ def simhash_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
 
 def near_dedup_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3,
-                       block_bucket_cap: int | None = 100_000,
+                       block_bucket_cap: int | None = 4096,
                        portable: bool = False) -> DataFrame:
     """SimHash near-dedup with the 4-block pigeonhole trick: split the
     64-bit fingerprint into 4 16-bit blocks; any pair within hamming
     distance 3 shares at least one exact block → equi-join per block
     (4 bucket joins, no cross join), then verify full distance.
-    Pigeonhole recall at hamming ≤ 3 is EXACT (not probabilistic)
-    while no block join is suppressed by the hot-block guard.
-    Hot-block skew guard: see ``simhash_dup_pairs``; ``portable``:
+    Pigeonhole recall at hamming ≤ 3 is EXACT (not probabilistic) and
+    UNCONDITIONAL: hot block buckets are triangle-split, never
+    suppressed (r12 — see ``simhash_dup_pairs``). ``portable``:
     see ``simhash``."""
     fps = simhash(df, id_col, text_col, portable=portable)
     dup = simhash_dup_pairs(fps, id_col, max_hamming, block_bucket_cap)

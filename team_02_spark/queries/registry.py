@@ -232,6 +232,7 @@ DRIVER_RECHECK: dict[str, int] = {
     "q_cdc_stream_bucketed": 11,  # same heal path, bucketed state
     # r12 impl changes (same-day pins per the proven r11 convention):
     "q_semdedup": 12,     # collapse key u -> raw embedding (advisor)
+    "q_dedup_simhash": 12,  # hot blocks: exclusion -> triangle split
     "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
     "q_knn_jl": 12,       # shares jl_project's guarded map stage
 }

@@ -174,8 +174,9 @@ def _simhash_fixture(spark):
     """Pathological block skew: 200 fingerprints share block0 == 0
     (pairwise hamming >> 3 via 47-bit random high parts), plus two true
     dup pairs — one differing only inside block0 (found via blocks
-    1-3), one with block0 == 0 differing in block1 (its block-0 join is
-    suppressed by the guard; found via blocks 2-3)."""
+    1-3), one with block0 == 0 differing in block1 (its block-0 join
+    runs through the hot-block triangle split; also found via blocks
+    2-3)."""
     rng = np.random.RandomState(11)
     rows = []
     highs = set()
@@ -206,6 +207,31 @@ def test_simhash_guard_matches_unguarded_on_skewed_fixture(spark):
     guarded = {(r["a"], r["b"]) for r in
                simhash_dup_pairs(fps, block_bucket_cap=50).collect()}
     assert guarded == unguarded
+
+
+def test_simhash_triangle_split_preserves_pairs(spark):
+    """r11 verdict #3 exactness: true pairs that share ONLY hot
+    blocks. 40 identical fingerprints (every pair is a dup; all four
+    block values hot at cap=10 → the former exclusion guard would have
+    dropped every one of these pairs) plus cold singletons. The split
+    must emit the exact unguarded pair set — recall is unconditional."""
+    import itertools
+
+    rng = np.random.RandomState(7)
+    rows = [(i, 0x0123_4567_89AB_CDEF - 2**63) for i in range(40)]
+    seen = set()
+    while len(seen) < 30:
+        seen.add(int(rng.randint(1, 2**60)))
+    rows += [(100 + j, v) for j, v in enumerate(sorted(seen))]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    plain = {(r["a"], r["b"]) for r in
+             simhash_dup_pairs(fps, block_bucket_cap=None).collect()}
+    split = {(r["a"], r["b"]) for r in
+             simhash_dup_pairs(fps, block_bucket_cap=10).collect()}
+    assert split == plain
+    # the clone cluster's C(40,2) pairs all flowed through the split
+    assert set(itertools.combinations(range(40), 2)) <= split
+    assert all(a < b for a, b in split)
 
 
 def test_simhash_block_stats_exposes_hot_bucket(spark):
