@@ -109,6 +109,53 @@ HEADLINE = [
     "q_jl_project",
 ]
 
+# Calibration instrument (r11 verdict nit #1): two consecutive rounds
+# measured UNTOUCHED keys uniformly inflated (+14.8% common-key total
+# r10 -> r11) — box noise consuming the vs-BASELINE margin invisibly.
+# These three tiny fixed-cost keys (scan+filter / hash-window /
+# TakeOrdered — stable sub-second lanes untouched since r2) act as the
+# session's clock: their median timing ratio against the newest
+# committed BENCH_r*.json at the SAME sf is emitted as "calib_ratio"
+# in the JSON line. A ratio ~1.15 with flat per-key structure says
+# "the box is 15% slower today", so round-over-round comparisons can
+# divide it out instead of mistaking environment drift for regression.
+CALIBRATION = ("q_topk", "q_filter_compound", "q_window_rank")
+
+
+def calibration_ratio(timings: dict, sf, root: str = ".") -> float | None:
+    """Median current/previous ratio over the CALIBRATION keys vs the
+    newest committed BENCH_r*.json whose sf matches. None when no
+    comparable prior record exists (first round, sf mismatch, or the
+    prior line clamped the calibration keys away)."""
+    import glob
+    import re
+    import statistics
+
+    best_round, prev = -1, None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best_round:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") != sf or not isinstance(rec.get("queries"), dict):
+            continue
+        best_round, prev = rnd, rec["queries"]
+    if prev is None:
+        return None
+    ratios = [
+        timings[k] / prev[k]
+        for k in CALIBRATION
+        if k in timings and isinstance(prev.get(k), (int, float)) and prev[k] > 0
+    ]
+    return round(statistics.median(ratios), 3) if ratios else None
+
 
 def clamp_line(payload: dict, limit: int) -> str:
     """Hard clamp (r9 advisor low): the cheap-first key ordering only
@@ -233,6 +280,9 @@ def main() -> None:
         "spread_max": spread_sorted[-1] if spread_sorted else 0.0,
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "runs": runs,
+        "calib_ratio": calibration_ratio(
+            timings, float(sf) if sf.replace(".", "").isdigit() else sf
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "metric": "headline_queries_total_sec",
         "value": total,

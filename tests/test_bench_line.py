@@ -96,6 +96,32 @@ def test_no_rounding_drift_across_many_drops():
                + d["queries_dropped_sec"] - d["value"]) <= 0.0006
 
 
+def test_calibration_ratio_against_newest_same_sf_record(tmp_path):
+    """r11 verdict nit #1: the calib keys' median timing ratio is taken
+    against the NEWEST committed BENCH record at the SAME sf; records
+    at other sf values and older rounds are ignored; no comparable
+    record -> None (never a crash)."""
+    from bench import CALIBRATION, calibration_ratio
+
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {k: 1.0 for k in CALIBRATION}}))
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {k: 2.0 for k in CALIBRATION}}))
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps(
+        {"sf": 0.01, "queries": {k: 0.1 for k in CALIBRATION}}))
+    cur = {k: 2.3 for k in CALIBRATION}
+    # r11 is the newest sf=0.1 record; r12 is sf-mismatched
+    assert calibration_ratio(cur, 0.1, root=str(tmp_path)) == 1.15
+    # sf with no record at all
+    assert calibration_ratio(cur, 1.0, root=str(tmp_path)) is None
+    # prior record clamped the calibration keys away -> no points
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q_other": 5.0}}))
+    assert calibration_ratio(cur, 0.1, root=str(tmp_path)) is None
+    # the sf filter is per-record: the sf=0.01 line pairs with r12 only
+    assert calibration_ratio(cur, 0.01, root=str(tmp_path)) == 23.0
+
+
 def test_floor_limit_sheds_detail_fields_and_stays_valid_json(capsys):
     """r10 advisor low: a limit below fixed-fields + one query entry
     used to exit the fold loop with an over-limit line. Now the
