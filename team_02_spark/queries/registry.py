@@ -233,6 +233,8 @@ DRIVER_RECHECK: dict[str, int] = {
     # r12 impl changes (same-day pins per the proven r11 convention):
     "q_semdedup": 12,     # collapse key u -> raw embedding (advisor)
     "q_dedup_simhash": 12,  # hot blocks: exclusion -> triangle split
+    "q_kmeans": 12,           # kmeans_assign gained adaptive-k/seeding
+    "q_cluster_profile": 12,  # flows through the same function
     "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
     "q_knn_jl": 12,       # shares jl_project's guarded map stage
 }

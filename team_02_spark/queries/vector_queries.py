@@ -759,8 +759,12 @@ def q_semdedup(spark, sf_dir):
     work is C(n/k, 2) — the SemDeDup dial is k itself (the paper
     runs k ~ 11k on LAION so clusters stay small; kmeans_assign's k
     scales the same way and each Lloyd iteration stays broadcast +
-    bounded shuffles). At the fixture SFs k=8 keeps the oracle's
-    quadratic twin cheap. The pair verify is punit+pdot (Arrow-batch
+    bounded shuffles). At corpus scale pass
+    ``target_cluster_size`` instead of a literal k — kmeans_assign
+    then derives k = adaptive_k(count, target) from one bounded
+    count (r12, operators/clustering.py), so a 100 TB caller never
+    inherits a fixture k. At the fixture SFs the pinned k=8 keeps
+    the oracle's quadratic twin cheap (same oracle as before). The pair verify is punit+pdot (Arrow-batch
     numpy — the HOF cosine fold was measured 5x slower on the ~1.5e6
     within-cluster pairs): numpy's pairwise summation differs from
     the oracle's left fold only in last ulps, and the 0.95 boundary
