@@ -109,7 +109,13 @@ def q_embed(spark, sf_dir):
     )
 
 
-_SCORE_MODELS = ["random_forest", "logistic_regression", "linear_svc", "knn", "gaussian_nb"]
+# r12 (r11 verdict #7): "svc_rbf_rff" joins the scored zoo so the
+# reference's RBF intent (sklearn SVC(kernel='rbf'), src/main.py:101-
+# 104 — approximated by ml.models.RFFLinearSVC) is exercised in the
+# U9 column-per-model pass end-to-end, not just unit-tested; the
+# oracle extends automatically (it is generated from this list).
+_SCORE_MODELS = ["random_forest", "logistic_regression", "linear_svc",
+                 "svc_rbf_rff", "knn", "gaussian_nb"]
 
 
 def _score_sql(name: str) -> str:

@@ -235,6 +235,7 @@ DRIVER_RECHECK: dict[str, int] = {
     "q_dedup_simhash": 12,  # hot blocks: exclusion -> triangle split
     "q_kmeans": 12,           # kmeans_assign gained adaptive-k/seeding
     "q_cluster_profile": 12,  # flows through the same function
+    "q_score_multi": 12,      # svc_rbf_rff added as a sixth column
     "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
     "q_knn_jl": 12,       # shares jl_project's guarded map stage
 }
