@@ -754,3 +754,11 @@ def test_knn_jl_recall_on_structured_corpus(spark, tmp_path):
     jl = {(r["q_id"], r["c_id"]) for r in
           QUERIES["q_knn_jl"].fn(spark, str(tmp_path)).collect()}
     assert len(exact & jl) / len(exact) >= 0.7  # measured 0.76
+    # the width dial's second documented operating point (r11 verdict
+    # #8): width=100 (5% rerank) saturates recall on this corpus —
+    # measured 1.00; pinned loosely against JL-matrix invariance
+    from team_02_spark.queries.vector_queries import _knn_jl_frame
+
+    jl100 = {(r["q_id"], r["c_id"]) for r in
+             _knn_jl_frame(spark, str(tmp_path), width=100).collect()}
+    assert len(exact & jl100) / len(exact) >= 0.95
