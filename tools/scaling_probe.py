@@ -284,6 +284,76 @@ def minhash_probe(replication: int) -> None:
     spark.stop()
 
 
+def simhash_probe(replication: int) -> None:
+    """Adversarial hot-block sweep for the SimHash dedup lane (r11
+    verdict #3 — the pigeonhole twin of the minhash probe): 10k x
+    replication synthetic fingerprints all sharing block0 == 0 with
+    random high bits (pairwise hamming >> 3, so they contribute ZERO
+    verified pairs — the cost is pure candidate GENERATION), on top
+    of the sf0.1 corpus fingerprints. Before r12 the block-0 join
+    either paid C(n,2) under one join key (cap=None) or EXCLUDED the
+    block (recall loss); now the triangle split spreads the same
+    exact pair set over S = ceil(n/cap) sub-groups. Reports measured
+    wall-clock plain vs split (same verified-pair count — the
+    exactness test in miniature, at probe scale) plus the derived
+    cell layout at the operator default cap."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    spark = get_spark(f"scaling-simhash-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fps_base = simhash(base, "doc_id", "text")
+    n = base.count()
+    hot_n = 10_000 * replication
+    # block0 (bits 0-15) == 0; bits 16-62 random and distinct -> the
+    # block-0 bucket holds every row, pairwise hamming far above 3
+    hot = spark.range(hot_n).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.shiftleft(F.xxhash64("id").bitwiseAND(F.lit((1 << 46) - 1)), 16)
+        .alias("simhash"),
+    )
+    fps = fps_base.unionByName(hot).repartition(32).persist()
+    fps.write.format("noop").mode("overwrite").save()  # warm
+
+    t0 = time.perf_counter()
+    plain = simhash_dup_pairs(fps, block_bucket_cap=None).count()
+    plain_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    split = simhash_dup_pairs(fps).count()  # default cap 4096
+    split_s = time.perf_counter() - t0
+
+    cap, s = 4096, min(64, -(-hot_n // cap))
+    groups = (
+        spark.range(hot_n)
+        .select(F.pmod(F.xxhash64((F.col("id") + n)), F.lit(s))
+                .cast("int").alias("g"))
+        .groupBy("g").count().collect()
+    )
+    gsz = {r["g"]: r["count"] for r in groups}
+    cells = {
+        (i, j): (gsz.get(i, 0) * (gsz.get(i, 0) - 1) // 2 if i == j
+                 else gsz.get(i, 0) * gsz.get(j, 0))
+        for i in range(s) for j in range(i, s)
+    }
+    pairs_total = hot_n * (hot_n - 1) // 2
+    print(json.dumps({
+        "mode": "simhash", "replication": replication,
+        "n_fps": n + hot_n, "hot_block_rows": hot_n,
+        "plain_sec": round(plain_s, 2), "plain_pairs": plain,
+        "split_sec": round(split_s, 2), "split_pairs": split,
+        "hot_subgroups": s, "hot_cells": len(cells),
+        "hot_pairs_total": pairs_total,
+        "hot_max_cell_pairs": max(cells.values()),
+        "hot_spread_x": round(pairs_total / max(cells.values()), 1),
+    }))
+    spark.stop()
+
+
 def lshcurve_probe(n_clusters: int) -> None:
     """Recall/cost curve for knn_lsh's probe_depth dial (r9 verdict
     #5) on a STRUCTURED corpus — the counterpart to the near-uniform
@@ -1460,6 +1530,9 @@ def main() -> None:
         return
     if mode == "minhash":
         minhash_probe(arg)
+        return
+    if mode == "simhash":
+        simhash_probe(arg)
         return
     if mode == "lshcurve":
         lshcurve_probe(arg)
