@@ -144,6 +144,10 @@ def calibration_ratio(timings: dict, sf, root: str = ".") -> float | None:
                 rec = json.load(fh)
         except (OSError, ValueError):
             continue
+        # the round driver wraps the emitted line under "parsed"
+        # (top-level sf is a string there); accept both shapes
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
         if rec.get("sf") != sf or not isinstance(rec.get("queries"), dict):
             continue
         best_round, prev = rnd, rec["queries"]

@@ -120,6 +120,11 @@ def test_calibration_ratio_against_newest_same_sf_record(tmp_path):
     assert calibration_ratio(cur, 0.1, root=str(tmp_path)) is None
     # the sf filter is per-record: the sf=0.01 line pairs with r12 only
     assert calibration_ratio(cur, 0.01, root=str(tmp_path)) == 23.0
+    # driver-wrapped shape: the record lives under "parsed"
+    (tmp_path / "BENCH_r14.json").write_text(json.dumps(
+        {"sf": "0.1", "rc": "0",
+         "parsed": {"sf": 0.1, "queries": {k: 4.6 for k in CALIBRATION}}}))
+    assert calibration_ratio(cur, 0.1, root=str(tmp_path)) == 0.5
 
 
 def test_floor_limit_sheds_detail_fields_and_stays_valid_json(capsys):

@@ -327,7 +327,8 @@ def simhash_probe(replication: int) -> None:
     split = simhash_dup_pairs(fps).count()  # default cap 4096
     split_s = time.perf_counter() - t0
 
-    cap, s = 4096, min(64, -(-hot_n // cap))
+    cap = 4096
+    s = min(64, -(-hot_n // cap))
     groups = (
         spark.range(hot_n)
         .select(F.pmod(F.xxhash64((F.col("id") + n)), F.lit(s))
