@@ -646,8 +646,13 @@ def q_embedding_drift(spark, sf_dir):
 # per centroid component — no reassociation can flip an argmin, so
 # the oracle hash-matches the assignment, not just its shape).
 # The CTE chain is shared with q_semdedup's oracle, which prunes
-# within the SAME clusters.
-_KMEANS_CTES = """
+# within the SAME clusters. The seed ORDER BY is parametrized (r12):
+# "vec_id" = the default first-k-ids seeding; the md5 form = the
+# kmeans_assign(seeding="md5_spread") deterministic uniform sample.
+
+
+def _kmeans_ctes(seed_order: str = "vec_id") -> str:
+    return """
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -655,10 +660,10 @@ _KMEANS_CTES = """
         FROM embeddings
     ),
     c0 AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed}) - 1 AS INT) AS cid,
                qv AS cv
-        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
-    ),
+        FROM (SELECT vec_id, qv FROM q ORDER BY {seed} LIMIT 8)
+    ),""".replace("{seed}", seed_order) + """
     d1 AS (
         SELECT q.vec_id, c.cid,
                list_sum(list_transform(range(1, 65),
@@ -701,6 +706,10 @@ _KMEANS_CTES = """
     )
     """
 
+
+_KMEANS_CTES = _kmeans_ctes()
+_KMEANS_SPREAD_CTES = _kmeans_ctes("md5(CAST(vec_id AS VARCHAR)), vec_id")
+
 _KMEANS_ORACLE = _KMEANS_CTES + """
     SELECT vec_id, cluster FROM asg
     """
@@ -719,6 +728,31 @@ def q_kmeans(spark, sf_dir):
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+
+
+@query(
+    "q_kmeans_spread",
+    oracle=_KMEANS_SPREAD_CTES + """
+    SELECT vec_id, cluster FROM asg
+    """,
+)
+def q_kmeans_spread(spark, sf_dir):
+    """q_kmeans with the r12 ``md5_spread`` seeding: initial centroids
+    are the k rows smallest by (md5(CAST(vec_id AS STRING)), vec_id)
+    — a deterministic uniform sample of the corpus instead of the
+    first k ids, so seeds land across the data distribution even when
+    id order correlates with content (r11 verdict #5). Both engines
+    render bigints and md5 identically and compare the lowercase-hex
+    strings bytewise, so the seed SET and ORDER — hence the whole
+    integer-exact assignment — hash-match. Everything after seeding
+    is the q_kmeans plan verbatim (k-row broadcast assign + bounded
+    integer-sum shuffles); the seeding adds one md5 per row to the
+    one-off seed scan, nothing to the iterations."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2,
+                         seeding="md5_spread")
 
 
 _SEMDEDUP_ORACLE = _KMEANS_CTES + """

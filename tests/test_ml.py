@@ -664,6 +664,48 @@ def test_semdedup_adversarial_replication_collapses_before_pairs(spark, tmp_path
     con.close()
 
 
+def test_semdedup_parallel_vectors_differential(spark, tmp_path):
+    """The r11 advisor's adversarial shape: parallel vectors of
+    different magnitude (v, 2v, 0.5v) share a BITWISE-identical unit
+    vector but quantize from different raw values — under the old
+    unit-keyed collapse they merged and could be dropped across
+    cluster lines; the raw-keyed collapse must leave them to the pair
+    join, where the oracle decides. Differential: Spark survivor set
+    hash-matches the no-collapse DuckDB oracle on the temp table."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from team_02_spark.queries.registry import QUERIES
+    from tests.oracle_harness import compare
+
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal((12, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for b in base:
+        for scale in (1.0, 2.0, 0.5):      # parallel, distinct raw
+            rows.append((vid, list(map(float, (scale * b).astype("float32")))))
+            vid += 1
+    # exact raw clones on top (the collapse's own lane)
+    rows += [(100 + j, rows[0][1]) for j in range(5)]
+    pdf = pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [r[1] for r in rows],
+        "label": [0] * len(rows),
+    })
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'embeddings.parquet'}')")
+    spec = QUERIES["q_semdedup"]
+    got = spec.fn(spark, str(tmp_path))
+    want = con.execute(spec.oracle).fetchdf()
+    assert not compare(got, want)
+    con.close()
+
+
 def test_jl_projection_preserves_distances(spark):
     """JL lemma sanity on real fixture vectors: squared-distance
     ratios between 16-dim projections and 64-dim originals
