@@ -651,19 +651,43 @@ def q_embedding_drift(spark, sf_dir):
 # kmeans_assign(seeding="md5_spread") deterministic uniform sample.
 
 
-def _kmeans_ctes(seed_order: str = "vec_id") -> str:
-    return """
+def _kmeans_ctes(seed_order: str = "vec_id",
+                 target_cluster_size: int | None = None) -> str:
+    """The shared k-means CTE chain. Default emits the original
+    fixed-k=8 SQL byte-identically; ``target_cluster_size`` switches
+    c0 to the adaptive form — k = clamp(ceil(n/target), 1, 65536)
+    computed from the same corpus count the Spark side uses
+    (operators/clustering.adaptive_k), so the derived k matches at
+    ANY scale factor."""
+    if target_cluster_size is None:
+        c0 = """
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed}) - 1 AS INT) AS cid,
+               qv AS cv
+        FROM (SELECT vec_id, qv FROM q ORDER BY {seed} LIMIT 8)
+    ),"""
+    else:
+        c0 = """
+    kk AS (
+        SELECT LEAST(65536, GREATEST(1,
+                   CAST(CEIL(COUNT(*) / {tgt}.0) AS BIGINT))) AS k
+        FROM q
+    ),
+    c0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cid, qv AS cv
+        FROM (SELECT vec_id, qv,
+                     ROW_NUMBER() OVER (ORDER BY {seed}) AS rn
+              FROM q)
+        CROSS JOIN kk WHERE rn <= kk.k
+    ),""".replace("{tgt}", str(target_cluster_size))
+    return ("""
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
         FROM embeddings
-    ),
-    c0 AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed}) - 1 AS INT) AS cid,
-               qv AS cv
-        FROM (SELECT vec_id, qv FROM q ORDER BY {seed} LIMIT 8)
-    ),""".replace("{seed}", seed_order) + """
+    ),"""
+            + c0.replace("{seed}", seed_order) + """
     d1 AS (
         SELECT q.vec_id, c.cid,
                list_sum(list_transform(range(1, 65),
@@ -704,7 +728,7 @@ def _kmeans_ctes(seed_order: str = "vec_id") -> str:
             FROM d2
         ) WHERE rn = 1
     )
-    """
+    """)
 
 
 _KMEANS_CTES = _kmeans_ctes()
@@ -753,6 +777,31 @@ def q_kmeans_spread(spark, sf_dir):
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     return kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2,
                          seeding="md5_spread")
+
+
+@query(
+    "q_kmeans_adaptive",
+    oracle=_kmeans_ctes(target_cluster_size=25) + """
+    SELECT vec_id, cluster FROM asg
+    """,
+)
+def q_kmeans_adaptive(spark, sf_dir):
+    """q_kmeans with k DERIVED from the corpus (r11 verdict #4 under
+    driver-hash protection): k = clamp(ceil(n / 25), 1, 65536),
+    computed from one bounded count on the Spark side
+    (kmeans_assign(target_cluster_size=25) → adaptive_k) and from
+    the SAME COUNT(*) arithmetic in the oracle's kk CTE — so the key
+    proves the derivation MATCHES at any scale factor, not just that
+    a fixed k clusters identically. At sf0.01 (n=200) the derived
+    k=8 coincides with q_kmeans; at sf0.1 (n=2000) it scales to
+    k=80 — the same query text, a corpus-dependent k, hash-green at
+    both. Per-iteration plan unchanged: the centroid side stays a
+    k-row broadcast (k longs × d — bytes at any realistic k)."""
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, "embedding", "vec_id", iters=2,
+                         target_cluster_size=25)
 
 
 _SEMDEDUP_ORACLE = _KMEANS_CTES + """
