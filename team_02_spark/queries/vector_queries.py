@@ -804,7 +804,7 @@ def q_kmeans_adaptive(spark, sf_dir):
                          target_cluster_size=25)
 
 
-_SEMDEDUP_ORACLE = _KMEANS_CTES + """
+_SEMDEDUP_TAIL = """
     , losers AS (
         SELECT DISTINCT yb.vec_id
         FROM asg xa JOIN asg ya
@@ -825,6 +825,8 @@ _SEMDEDUP_ORACLE = _KMEANS_CTES + """
     SELECT a.vec_id, a.cluster FROM asg a
     WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
     """
+
+_SEMDEDUP_ORACLE = _KMEANS_CTES + _SEMDEDUP_TAIL
 
 
 @query("q_semdedup", oracle=_SEMDEDUP_ORACLE)
@@ -876,11 +878,33 @@ def q_semdedup(spark, sf_dir):
     guard removes; hash keying accepts the repo-standard 2^-64
     collision tolerance). Zero vectors (cosine 0 by convention) key
     on their own id so they never collapse."""
+    return _semdedup_frame(spark, sf_dir, k=8)
+
+
+@query(
+    "q_semdedup_adaptive",
+    oracle=_kmeans_ctes(target_cluster_size=25) + _SEMDEDUP_TAIL,
+)
+def q_semdedup_adaptive(spark, sf_dir):
+    """The full SemDeDup cascade with the k dial DERIVED (r11 verdict
+    #4 end-to-end): k = clamp(ceil(n/25), 1, 65536) from one bounded
+    count on both sides (see q_kmeans_adaptive), then the same
+    within-cluster cosine >= 0.95 keep-first prune. At sf0.01 the
+    derived k=8 coincides with q_semdedup; at sf0.1 k=80 shrinks the
+    per-cluster pair join to ~C(25, 2) cells — the paper's posture
+    (clusters sized by target, pair work ~n·target/2) hash-proven at
+    two corpus sizes with one query text. Exact pre-collapse and
+    scale notes: q_semdedup's docstring applies verbatim."""
+    return _semdedup_frame(spark, sf_dir, target_cluster_size=25)
+
+
+def _semdedup_frame(spark, sf_dir, **kmeans_kwargs):
     from team_02_spark.functions.vectors import pdot, punit
     from team_02_spark.operators.clustering import kmeans_assign
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    clusters = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+    clusters = kmeans_assign(emb, "embedding", "vec_id", iters=2,
+                             **kmeans_kwargs)
     tagged = emb.join(clusters, "vec_id").select(
         "vec_id",
         "cluster",
