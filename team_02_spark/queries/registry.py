@@ -233,8 +233,13 @@ DRIVER_RECHECK: dict[str, int] = {
     # r12 impl changes (same-day pins per the proven r11 convention):
     "q_semdedup": 12,     # collapse key u -> raw embedding (advisor)
     "q_dedup_simhash": 12,  # hot blocks: exclusion -> triangle split
-    "q_kmeans": 12,           # kmeans_assign gained adaptive-k/seeding
-    "q_cluster_profile": 12,  # flows through the same function
+    # q_kmeans re-checks for the kmeans_assign signature change
+    # (adaptive-k/seeding args, default path plan-identical);
+    # q_cluster_profile deliberately NOT pinned — it derives from the
+    # SAME assignment q_kmeans re-proves, and its slot is needed so
+    # the window still covers the entire r5 staleness tail alongside
+    # the three new r12 keys (41 r5 + 6 pins + 3 new = 50).
+    "q_kmeans": 12,
     "q_score_multi": 12,      # svc_rbf_rff added as a sixth column
     "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
     "q_knn_jl": 12,       # shares jl_project's guarded map stage
