@@ -123,7 +123,19 @@ def adaptive_k(n_rows: int, target_cluster_size: int = 1024,
     clusters. ``q_cluster_profile`` is the observability companion —
     run it AFTER deriving k to confirm no bucket holds a corpus-sized
     share (a hot bucket means the embedding space is degenerate, not
-    that k is wrong)."""
+    that k is wrong).
+
+    Honest ceiling (measured, SCALING.md r12): with k ∝ n, flat
+    Lloyd's per-iteration assignment is n·k·d ∝ n²·d/target — the
+    sf0.1→sf1 decade reads 9.4× (vs ~1× for fixed k), the n² trend
+    emerging from under fixed costs. Past ~1e5-1e6 derived clusters
+    the flat broadcast-argmin stops being the right physical plan;
+    the in-repo remedies compose: assign in a JL projection
+    (``jl_project``, 4× fewer multiplies at d 64→16, distance-
+    preserving) and/or two-level coarse-then-refine assignment (the
+    ``knn_ivf`` layout: argmin over sqrt(k) coarse centroids, then
+    over that cell's children) — the standard faiss-style answer,
+    same integer-exact arithmetic per level."""
     import math
 
     if target_cluster_size < 1:
