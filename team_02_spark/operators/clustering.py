@@ -205,6 +205,115 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
     return assign.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
 
 
+# --------------------------------------- two-level (IVF-style) k-means
+
+def _fine_assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, __cc, __q) ⋈ broadcast (cc/fcid/centroid) ON the coarse
+    cell → (id, __cc, fcid). The join key is the cell id, so each row
+    scores only its OWN cell's ≤ k_fine centroids (per-row work
+    k_fine·d, not k·d); the centroid side is k_coarse·k_fine rows of
+    longs — broadcast bytes at any realistic k."""
+    scored = pts.join(F.broadcast(cents), "__cc").select(
+        F.col(id_col),
+        F.col("__cc"),
+        F.struct(
+            _sqdist(F.col("__q"), F.col("__c")).alias("d"),
+            F.col("fcid"),
+        ).alias("__dc"),
+    )
+    return scored.groupBy(id_col, "__cc").agg(
+        F.min("__dc").getField("fcid").alias("fcid")
+    )
+
+
+def _fine_update(pts: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
+    """Per-(cell, fine-id) centroid rebuild — the _update arithmetic
+    keyed by the composite (coarse, fine) cluster."""
+    ex = (
+        pts.join(assign.select(id_col, "fcid"), id_col)
+        .select("__cc", "fcid", F.posexplode("__q").alias("pos", "v"))
+        .groupBy("__cc", "fcid", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        ex.withColumn(
+            "c",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("long"),
+        )
+        .groupBy("__cc", "fcid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st.getField("c"),
+            ).alias("__c")
+        )
+    )
+
+
+def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", *, k_coarse: int = 8,
+                           k_fine: int = 8, iters: int = 2,
+                           scale: int = 10_000) -> DataFrame:
+    """Coarse-then-refine Lloyd assignment — the faiss/IVF-style scale
+    path for the regime where ``adaptive_k`` derives more clusters
+    than the flat broadcast-argmin can afford (its per-iteration
+    per-row work is k·d; measured 9.4× decade slope on
+    q_kmeans_adaptive once k grows with n, SCALING.md r12).
+
+    Level 1 runs exact ``kmeans_assign`` with k_coarse centroids;
+    level 2 re-runs the SAME integer-exact Lloyd arithmetic WITHIN
+    each coarse cell (seeds = the k_fine smallest ids per cell, one
+    row_number window; assignment joins each row to only its own
+    cell's centroids). Per-row work per iteration drops to
+    (k_coarse + k_fine)·d — at k = 10⁴ via 100×100, a 50× cut — while
+    every stage stays deterministic, integer-exact, and therefore
+    DuckDB-oracle-checkable (q_kmeans_twolevel): this is an
+    approximation of flat k-means (points refine only inside their
+    coarse cell — the IVF trade), but an exactly-defined, hash-
+    reproducible one, not an RNG heuristic.
+
+    Returns (id_col, cluster int) with the composite id
+    coarse·k_fine + fine. Cells smaller than k_fine seed fewer fine
+    centroids; empty fine clusters drop (plain Lloyd, both engines
+    identical)."""
+    if k_coarse < 1 or k_fine < 1:
+        raise ValueError(
+            f"k_coarse/k_fine must be >= 1, got {k_coarse}/{k_fine}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from team_02_spark.util import shared_pass
+
+    coarse = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
+                           scale=scale)
+    qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
+    # consumed by the seed window plus every fine assign/update pass —
+    # lazily localCheckpoint so the coarse Lloyd runs ONCE, not per
+    # consumer (its own plan is already iters deep)
+    pts = qdf.join(coarse, id_col).select(
+        F.col(id_col), F.col("cluster").alias("__cc"), "__q"
+    ).transform(shared_pass)
+    w = Window.partitionBy("__cc").orderBy(id_col)
+    seeds = (
+        pts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_fine)
+        .select(
+            "__cc",
+            (F.col("__rn") - 1).cast("int").alias("fcid"),
+            F.col("__q").alias("__c"),
+        )
+    )
+    assign = _fine_assign(pts, seeds, id_col)
+    for _ in range(iters - 1):
+        cents = _fine_update(pts, assign, id_col)
+        assign = _fine_assign(pts, cents, id_col)
+    return assign.select(
+        F.col(id_col),
+        (F.col("__cc") * k_fine + F.col("fcid")).cast("int").alias("cluster"),
+    )
+
+
 # ------------------------------------------------- JL random projection
 
 def achlioptas_signs(d_out: int, d_in: int) -> list[list[float]]:

@@ -241,8 +241,12 @@ DRIVER_RECHECK: dict[str, int] = {
     # the three new r12 keys (41 r5 + 6 pins + 3 new = 50).
     "q_kmeans": 12,
     "q_score_multi": 12,      # svc_rbf_rff added as a sixth column
-    "q_jl_project": 12,   # jl_project d_in dimension guard (advisor)
-    "q_knn_jl": 12,       # shares jl_project's guarded map stage
+    # q_knn_jl re-checks jl_project's new d_in guard (it runs the
+    # guarded map stage inside the bigger plan); q_jl_project itself
+    # deliberately NOT pinned — same freed-slot reasoning as
+    # q_cluster_profile: the window must also fit the four new r12
+    # keys on top of the whole r5 staleness tail (41 + 5 + 4 = 50).
+    "q_knn_jl": 12,
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

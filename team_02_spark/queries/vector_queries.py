@@ -804,6 +804,86 @@ def q_kmeans_adaptive(spark, sf_dir):
                          target_cluster_size=25)
 
 
+# Fine (within-cell) Lloyd stage appended to the coarse chain: seeds
+# = the 8 smallest vec_ids per coarse cell, one assign, one centroid
+# rebuild, one re-assign — the q_kmeans arithmetic keyed by
+# (coarse cell, fine id). Composite exit id = cc*8 + fcid.
+_KMEANS_TWOLEVEL_TAIL = """
+    , fs AS (
+        SELECT a.cluster AS cc, q.vec_id, q.qv,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                  ORDER BY q.vec_id) AS rn
+        FROM asg a JOIN q USING (vec_id)
+    ),
+    f0 AS (
+        SELECT cc, CAST(rn - 1 AS INT) AS fcid, qv AS cv
+        FROM fs WHERE rn <= 8
+    ),
+    fd1 AS (
+        SELECT p.vec_id, p.cc, c.fcid,
+               list_sum(list_transform(range(1, 65),
+                   i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) AS d
+        FROM fs p JOIN f0 c ON p.cc = c.cc
+    ),
+    fa1 AS (
+        SELECT vec_id, cc, fcid FROM (
+            SELECT vec_id, cc, fcid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, fcid) AS rn
+            FROM fd1
+        ) WHERE rn = 1
+    ),
+    fu1 AS (
+        SELECT fa1.cc, fa1.fcid, t.pos, SUM(q.qv[t.pos]) AS s, COUNT(*) AS n
+        FROM fa1 JOIN q USING (vec_id)
+        CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) t
+        GROUP BY fa1.cc, fa1.fcid, t.pos
+    ),
+    f1 AS (
+        SELECT cc, fcid,
+               list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY pos) AS cv
+        FROM fu1 GROUP BY cc, fcid
+    ),
+    fd2 AS (
+        SELECT p.vec_id, p.cc, c.fcid,
+               list_sum(list_transform(range(1, 65),
+                   i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) AS d
+        FROM fs p JOIN f1 c ON p.cc = c.cc
+    ),
+    fa2 AS (
+        SELECT vec_id, cc, fcid FROM (
+            SELECT vec_id, cc, fcid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, fcid) AS rn
+            FROM fd2
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cc * 8 + fcid AS INT) AS cluster FROM fa2
+    """
+
+
+@query("q_kmeans_twolevel", oracle=_KMEANS_CTES + _KMEANS_TWOLEVEL_TAIL)
+def q_kmeans_twolevel(spark, sf_dir):
+    """Two-level (IVF-style) coarse-then-refine Lloyd assignment —
+    the scale path for the ~1e5+ derived-cluster regime where flat
+    assignment's n·k·d stops being affordable (measured 9.4× decade
+    slope on q_kmeans_adaptive; SCALING.md r12). 8 coarse × 8 fine =
+    64 composite clusters here; per-row work per iteration is
+    (8+8)·d instead of 64·d, and at the production shape (100×100 =
+    10⁴ clusters) the cut is 50×. Every stage — coarse Lloyd, per-
+    cell min-id seeding, within-cell assign/update — is the same
+    integer-exact deterministic arithmetic, so the APPROXIMATION is
+    exactly defined and the whole composite assignment hash-matches
+    DuckDB. The fine assign joins each row to only its own cell's
+    centroids (broadcast of k_coarse·k_fine long-vectors)."""
+    from team_02_spark.operators.clustering import kmeans_assign_twolevel
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    return kmeans_assign_twolevel(emb, "embedding", "vec_id",
+                                  k_coarse=8, k_fine=8, iters=2)
+
+
 _SEMDEDUP_TAIL = """
     , losers AS (
         SELECT DISTINCT yb.vec_id

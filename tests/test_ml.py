@@ -490,6 +490,34 @@ def test_kmeans_k1_and_validation(spark):
         kmeans_assign(emb, "embedding", "vec_id", iters=0)
 
 
+def test_kmeans_twolevel_partitions_refines_and_is_deterministic(spark):
+    """Two-level assignment: every vector exactly once, composite ids
+    in [0, k_coarse*k_fine), the coarse component EQUALS the flat
+    coarse assignment (refinement never crosses cells — the IVF
+    contract), and the whole thing repeats bit-for-bit."""
+    from team_02_spark.operators.clustering import (
+        kmeans_assign, kmeans_assign_twolevel,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r["vec_id"]: r["cluster"] for r in
+         kmeans_assign_twolevel(emb, k_coarse=4, k_fine=4, iters=2).collect()}
+    assert len(a) == emb.count()
+    assert all(0 <= c < 16 for c in a.values())
+    coarse = {r["vec_id"]: r["cluster"] for r in
+              kmeans_assign(emb, k=4, iters=2).collect()}
+    assert {v: c // 4 for v, c in a.items()} == coarse
+    b = {r["vec_id"]: r["cluster"] for r in
+         kmeans_assign_twolevel(emb, k_coarse=4, k_fine=4, iters=2).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        kmeans_assign_twolevel(emb, k_coarse=0)
+    with pytest.raises(ValueError):
+        kmeans_assign_twolevel(emb, k_fine=0)
+    with pytest.raises(ValueError):
+        kmeans_assign_twolevel(emb, iters=0)
+
+
 def test_adaptive_k_scales_with_corpus_size():
     """r11 verdict #4: k derives from n so the within-cluster pair
     work stays ~n*target/2 at any corpus size."""
