@@ -107,6 +107,12 @@ HEADLINE = [
     # round 11 (NEW key): JL ±1 random projection — the map-only
     # dim-reduction pre-step (plan-time literal matrix, zero shuffle)
     "q_jl_project",
+    # round 12 (NEW keys — prior 47 stay frozen): the corpus-derived-k
+    # clustering lane (k scales with n — the super-linear shape worth
+    # tracking per-round) and its two-level IVF-style scale path
+    # (coarse-then-refine, the remedy once derived k grows)
+    "q_kmeans_adaptive",
+    "q_kmeans_twolevel",
 ]
 
 # Calibration instrument (r11 verdict nit #1): two consecutive rounds

@@ -209,6 +209,24 @@ def test_simhash_guard_matches_unguarded_on_skewed_fixture(spark):
     assert guarded == unguarded
 
 
+def test_near_dedup_simhash_cap_identity_on_fixture(spark):
+    """End-to-end through the query path: survivor set on the real
+    documents fixture is IDENTICAL with the split forced onto every
+    multi-row block (cap=2) and with no guard at all — the operator-
+    level pair identity, proven at the user-facing surface."""
+    from team_02_spark.operators.dedup import near_dedup_simhash
+    from team_02_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = {r["doc_id"] for r in near_dedup_simhash(
+        docs, block_bucket_cap=None).select("doc_id").collect()}
+    split = {r["doc_id"] for r in near_dedup_simhash(
+        docs, block_bucket_cap=2).select("doc_id").collect()}
+    assert split == base
+
+
 def test_simhash_triangle_split_preserves_pairs(spark):
     """r11 verdict #3 exactness: true pairs that share ONLY hot
     blocks. 40 identical fingerprints (every pair is a dup; all four
