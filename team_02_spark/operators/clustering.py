@@ -294,9 +294,25 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     pts = qdf.join(coarse, id_col).select(
         F.col(id_col), F.col("cluster").alias("__cc"), "__q"
     ).transform(shared_pass)
-    w = Window.partitionBy("__cc").orderBy(id_col)
+    # Per-cell min-id seeding WITHOUT sorting whole cells: a hot
+    # coarse cell (clusters are data-dependent — a corpus-sized cell
+    # is a normal k-means outcome) would make a plain
+    # partitionBy(cell) window sort it in ONE task. Two-phase rank
+    # instead (the knn_lsh r9 pattern): rank within (cell, 64 hash
+    # sub-groups) first — each of the cell's k_fine smallest ids is
+    # necessarily among the smallest k_fine of its own sub-group — so
+    # the final per-cell sort sees <= 64*k_fine survivors, not the
+    # cell.
+    sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).cast("int")
+    w1 = Window.partitionBy("__cc", "__sg").orderBy(id_col)
+    cand = (
+        pts.withColumn("__sg", sub)
+        .withColumn("__prn", F.row_number().over(w1))
+        .filter(F.col("__prn") <= k_fine)
+    )
+    w2 = Window.partitionBy("__cc").orderBy(id_col)
     seeds = (
-        pts.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k_fine)
         .select(
             "__cc",
