@@ -34,6 +34,23 @@ from team_02_spark.functions.vectors import (
 from team_02_spark.util import shared_pass
 
 
+def _partial_topk(scored: DataFrame, q_id: str, k: int, *order) -> DataFrame:
+    """Exactness-preserving per-probe rank-input cut (the knn_lsh r9
+    two-stage pattern, shared since r12): rank within (probe,
+    physical partition) and keep k rows per partition BEFORE the
+    global per-probe window — a hot probe's candidates no longer
+    funnel into one sort task, and the true top-k survives every
+    partial cut (any row in the global top-k by ``order`` is in the
+    top-k of its own partition), so downstream ranks are unchanged."""
+    part_w = Window.partitionBy(q_id, "__part").orderBy(*order)
+    return (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(part_w))
+        .filter(F.col("__pr") <= k)
+        .drop("__part", "__pr")
+    )
+
+
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                    q_id: str = "q_id", c_id: str = "vec_id",
                    q_vec: str = "q_vec", c_vec: str = "embedding",
@@ -303,6 +320,8 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
     scored = tagged.join(F.broadcast(probes), "__cell").withColumn(
         "score", cosine(F.col(q_vec), F.col(c_vec))
     )
+    # hot probed cell -> partial-rank cut before the per-probe window
+    scored = _partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -410,6 +429,8 @@ def ivf_search_layout(spark, path: str, centroids: list[list[float]],
     scored = corpus.join(F.broadcast(probes), "__cell").withColumn(
         "score", cosine(F.col(q_vec), F.col(c_vec))
     )
+    # hot probed cell -> partial-rank cut before the per-probe window
+    scored = _partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -593,6 +614,9 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
     else:
         scored = encoded.join(F.broadcast(queries))
     scored = scored.withColumn("adist", _adc(F.col(q_vec), F.col("pq_codes")))
+    # the ADC pass scans every code per probe BY DESIGN (that is the
+    # PQ economics); the rank input need not follow — partial cut
+    scored = _partial_topk(scored, q_id, k, F.asc("adist"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
