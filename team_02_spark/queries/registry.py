@@ -247,6 +247,12 @@ DRIVER_RECHECK: dict[str, int] = {
     # q_cluster_profile: the window must also fit the four new r12
     # keys on top of the whole r5 staleness tail (41 + 5 + 4 = 50).
     "q_knn_jl": 12,
+    # DEFERRED to r13 (window full — the r5 tail takes priority this
+    # round): the oracle-carrying brute-force ANN lanes (q_knn_topk,
+    # q_crossmodal_knn, q_mmr_diverse shortlist) still rank each
+    # probe's full corpus in one window task; the exactness-
+    # preserving _partial_topk cut (applied to LSH r9, IVF/PQ/JL r12)
+    # should be ported there next round WITH same-day pins.
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
