@@ -80,7 +80,9 @@ HEADLINE = {
     "q_assoc_rules": "basket pairs bounded by per-order width (~7 lines); support/confidence/lift join item counts back at item-alphabet size — never a corpus self-join",
     "q_triangles_approx": "DOULION p=1/4: deterministic md5 edge gate is a MAP filter before the census; wedge join ~16x and closing join ~64x cheaper than exact; estimate = count x 64",
     "q_kmeans": "integer-exact Lloyd: k-row BroadcastNestedLoopJoin per assignment (centroids are bytes), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
-    "q_semdedup": "SemDeDup cascade: kmeans clusters -> xxhash64(u) min/min_by exact pre-collapse (clone-immune) -> within-cluster pair join on reps with Arrow pdot verify -> keep-first anti-join",
+    "q_semdedup": "SemDeDup cascade: kmeans clusters -> xxhash64(raw) min/min_by exact pre-collapse (clone-immune, r12 raw-keyed) -> within-cluster pair join on reps with Arrow pdot verify -> keep-first anti-join",
+    "q_kmeans_twolevel": "coarse-then-refine assignment: exact coarse Lloyd, two-phase per-cell seed rank (no whole-cell sort task), fine assign joins each row to ONLY its own cell's centroids via a broadcast on the cell id — per-row work (kc+kf)*d, not k*d",
+    "q_dedup_simhash": "4-block pigeonhole equi-joins over one localCheckpointed fingerprint pass; hot blocks triangle-split (r12) instead of excluded — recall at hamming<=3 unconditional",
     "q_jl_project": "map-only JL projection: plan-time literal sign matrix, per-row left-fold dots, posexplode exit; zero exchanges from the operator (the one visible is ensure_parallelism's local-fixture fan-out) — the map-only shape a 100 TB pre-step must have",
 }
 
