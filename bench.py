@@ -199,7 +199,7 @@ def clamp_line(payload: dict, limit: int) -> str:
     # letting the driver's tail-truncation silently re-create the
     # invalid-front-truncated-JSON failure this function exists to
     # prevent.
-    for extra in ("spread_med", "spread_max", "runs"):
+    for extra in ("spread_med", "spread_max", "runs", "calib_ratio"):
         if len(line) <= limit:
             break
         payload.pop(extra, None)
@@ -267,6 +267,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     # Line-layout robustness (r8 verdict #3/#5: the driver records only
     # the LAST ~2000 chars of this line; BENCH_r08 lost the headline
     # scalars and 6 timings off the FRONT). Two defenses: (a) shrink —
@@ -290,10 +291,8 @@ def main() -> None:
         "spread_max": spread_sorted[-1] if spread_sorted else 0.0,
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "runs": runs,
-        "calib_ratio": calibration_ratio(
-            timings, float(sf) if sf.replace(".", "").isdigit() else sf
-        ),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_ratio": calibration_ratio(timings, sf_num),
+        "sf": sf_num,
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",

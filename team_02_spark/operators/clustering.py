@@ -149,7 +149,8 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", *, k: int = 8, iters: int = 2,
                   scale: int = 10_000,
                   target_cluster_size: int | None = None,
-                  seeding: str = "first_ids") -> DataFrame:
+                  seeding: str = "first_ids",
+                  _qdf: DataFrame | None = None) -> DataFrame:
     """Lloyd's k-means, ``iters`` unrolled iterations, deterministic.
     Returns (id_col, cluster int).
 
@@ -183,7 +184,12 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
+    if _qdf is not None:  # pre-quantized passthrough (twolevel caller)
+        qdf = _qdf
+    else:
+        qdf = df.select(
+            F.col(id_col), quantize_vec(vec_col, scale).alias("__q")
+        )
     if seeding == "first_ids":
         seed_order = [F.col(id_col)]
     elif seeding == "md5_spread":
@@ -285,9 +291,12 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"iters must be >= 1, got {iters}")
     from team_02_spark.util import shared_pass
 
-    coarse = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
-                           scale=scale)
+    # quantize ONCE and feed the same frame to the coarse Lloyd and
+    # the fine stage — without the passthrough every two-level run
+    # paid two full quantize passes over the corpus (review r12)
     qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
+    coarse = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
+                           scale=scale, _qdf=qdf)
     # consumed by the seed window plus every fine assign/update pass —
     # lazily localCheckpoint so the coarse Lloyd runs ONCE, not per
     # consumer (its own plan is already iters deep)
@@ -385,15 +394,23 @@ def jl_project(df: DataFrame, vec_col: str = "embedding", *,
     ])
     # Dimension guard: zip_with null-pads on length mismatch, which
     # would silently turn z components null instead of failing — so a
-    # row whose vector is not exactly d_in long raises at execution.
-    x = F.when(
-        F.size(F.col(vec_col)) == d_in,
-        F.transform(F.col(vec_col), lambda v: v.cast("double")),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"jl_project: expected {d_in}-dim vector, got "),
-                F.size(F.col(vec_col)).cast("string"),
+    # NON-NULL vector whose length is not exactly d_in raises at
+    # execution. A NULL vector passes through as null components (the
+    # pre-guard behavior — the isNull branch must come FIRST, because
+    # size(NULL) is NULL, which would otherwise fall into the raise
+    # branch and throw with a null-propagated, messageless error).
+    x = (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<double>"))
+        .when(
+            F.size(F.col(vec_col)) == d_in,
+            F.transform(F.col(vec_col), lambda v: v.cast("double")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"jl_project: expected {d_in}-dim vector, got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
             )
         )
     )

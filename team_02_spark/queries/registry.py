@@ -238,7 +238,7 @@ DRIVER_RECHECK: dict[str, int] = {
     # q_cluster_profile deliberately NOT pinned — it derives from the
     # SAME assignment q_kmeans re-proves, and its slot is needed so
     # the window still covers the entire r5 staleness tail alongside
-    # the three new r12 keys (41 r5 + 6 pins + 3 new = 50).
+    # the new r12 keys (final accounting: 41 r5 + 5 pins + 4 new = 50).
     "q_kmeans": 12,
     "q_score_multi": 12,      # svc_rbf_rff added as a sixth column
     # q_knn_jl re-checks jl_project's new d_in guard (it runs the

@@ -1194,20 +1194,15 @@ def _knn_jl_frame(spark, sf_dir, *, width: int = 50):
         proj.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
         .withColumn("d2", d2)
     )
-    # Two-stage coarse top-width (the knn_lsh r9 partial-rank
-    # pattern, r12 here): a plain per-probe window funnels the whole
-    # corpus's rows for one probe into ONE sort task. Partial rank
-    # within (probe, physical partition) keeps width rows per
-    # partition — the true top-width survives every partial cut, so
-    # the final per-probe rank (and the oracle hash) is unchanged
-    # while its input is <= width*n_partitions rows.
-    pw = Window.partitionBy("q_id", "__part").orderBy("d2", F.col("vec_id"))
-    coarse = (
-        coarse.withColumn("__part", F.spark_partition_id())
-        .withColumn("__pr", F.row_number().over(pw))
-        .filter(F.col("__pr") <= width)
-        .drop("__part", "__pr")
-    )
+    # Two-stage coarse top-width: a plain per-probe window funnels
+    # the whole corpus's rows for one probe into ONE sort task; the
+    # shared _partial_topk cut bounds the final window's input at
+    # width*n_partitions rows while the true top-width (and so the
+    # oracle hash) is unchanged.
+    from team_02_spark.operators.similarity import _partial_topk
+
+    coarse = _partial_topk(coarse, "q_id", width, F.asc("d2"),
+                           F.col("vec_id"))
     wc = Window.partitionBy("q_id").orderBy("d2", F.col("vec_id"))
     cand = (
         coarse.withColumn("crnk", F.row_number().over(wc))

@@ -781,6 +781,13 @@ def test_jl_projection_deterministic_and_validated(spark):
     )
     with pytest.raises(Exception, match="jl_project: expected 64-dim"):
         jl_project(bad, d_in=64).collect()
+    # a NULL vector passes through as null components (r12 review: the
+    # guard must not null-propagate into a messageless raise_error)
+    nullrow = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    z = jl_project(nullrow, d_in=64).collect()[0]["z"]
+    assert z is None or all(v is None for v in z)
     # the sign matrix is a pure function of (i, j): stable across calls
     assert achlioptas_signs(4, 8) == achlioptas_signs(4, 8)
     emb = load_table(spark, SF_SMOKE, "embeddings").limit(10).select(

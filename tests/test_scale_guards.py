@@ -216,10 +216,9 @@ def test_near_dedup_simhash_cap_identity_on_fixture(spark):
     level pair identity, proven at the user-facing surface."""
     from team_02_spark.operators.dedup import near_dedup_simhash
     from team_02_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
-        "doc_id", "text"
-    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     base = {r["doc_id"] for r in near_dedup_simhash(
         docs, block_bucket_cap=None).select("doc_id").collect()}
     split = {r["doc_id"] for r in near_dedup_simhash(
