@@ -228,8 +228,9 @@ def near_dedup_media(df: DataFrame, *, decode_stub: str = "fake",
                      max_hamming: int = 3) -> DataFrame:
     """Perceptual near-dup removal for media columns: aHash
     fingerprints + the SimHash lane's pigeonhole block joins + keep-
-    smallest-id. Same 100 TB posture as text SimHash dedup (the
-    hot-block guard rides along)."""
+    smallest-id. Same 100 TB posture as text SimHash dedup (hot
+    blocks triangle-split since r12 — recall unconditional, max
+    generation task bounded; see simhash_dup_pairs)."""
     from team_02_spark.operators.dedup import simhash_dup_pairs
 
     fps = perceptual_hash(df, decode_stub=decode_stub, id_col=id_col)
