@@ -136,13 +136,17 @@ def adaptive_k(n_rows: int, target_cluster_size: int = 1024,
     ``knn_ivf`` layout: argmin over sqrt(k) coarse centroids, then
     over that cell's children) — the standard faiss-style answer,
     same integer-exact arithmetic per level."""
-    import math
-
     if target_cluster_size < 1:
         raise ValueError(
             f"target_cluster_size must be >= 1, got {target_cluster_size}"
         )
-    return min(k_max, max(k_min, math.ceil(n_rows / target_cluster_size)))
+    # exact integer ceiling (r12 advisor low): math.ceil(n / t) goes
+    # through a float quotient, which can round across a k boundary
+    # once n approaches 2^53 (the documented 100 TB posture); the
+    # oracle twin uses the same (n + t - 1) // t integer arithmetic
+    return min(k_max, max(k_min,
+                          (n_rows + target_cluster_size - 1)
+                          // target_cluster_size))
 
 
 def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
@@ -291,9 +295,12 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"iters must be >= 1, got {iters}")
     from team_02_spark.util import shared_pass
 
-    # quantize ONCE and feed the same frame to the coarse Lloyd and
-    # the fine stage — without the passthrough every two-level run
-    # paid two full quantize passes over the corpus (review r12)
+    # one quantize DEFINITION shared by the coarse Lloyd and the fine
+    # stage (review r12): the coarse passes still re-evaluate the
+    # projection inside their own plan (qdf is not checkpointed — the
+    # map stage is cheap), but the post-coarse pts frame below IS
+    # shared, so the fine stage reuses the same quantize expression
+    # instead of re-deriving it from the raw vectors
     qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
     coarse = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
                            scale=scale, _qdf=qdf)

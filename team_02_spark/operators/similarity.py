@@ -34,11 +34,12 @@ from team_02_spark.functions.vectors import (
 from team_02_spark.util import shared_pass
 
 
-def _partial_topk(scored: DataFrame, q_id: str, k: int, *order) -> DataFrame:
+def partial_topk(scored: DataFrame, q_id: str, k: int, *order) -> DataFrame:
     """Exactness-preserving per-probe rank-input cut (the knn_lsh r9
-    two-stage pattern, shared since r12): rank within (probe,
-    physical partition) and keep k rows per partition BEFORE the
-    global per-probe window — a hot probe's candidates no longer
+    two-stage pattern, shared since r12; public name since r13 — it
+    has cross-module consumers in the query layer): rank within
+    (probe, physical partition) and keep k rows per partition BEFORE
+    the global per-probe window — a hot probe's candidates no longer
     funnel into one sort task, and the true top-k survives every
     partial cut (any row in the global top-k by ``order`` is in the
     top-k of its own partition), so downstream ranks are unchanged."""
@@ -49,6 +50,11 @@ def _partial_topk(scored: DataFrame, q_id: str, k: int, *order) -> DataFrame:
         .filter(F.col("__pr") <= k)
         .drop("__part", "__pr")
     )
+
+
+# back-compat alias (pre-r13 internal name; tests and older probe
+# scripts may still import the underscore form)
+_partial_topk = partial_topk
 
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
@@ -67,6 +73,11 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     if round_decimals is not None:
         score = F.round(score, round_decimals)
     scored = corpus.join(F.broadcast(queries)).withColumn("score", score)
+    # r13 (deferred from r12): even the exact baseline gets the
+    # partial-rank cut — a large corpus otherwise funnels EVERY scored
+    # row of a probe into the single per-probe window task below. The
+    # cut is exact (see partial_topk), so the oracle hash is unchanged.
+    scored = partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -321,7 +332,7 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
         "score", cosine(F.col(q_vec), F.col(c_vec))
     )
     # hot probed cell -> partial-rank cut before the per-probe window
-    scored = _partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
+    scored = partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -430,7 +441,7 @@ def ivf_search_layout(spark, path: str, centroids: list[list[float]],
         "score", cosine(F.col(q_vec), F.col(c_vec))
     )
     # hot probed cell -> partial-rank cut before the per-probe window
-    scored = _partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
+    scored = partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -616,7 +627,7 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
     scored = scored.withColumn("adist", _adc(F.col(q_vec), F.col("pq_codes")))
     # the ADC pass scans every code per probe BY DESIGN (that is the
     # PQ economics); the rank input need not follow — partial cut
-    scored = _partial_topk(scored, q_id, k, F.asc("adist"), F.col(c_id))
+    scored = partial_topk(scored, q_id, k, F.asc("adist"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -759,6 +770,12 @@ def mmr_diversify(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
         corpus.join(F.broadcast(queries), F.col(c_id) != F.col(q_id))
         .withColumn("rel", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6))
     )
+    # r13: the shortlist stage is the lane's corpus-scale rank — cut
+    # its input per (probe, physical partition) first (exact, see
+    # partial_topk) so the per-probe window never sorts the corpus in
+    # one task.
+    scored = partial_topk(scored, q_id, shortlist_n,
+                          F.desc("rel"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("rel"), F.col(c_id))
     # the shortlist is tiny (queries x shortlist_n) but derives from
     # the corpus-scale scoring pass — lazily localCheckpoint so both

@@ -247,12 +247,18 @@ DRIVER_RECHECK: dict[str, int] = {
     # q_cluster_profile: the window must also fit the four new r12
     # keys on top of the whole r5 staleness tail (41 + 5 + 4 = 50).
     "q_knn_jl": 12,
-    # DEFERRED to r13 (window full — the r5 tail takes priority this
-    # round): the oracle-carrying brute-force ANN lanes (q_knn_topk,
-    # q_crossmodal_knn, q_mmr_diverse shortlist) still rank each
-    # probe's full corpus in one window task; the exactness-
-    # preserving _partial_topk cut (applied to LSH r9, IVF/PQ/JL r12)
-    # should be ported there next round WITH same-day pins.
+    # r13 impl changes (same-day pins, the proven convention): the
+    # partial_topk cut ported to the brute-force oracle ANN lanes
+    # (the r12-deferred item — knn_bruteforce now cuts per (probe,
+    # physical partition) before the per-probe window, which
+    # q_knn_topk's inline window, q_crossmodal_knn, q_knn_classify's
+    # neighbor stage, and q_mmr_diverse's shortlist stage all share
+    # or mirror). The cut is exactness-preserving, so all four
+    # oracles must hash-match unchanged — that is what the pins prove.
+    "q_knn_topk": 13,
+    "q_crossmodal_knn": 13,
+    "q_knn_classify": 13,
+    "q_mmr_diverse": 13,
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

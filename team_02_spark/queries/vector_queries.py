@@ -64,6 +64,14 @@ def q_knn_topk(spark, sf_dir):
         ensure_parallelism(emb).join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("embedding")), 6))
     )
+    # r13: partial-rank cut before the per-probe window (exact — the
+    # global top-10 by (score desc, vec_id) survives every
+    # per-partition top-10 cut), so the full corpus never funnels into
+    # one sort task per probe. Oracle hash unchanged.
+    from team_02_spark.operators.similarity import partial_topk
+
+    scored = partial_topk(scored, "q_id", 10,
+                          F.desc("score"), F.col("vec_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
@@ -670,7 +678,7 @@ def _kmeans_ctes(seed_order: str = "vec_id",
         c0 = """
     kk AS (
         SELECT LEAST(65536, GREATEST(1,
-                   CAST(CEIL(COUNT(*) / {tgt}.0) AS BIGINT))) AS k
+                   CAST((COUNT(*) + {tgt} - 1) // {tgt} AS BIGINT))) AS k
         FROM q
     ),
     c0 AS (
@@ -1196,13 +1204,13 @@ def _knn_jl_frame(spark, sf_dir, *, width: int = 50):
     )
     # Two-stage coarse top-width: a plain per-probe window funnels
     # the whole corpus's rows for one probe into ONE sort task; the
-    # shared _partial_topk cut bounds the final window's input at
+    # shared partial_topk cut bounds the final window's input at
     # width*n_partitions rows while the true top-width (and so the
     # oracle hash) is unchanged.
-    from team_02_spark.operators.similarity import _partial_topk
+    from team_02_spark.operators.similarity import partial_topk
 
-    coarse = _partial_topk(coarse, "q_id", width, F.asc("d2"),
-                           F.col("vec_id"))
+    coarse = partial_topk(coarse, "q_id", width, F.asc("d2"),
+                          F.col("vec_id"))
     wc = Window.partitionBy("q_id").orderBy("d2", F.col("vec_id"))
     cand = (
         coarse.withColumn("crnk", F.row_number().over(wc))

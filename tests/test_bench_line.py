@@ -73,6 +73,9 @@ def test_real_headline_set_fits_default_limit():
         "spread_max": 2.216,
         "queries": {k: 12.345 for k in HEADLINE},
         "runs": 3,
+        "calib_ratio": 1.152,
+        "calib_drift": 1.083,
+        "calib_pos": {"start": 1.052, "mid": 1.021, "end": 1.139},
         "sf": 0.1,
         "metric": "headline_queries_total_sec",
         "value": 55.123,
@@ -81,6 +84,10 @@ def test_real_headline_set_fits_default_limit():
     d = json.loads(clamp_line(p, 1950))
     assert "queries_dropped" not in d
     assert len(d["queries"]) == len(HEADLINE)
+    # the drift instrument must survive the normal (no-clamp) path —
+    # it is the field the judge reads to adjudicate a noisy session
+    assert d["calib_drift"] == 1.083
+    assert d["calib_pos"]["end"] == 1.139
 
 
 def test_no_rounding_drift_across_many_drops():
@@ -125,6 +132,76 @@ def test_calibration_ratio_against_newest_same_sf_record(tmp_path):
         {"sf": "0.1", "rc": "0",
          "parsed": {"sf": 0.1, "queries": {k: 4.6 for k in CALIBRATION}}}))
     assert calibration_ratio(cur, 0.1, root=str(tmp_path)) == 0.5
+
+
+def test_calibration_ratio_excludes_current_round(tmp_path):
+    """r12 advisor low: a re-run inside round N must not calibrate
+    against round N's own freshly-written BENCH file (ratio ~1.0 would
+    silently neutralize the instrument). current_round=N masks records
+    rN and later; older rounds still match."""
+    from bench import CALIBRATION, calibration_ratio
+
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {k: 2.0 for k in CALIBRATION}}))
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {k: 2.3 for k in CALIBRATION}}))
+    cur = {k: 2.3 for k in CALIBRATION}
+    # without the guard the self-comparison reads exactly 1.0
+    assert calibration_ratio(cur, 0.1, root=str(tmp_path)) == 1.0
+    # with it, r13 is masked and r11 is the newest eligible record
+    assert calibration_ratio(
+        cur, 0.1, root=str(tmp_path), current_round=13) == 1.15
+    # nothing older than the mask -> None, never a crash
+    assert calibration_ratio(
+        cur, 0.1, root=str(tmp_path), current_round=11) is None
+
+
+def test_infer_current_round(tmp_path, monkeypatch):
+    """Round inference: newest CORRECTNESS_rN.json + 1 (the driver
+    writes it at the END of round N); $SPARK_GRAFT_ROUND overrides;
+    no artifacts -> None."""
+    from bench import infer_current_round
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert infer_current_round(str(tmp_path)) is None
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r12.json").write_text("{}")
+    assert infer_current_round(str(tmp_path)) == 13
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert infer_current_round(str(tmp_path)) == 7
+
+
+def test_calibration_drift_flags_contaminated_tail():
+    """r12 verdict 'what's wrong' #2: the positional trio readings,
+    each normalized by the session's own best-of-N, expose a session
+    whose tail ran hot — drift = max/min of per-position medians."""
+    from bench import CALIBRATION, calibration_drift
+
+    best = {k: 1.0 for k in CALIBRATION}
+    # steady session: every position reads ~the session best
+    drift, pos = calibration_drift(
+        {"start": {k: 1.05 for k in CALIBRATION},
+         "mid": {k: 1.02 for k in CALIBRATION},
+         "end": {k: 1.08 for k in CALIBRATION}},
+        best,
+    )
+    assert drift is not None and drift < 1.1
+    assert set(pos) == {"start", "mid", "end"}
+    # contaminated tail (the BENCH_r12 exhibit): end readings 4x hot
+    drift, pos = calibration_drift(
+        {"start": {k: 1.0 for k in CALIBRATION},
+         "mid": {k: 1.1 for k in CALIBRATION},
+         "end": {k: 4.0 for k in CALIBRATION}},
+        best,
+    )
+    assert drift == 4.0
+    # degenerate inputs: fewer than 2 usable positions -> (None, ...)
+    drift, _ = calibration_drift({"start": {k: 1.0 for k in CALIBRATION}},
+                                 best)
+    assert drift is None
+    drift, _ = calibration_drift(
+        {"start": {"q_x": 1.0}, "end": {"q_x": 2.0}}, {"q_x": 0.0})
+    assert drift is None
 
 
 def test_floor_limit_sheds_detail_fields_and_stays_valid_json(capsys):
