@@ -261,10 +261,31 @@ def _fine_update(pts: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def twolevel_split(k_total: int) -> tuple[int, int]:
+    """Split a derived flat k into (k_coarse, k_fine) with
+    k_coarse·k_fine >= k_total and k_coarse ~ sqrt(k_total) — the
+    IVF-style shape that minimizes per-row work (k_coarse + k_fine)·d.
+    Exact integer arithmetic on BOTH engines: k_coarse is the ceiling
+    square root via math.isqrt here and via the corrected
+    FLOOR(SQRT(k)) form in the oracle (IEEE sqrt of an exact-double
+    integer floors to isqrt or isqrt+1; perfect squares are exact, so
+    the CASE correction lands on the true ceiling in every case);
+    k_fine is the plain integer ceiling k_total / k_coarse."""
+    import math
+
+    if k_total < 1:
+        raise ValueError(f"k_total must be >= 1, got {k_total}")
+    r = math.isqrt(k_total)
+    k_coarse = r if r * r >= k_total else r + 1
+    k_fine = (k_total + k_coarse - 1) // k_coarse
+    return k_coarse, k_fine
+
+
 def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", *, k_coarse: int = 8,
                            k_fine: int = 8, iters: int = 2,
-                           scale: int = 10_000) -> DataFrame:
+                           scale: int = 10_000,
+                           target_cluster_size: int | None = None) -> DataFrame:
     """Coarse-then-refine Lloyd assignment — the faiss/IVF-style scale
     path for the regime where ``adaptive_k`` derives more clusters
     than the flat broadcast-argmin can afford (its per-iteration
@@ -286,7 +307,18 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     Returns (id_col, cluster int) with the composite id
     coarse·k_fine + fine. Cells smaller than k_fine seed fewer fine
     centroids; empty fine clusters drop (plain Lloyd, both engines
-    identical)."""
+    identical).
+
+    ``target_cluster_size`` (r13, the q_semdedup_twolevel composition):
+    when set, k_coarse/k_fine are IGNORED and derived from one bounded
+    count — k_total = adaptive_k(n, target), then
+    (k_coarse, k_fine) = twolevel_split(k_total) — so the two-level
+    lane scales its shape with the corpus exactly like the flat
+    adaptive lane, but with (√k+√k)·d per-row work instead of k·d."""
+    if target_cluster_size is not None:
+        k_coarse, k_fine = twolevel_split(
+            adaptive_k(df.count(), target_cluster_size)
+        )
     if k_coarse < 1 or k_fine < 1:
         raise ValueError(
             f"k_coarse/k_fine must be >= 1, got {k_coarse}/{k_fine}"

@@ -660,13 +660,20 @@ def q_embedding_drift(spark, sf_dir):
 
 
 def _kmeans_ctes(seed_order: str = "vec_id",
-                 target_cluster_size: int | None = None) -> str:
+                 target_cluster_size: int | None = None,
+                 two_level: bool = False) -> str:
     """The shared k-means CTE chain. Default emits the original
     fixed-k=8 SQL byte-identically; ``target_cluster_size`` switches
     c0 to the adaptive form — k = clamp(ceil(n/target), 1, 65536)
     computed from the same corpus count the Spark side uses
     (operators/clustering.adaptive_k), so the derived k matches at
-    ANY scale factor."""
+    ANY scale factor. ``two_level`` (requires target_cluster_size)
+    additionally derives the IVF split in the kk CTE — kc = exact
+    ceiling sqrt of k (FLOOR(SQRT(k)) corrected by the kc*kc >= k
+    case, which lands on math.isqrt's answer in every case — see
+    operators/clustering.twolevel_split), kf = (k + kc - 1) // kc —
+    and seeds the COARSE chain with kc centroids; the fine chain
+    (_kmeans_twolevel_ctes(adaptive=True)) then reads kk.kf."""
     if target_cluster_size is None:
         c0 = """
     c0 AS (
@@ -674,6 +681,27 @@ def _kmeans_ctes(seed_order: str = "vec_id",
                qv AS cv
         FROM (SELECT vec_id, qv FROM q ORDER BY {seed} LIMIT 8)
     ),"""
+    elif two_level:
+        c0 = """
+    kk AS (
+        SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
+            SELECT k, CASE WHEN f * f >= k THEN f ELSE f + 1 END AS kc
+            FROM (
+                SELECT k, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS f
+                FROM (SELECT LEAST(65536, GREATEST(1,
+                          CAST((COUNT(*) + {tgt} - 1) // {tgt} AS BIGINT)))
+                          AS k
+                      FROM q)
+            )
+        )
+    ),
+    c0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cid, qv AS cv
+        FROM (SELECT vec_id, qv,
+                     ROW_NUMBER() OVER (ORDER BY {seed}) AS rn
+              FROM q)
+        CROSS JOIN kk WHERE rn <= kk.kc
+    ),""".replace("{tgt}", str(target_cluster_size))
     else:
         c0 = """
     kk AS (
@@ -813,20 +841,45 @@ def q_kmeans_adaptive(spark, sf_dir):
 
 
 # Fine (within-cell) Lloyd stage appended to the coarse chain: seeds
-# = the 8 smallest vec_ids per coarse cell, one assign, one centroid
-# rebuild, one re-assign — the q_kmeans arithmetic keyed by
-# (coarse cell, fine id). Composite exit id = cc*8 + fcid.
-_KMEANS_TWOLEVEL_TAIL = """
+# = the k_fine smallest vec_ids per coarse cell, one assign, one
+# centroid rebuild, one re-assign — the q_kmeans arithmetic keyed by
+# (coarse cell, fine id). Composite exit id = cc*k_fine + fcid,
+# surfaced as the CTE ``tl`` so callers can either SELECT it directly
+# (q_kmeans_twolevel) or compose the SemDeDup prune on top of it
+# (q_semdedup_twolevel). ``adaptive`` reads k_fine from the kk CTE
+# (two_level _kmeans_ctes) instead of the literal 8.
+
+
+def _kmeans_twolevel_ctes(adaptive: bool = False) -> str:
+    if adaptive:
+        f0 = """
+    f0 AS (
+        SELECT cc, CAST(rn - 1 AS INT) AS fcid, qv AS cv
+        FROM fs CROSS JOIN kk WHERE rn <= kk.kf
+    ),"""
+        tl = """
+    tl AS (
+        SELECT vec_id, CAST(cc * kk.kf + fcid AS INT) AS cluster
+        FROM fa2 CROSS JOIN kk
+    )"""
+    else:
+        f0 = """
+    f0 AS (
+        SELECT cc, CAST(rn - 1 AS INT) AS fcid, qv AS cv
+        FROM fs WHERE rn <= 8
+    ),"""
+        tl = """
+    tl AS (
+        SELECT vec_id, CAST(cc * 8 + fcid AS INT) AS cluster FROM fa2
+    )"""
+    return ("""
     , fs AS (
         SELECT a.cluster AS cc, q.vec_id, q.qv,
                ROW_NUMBER() OVER (PARTITION BY a.cluster
                                   ORDER BY q.vec_id) AS rn
         FROM asg a JOIN q USING (vec_id)
-    ),
-    f0 AS (
-        SELECT cc, CAST(rn - 1 AS INT) AS fcid, qv AS cv
-        FROM fs WHERE rn <= 8
-    ),
+    ),"""
+            + f0 + """
     fd1 AS (
         SELECT p.vec_id, p.cc, c.fcid,
                list_sum(list_transform(range(1, 65),
@@ -866,9 +919,12 @@ _KMEANS_TWOLEVEL_TAIL = """
                                       ORDER BY d, fcid) AS rn
             FROM fd2
         ) WHERE rn = 1
-    )
-    SELECT vec_id, CAST(cc * 8 + fcid AS INT) AS cluster FROM fa2
-    """
+    ),"""
+            + tl)
+
+
+_KMEANS_TWOLEVEL_TAIL = (_kmeans_twolevel_ctes()
+                         + "\n    SELECT vec_id, cluster FROM tl\n    ")
 
 
 @query("q_kmeans_twolevel", oracle=_KMEANS_CTES + _KMEANS_TWOLEVEL_TAIL)
@@ -892,10 +948,15 @@ def q_kmeans_twolevel(spark, sf_dir):
                                   k_coarse=8, k_fine=8, iters=2)
 
 
-_SEMDEDUP_TAIL = """
+def _semdedup_tail(asg: str = "asg") -> str:
+    """The within-cluster cosine>=0.95 keep-first prune, appended to
+    any CTE exposing (vec_id, cluster) — ``asg`` for the flat chains,
+    ``tl`` for the two-level composite assignment (the prune is
+    cluster-id-agnostic: ids are opaque join keys to it)."""
+    return """
     , losers AS (
         SELECT DISTINCT yb.vec_id
-        FROM asg xa JOIN asg ya
+        FROM {asg} xa JOIN {asg} ya
           ON xa.cluster = ya.cluster AND xa.vec_id < ya.vec_id
         JOIN embeddings xb ON xb.vec_id = xa.vec_id
         JOIN embeddings yb ON yb.vec_id = ya.vec_id
@@ -910,10 +971,12 @@ _SEMDEDUP_TAIL = """
                        * CAST(yb.embedding[i] AS DOUBLE)))))
               >= 0.95
     )
-    SELECT a.vec_id, a.cluster FROM asg a
+    SELECT a.vec_id, a.cluster FROM {asg} a
     WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
-    """
+    """.replace("{asg}", asg)
 
+
+_SEMDEDUP_TAIL = _semdedup_tail()
 _SEMDEDUP_ORACLE = _KMEANS_CTES + _SEMDEDUP_TAIL
 
 
@@ -986,13 +1049,45 @@ def q_semdedup_adaptive(spark, sf_dir):
     return _semdedup_frame(spark, sf_dir, target_cluster_size=25)
 
 
-def _semdedup_frame(spark, sf_dir, **kmeans_kwargs):
+@query(
+    "q_semdedup_twolevel",
+    oracle=(_kmeans_ctes(target_cluster_size=25, two_level=True)
+            + _kmeans_twolevel_ctes(adaptive=True)
+            + _semdedup_tail("tl")),
+)
+def q_semdedup_twolevel(spark, sf_dir):
+    """The SemDeDup cascade on the TWO-LEVEL derived-k assignment
+    (r12 verdict #3/next-round #4: q_semdedup_adaptive drives the
+    FLAT assignment, whose per-iteration n·k·d cost at k ∝ n is the
+    measured n²·d/target ceiling — 9.4×/decade; the remedy existed
+    in-repo but wasn't composed into the flagship cascade). Here
+    k_total = clamp(ceil(n/25), 1, 65536) splits into kc = ceil-sqrt
+    and kf = ceil(k/kc) — per-row assignment work (kc+kf)·d instead
+    of k·d — and the SAME cosine >= 0.95 keep-first prune runs within
+    the composite (coarse·kf + fine) clusters, which are opaque join
+    keys to the prune stage. Every stage stays integer-exact and
+    deterministic, so the whole composition (derivation, split,
+    two-level Lloyd, prune) hash-matches DuckDB from one query text
+    at any SF (kc=kf=3 at sf0.01; kc=kf=9 at sf0.1). Exact
+    pre-collapse notes: q_semdedup's docstring applies verbatim
+    (raw-identical rows share quantization, hence coarse cell, hence
+    fine cluster)."""
+    return _semdedup_frame(spark, sf_dir, two_level=True,
+                           target_cluster_size=25)
+
+
+def _semdedup_frame(spark, sf_dir, two_level: bool = False,
+                    **kmeans_kwargs):
     from team_02_spark.functions.vectors import pdot, punit
-    from team_02_spark.operators.clustering import kmeans_assign
+    from team_02_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_twolevel,
+    )
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    clusters = kmeans_assign(emb, "embedding", "vec_id", iters=2,
-                             **kmeans_kwargs)
+    assign = kmeans_assign_twolevel if two_level else kmeans_assign
+    clusters = assign(emb, "embedding", "vec_id", iters=2,
+                      **kmeans_kwargs)
     tagged = emb.join(clusters, "vec_id").select(
         "vec_id",
         "cluster",

@@ -531,6 +531,34 @@ def test_adaptive_k_scales_with_corpus_size():
     assert adaptive_k(5, k_min=8) == 8
     with pytest.raises(ValueError):
         adaptive_k(100, target_cluster_size=0)
+    # r12 advisor low: exact integer ceiling even where the float
+    # quotient would round across a k boundary (n near 2^53)
+    n = (1 << 53) + 1
+    assert adaptive_k(n, target_cluster_size=1, k_max=n + 10) == n
+
+
+def test_twolevel_split_is_exact_ceiling_sqrt():
+    """kc = exact ceiling sqrt (math.isqrt path), kf = exact integer
+    ceiling k/kc, with kc*kf >= k always — the oracle's corrected
+    FLOOR(SQRT(k)) form must land on the same pair (checked across
+    the perfect-square boundaries where float sqrt is riskiest)."""
+    import math
+
+    from team_02_spark.operators.clustering import twolevel_split
+
+    for k in [1, 2, 3, 4, 8, 9, 10, 80, 81, 82, 99, 100, 101,
+              65_536, 10**4, 10**4 + 1, (1 << 26) ** 2,
+              (1 << 26) ** 2 - 1, (1 << 26) ** 2 + 1]:
+        kc, kf = twolevel_split(k)
+        r = math.isqrt(k)
+        assert kc == (r if r * r >= k else r + 1), k
+        assert kf == -(-k // kc), k
+        assert kc * kf >= k
+    assert twolevel_split(8) == (3, 3)    # sf0.01 derived shape
+    assert twolevel_split(80) == (9, 9)   # sf0.1 derived shape
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        twolevel_split(0)
 
 
 def test_kmeans_target_cluster_size_derives_k(spark):

@@ -1523,6 +1523,9 @@ def main() -> None:
     if mode == "pq":
         pq_probe(arg)
         return
+    if mode == "pqcut":
+        pqcut_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -1719,6 +1722,70 @@ def pq_probe(replication: int) -> None:
         "mode": "pq", "replication": replication, "n_vectors": total,
         "encode_sec": round(enc_s, 2), "search_sec": round(search_s, 2),
     }))
+    spark.stop()
+
+
+def pqcut_probe(replication: int) -> None:
+    """Before/after best-of-3 of the r12 partial-rank commit on the
+    PQ/IVF serving lanes (r12 verdict #1: the commit touched
+    pq_search_adc / ivf_topk but the changed-lane bench check skipped
+    them, and the official BENCH_r12 read q_pq_search at 16.1 s — 9x
+    its band — in a session the calibration instrument showed was
+    contaminated). This probe pins the lane's own measurement: the
+    exact q_pq_search shape (codebook fit excluded — it's identical
+    either way; encode + shortlist + rerank timed) and a knn_ivf
+    point, each best-of-3 WITH and WITHOUT partial_topk, on the
+    sf0.1 corpus replicated N x under fresh ids."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.similarity import (
+        fit_pq_codebooks,
+        knn_ivf,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    spark = get_spark(f"scaling-pqcut-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                        "embedding")
+        )
+    df = df.repartition(32).persist()
+    total = df.count()
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    books = fit_pq_codebooks(df, m=8, n_codes=16)
+    encoded = pq_encode(df, books).select("vec_id", "pq_codes").persist()
+    encoded.count()
+
+    def best3(fn) -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        return round(min(times), 3)
+
+    res = {"mode": "pqcut", "replication": replication, "n_vectors": total}
+    for cut in (True, False):
+        res[f"pq_rerank_cut_{str(cut).lower()}_sec"] = best3(
+            lambda: pq_search_rerank(probes, encoded, df, books, k=10,
+                                     partial_cut=cut)
+        )
+    # the knn_ivf point (its cut has no toggle — it IS the production
+    # path; measured for the band record the verdict asked for)
+    res["knn_ivf_sec"] = best3(lambda: knn_ivf(probes, df, 10))
+    print(json.dumps(res))
     spark.stop()
 
 
