@@ -113,6 +113,11 @@ HEADLINE = [
     # (coarse-then-refine, the remedy once derived k grows)
     "q_kmeans_adaptive",
     "q_kmeans_twolevel",
+    # round 13 (NEW key — prior 49 stay frozen): the SemDeDup cascade
+    # composed onto the two-level derived-k assignment (r12 verdict
+    # #3 closed) — the flagship semantic-dedup lane's scale path,
+    # tracked per-round like its flat siblings
+    "q_semdedup_twolevel",
 ]
 
 # Calibration instrument (r11 verdict nit #1): two consecutive rounds

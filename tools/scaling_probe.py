@@ -1526,6 +1526,9 @@ def main() -> None:
     if mode == "pqcut":
         pqcut_probe(arg)
         return
+    if mode == "twolevel":
+        twolevel_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -1721,6 +1724,56 @@ def pq_probe(replication: int) -> None:
     print(json.dumps({
         "mode": "pq", "replication": replication, "n_vectors": total,
         "encode_sec": round(enc_s, 2), "search_sec": round(search_s, 2),
+    }))
+    spark.stop()
+
+
+def twolevel_probe(replication: int) -> None:
+    """Second decade point for kmeans_assign_twolevel at the derived-k
+    shape (r12 verdict optional #8): sf0.1 embeddings replicated N×
+    under fresh ids, target_cluster_size=25, so k_total = 80·N (N=100
+    → k=8000, the ~90×89 production shape). Confirms the √k per-row
+    slope holds past the first crossover (flat assignment at this
+    shape would be ~k/(kc+kf) ≈ 45× more multiplies per row — not run:
+    it extrapolates to ~40 min on this box from the r12 k=800 point).
+    Best-of-2, assignment materialized through the noop sink."""
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.clustering import (
+        adaptive_k,
+        kmeans_assign_twolevel,
+        twolevel_split,
+    )
+
+    spark = get_spark(f"scaling-twolevel-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                        "embedding")
+        )
+    df = df.repartition(32).persist()
+    total = df.count()
+    k_total = adaptive_k(total, 25)
+    kc, kf = twolevel_split(k_total)
+
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kmeans_assign_twolevel(
+            df, "embedding", "vec_id", iters=2, target_cluster_size=25
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 2))
+    print(json.dumps({
+        "mode": "twolevel", "replication": replication, "n_vectors": total,
+        "k_total": k_total, "k_coarse": kc, "k_fine": kf,
+        "runs_sec": runs, "best_sec": min(runs),
     }))
     spark.stop()
 
