@@ -137,12 +137,25 @@ def infer_current_round(root: str) -> int | None:
     """The round this bench run belongs to, inferred from the driver's
     own artifacts: CORRECTNESS_rN.json lands at the END of round N, so
     the newest one + 1 is the round in flight. Used to keep
-    calibration_ratio from comparing a re-run against ITS OWN round's
-    BENCH file (r12 advisor low: that reads ~1.0 and silently
-    neutralizes the drift instrument). $SPARK_GRAFT_ROUND overrides."""
+    calibration_ratio from comparing an in-flight-round re-run against
+    that round's own freshly-written BENCH file (r12 advisor low: a
+    near-self comparison reads ~1.0 and silently neutralizes the drift
+    instrument). Deliberate semantics for the one ambiguous case: once
+    round N's CORRECTNESS file has ALSO landed, a re-run infers N+1
+    and compares against BENCH_rN — the official record of a closed
+    round from a DIFFERENT session, which is exactly the cross-session
+    drift reading a post-mortem re-run wants (the r12 adjudication
+    pattern). $SPARK_GRAFT_ROUND overrides; a malformed value warns
+    loudly and falls through to inference rather than silently
+    pretending the override took effect."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env and env.isdigit():
-        return int(env)
+    if env:
+        if env.strip().isdigit():
+            return int(env.strip())
+        import sys
+        print(f"bench: SPARK_GRAFT_ROUND={env!r} is not a round number; "
+              "ignoring the override and inferring from artifacts",
+              file=sys.stderr)
     import glob
     import re
 

@@ -270,6 +270,13 @@ DRIVER_RECHECK: dict[str, int] = {
     # and the spare slots must cover the entire r6 staleness tail
     # (43 keys) this round per r12 verdict #3.
     "q_kmeans_twolevel": 13,
+    # r13 self-review: adaptive_k switched float-ceil -> exact integer
+    # ceil AND the kk-CTE oracle text changed with it — that is an
+    # impl+oracle change on these two lanes, so they pin like any
+    # other (both re-verified hash-green at sf0.01 and sf0.1 the same
+    # day; the pin makes the official book prove it too).
+    "q_kmeans_adaptive": 13,
+    "q_semdedup_adaptive": 13,
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

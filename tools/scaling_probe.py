@@ -1678,6 +1678,28 @@ def relational_probe(replication: int) -> None:
 
 
 
+def _replicate_embeddings(spark, replication: int):
+    """sf0.1 embeddings replicated N× under fresh ids — the shared
+    vector-corpus recipe for the pq/pqcut/twolevel probes (one
+    definition so an id-collision or partitioning fix applies to all
+    of them). Returns (base_frame, replicated_persisted_frame,
+    total_rows)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    n = base.count()
+    df = base
+    for i in range(1, replication):
+        df = df.unionByName(
+            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                        "embedding")
+        )
+    df = df.repartition(32).persist()
+    return base, df, df.count()
+
+
 def pq_probe(replication: int) -> None:
     """Data-scaling sweep for the PQ lane: embeddings replicated N×
     under fresh ids, codebooks trained once per corpus, then the two
@@ -1696,17 +1718,7 @@ def pq_probe(replication: int) -> None:
 
     spark = get_spark(f"scaling-pq-{replication}x")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    n = base.count()
-    df = base
-    for i in range(1, replication):
-        df = df.unionByName(
-            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding")
-        )
-    df = df.repartition(32).persist()
-    total = df.count()
+    base, df, total = _replicate_embeddings(spark, replication)
 
     books = fit_pq_codebooks(df, m=8, n_codes=16)
     t0 = time.perf_counter()
@@ -1737,8 +1749,6 @@ def twolevel_probe(replication: int) -> None:
     shape would be ~k/(kc+kf) ≈ 45× more multiplies per row — not run:
     it extrapolates to ~40 min on this box from the r12 k=800 point).
     Best-of-2, assignment materialized through the noop sink."""
-    from pyspark.sql import functions as F
-
     from team_02_spark import get_spark
     from team_02_spark.operators.clustering import (
         adaptive_k,
@@ -1748,18 +1758,7 @@ def twolevel_probe(replication: int) -> None:
 
     spark = get_spark(f"scaling-twolevel-{replication}x")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    n = base.count()
-    df = base
-    for i in range(1, replication):
-        df = df.unionByName(
-            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                        "embedding")
-        )
-    df = df.repartition(32).persist()
-    total = df.count()
+    _, df, total = _replicate_embeddings(spark, replication)
     k_total = adaptive_k(total, 25)
     kc, kf = twolevel_split(k_total)
 
@@ -1801,18 +1800,7 @@ def pqcut_probe(replication: int) -> None:
 
     spark = get_spark(f"scaling-pqcut-{replication}x")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    n = base.count()
-    df = base
-    for i in range(1, replication):
-        df = df.unionByName(
-            base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                        "embedding")
-        )
-    df = df.repartition(32).persist()
-    total = df.count()
+    base, df, total = _replicate_embeddings(spark, replication)
     probes = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
