@@ -84,6 +84,7 @@ HEADLINE = {
     "q_kmeans_twolevel": "coarse-then-refine assignment: exact coarse Lloyd, two-phase per-cell seed rank (no whole-cell sort task), fine assign joins each row to ONLY its own cell's centroids via a broadcast on the cell id — per-row work (kc+kf)*d, not k*d",
     "q_dedup_simhash": "4-block pigeonhole equi-joins over one localCheckpointed fingerprint pass; hot blocks triangle-split (r12) instead of excluded — recall at hamming<=3 unconditional",
     "q_jl_project": "map-only JL projection: plan-time literal sign matrix, per-row left-fold dots, posexplode exit; zero exchanges from the operator (the one visible is ensure_parallelism's local-fixture fan-out) — the map-only shape a 100 TB pre-step must have",
+    "q_semdedup_twolevel": "the SemDeDup cascade on the two-level derived-k assignment (r13): corpus-count-derived (kc, kf) split, coarse-then-refine Lloyd, raw-keyed exact pre-collapse, within-COMPOSITE-cluster pair join — assignment per-row work (kc+kf)*d while the prune stage is unchanged",
 }
 
 
