@@ -721,3 +721,41 @@ def test_knn_lsh_partial_topk_bounds_rank_window(spark):
     }
     for r in out.collect():
         assert (r["q_id"], r["vec_id"]) in bf
+
+
+def test_partial_topk_exact_under_adversarial_partitioning(spark):
+    """r13 (the cut is now on the ORACLE-carrying brute lanes, so its
+    exactness claim deserves its own direct pin): for any physical
+    layout — one probe's rows concentrated in a single partition, or
+    scattered one-per-partition — ranking the partial_topk output
+    yields exactly the same (probe, id, rank) set as ranking the raw
+    frame, because any global top-k row is in its own partition's
+    top-k under the same total order. Ties included: scores collide
+    by construction and break on id."""
+    from pyspark.sql import functions as F, Window
+
+    from team_02_spark.operators.similarity import partial_topk
+
+    rows = [(q, i, float(i % 5)) for q in (0, 1) for i in range(200)]
+    base = spark.createDataFrame(rows, "q_id int, c_id int, score double")
+
+    def ranked(df):
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("c_id"))
+        return sorted(
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7)
+            .select("q_id", "c_id", "rank")
+            .collect()
+        )
+
+    expected = ranked(base.coalesce(1))
+    for layout in (
+        base.repartition(16),                     # scattered
+        base.repartition(16, "c_id"),             # probe rows everywhere
+        base.repartition(2, "q_id"),              # one probe == one partition
+        base.coalesce(1),                         # degenerate single task
+    ):
+        cut = partial_topk(layout, "q_id", 7, F.desc("score"), F.col("c_id"))
+        assert ranked(cut) == expected
+        # the cut really cut: at most k rows per (probe, partition)
+        assert cut.count() <= 7 * 2 * max(1, layout.rdd.getNumPartitions())
