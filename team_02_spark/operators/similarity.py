@@ -238,24 +238,16 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
         c_bucket.join(F.broadcast(q_bucket), "__bucket")
         .withColumn("score", cosine(F.col(q_vec), F.col(c_vec)))
     )
-    # Two-stage top-k (r9, from the knnlsh scaling probe): a hot
-    # DIRECTION — many near-identical corpus rows matching one probe —
-    # funnels ALL its candidates into the single per-probe window task
-    # below, and the one-level refinement cannot split a tight cluster
-    # (sub-margin jitter flips no sign bits; measured in SCALING.md).
-    # Partial rank within (probe, physical partition) keeps k rows per
-    # partition, so the final per-probe rank reads <= k*n_partitions
-    # rows however hot the direction; recall is unchanged — the true
-    # top-k survives every partial cut.
-    part_w = Window.partitionBy(q_id, "__part").orderBy(
-        F.desc("score"), F.col(c_id)
-    )
-    scored = (
-        scored.withColumn("__part", F.spark_partition_id())
-        .withColumn("__pr", F.row_number().over(part_w))
-        .filter(F.col("__pr") <= k)
-        .drop("__part", "__pr")
-    )
+    # Two-stage top-k (r9, from the knnlsh scaling probe — the origin
+    # of partial_topk; r13 folds this inline copy into the shared
+    # helper): a hot DIRECTION — many near-identical corpus rows
+    # matching one probe — funnels ALL its candidates into the single
+    # per-probe window task below, and the one-level refinement cannot
+    # split a tight cluster (sub-margin jitter flips no sign bits;
+    # measured in SCALING.md). The cut keeps k rows per (probe,
+    # physical partition); recall is unchanged — the true top-k
+    # survives every partial cut.
+    scored = partial_topk(scored, q_id, k, F.desc("score"), F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
