@@ -42,7 +42,22 @@ def partial_topk(scored: DataFrame, q_id: str, k: int, *order) -> DataFrame:
     the global per-probe window — a hot probe's candidates no longer
     funnel into one sort task, and the true top-k survives every
     partial cut (any row in the global top-k by ``order`` is in the
-    top-k of its own partition), so downstream ranks are unchanged."""
+    top-k of its own partition), so downstream ranks are unchanged.
+
+    Honest overlap, found r13 (SCALING.md "partial_topk vs
+    InferWindowGroupLimit"): Spark 4's InferWindowGroupLimit rule
+    already inserts a map-side ``WindowGroupLimit ... Partial`` below
+    the Exchange whenever a row_number/rank window feeds an ADJACENT
+    ``filter(rank <= literal)`` — giving the same ≤ k·n_partitions
+    fan-in bound for free, and neither mechanism avoids the local
+    sort of a hot map partition. The explicit cut is kept anyway,
+    eyes open: it costs one flat extra Exchange of ≤ k·n_partitions
+    rows (measured 0.07–0.4 s/lane locally, nil at scale), and in
+    exchange the bound stops depending on a Catalyst pattern-match
+    that silently lapses when a caller keeps the rank column without
+    the adjacent literal filter, or when the rule's shape changes
+    across Spark versions. Callers composing their own windows over
+    ``scored`` frames can rely on the rule instead — with a plan pin."""
     part_w = Window.partitionBy(q_id, "__part").orderBy(*order)
     return (
         scored.withColumn("__part", F.spark_partition_id())
