@@ -7,6 +7,9 @@ Usage:
     python tools/verify_driver.py                    # all keys, sf0.01
     python tools/verify_driver.py --sf sf0.1         # scale sweep
     python tools/verify_driver.py q_pagerank q_auc   # subset
+    python tools/verify_driver.py --window           # the projected
+        50-key driver window (pins + new + stalest), the end-of-round
+        pre-driver evidence sweep
 
 Exit code 0 iff every checked key matches (rows-only keys must run).
 """
@@ -34,6 +37,14 @@ def main() -> int:
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if "--window" in args:
+        # sweep exactly the keys the round driver will check next:
+        # the first 50 of the registry's retry/recheck/new/staleness
+        # ordering (the end-of-round pre-driver evidence sweep)
+        args.remove("--window")
+        import team_02_spark.queries.registry as R
+
+        args += [n for n in R.queries_map()][:50]
     sf_dir = f"/root/testdata/{sf}"
 
     import duckdb
