@@ -601,3 +601,31 @@ def test_r8_lane_plans(spark):
         df = _q(spark, name)
         assert shuffle_count(df) <= budget, f"{name} over shuffle budget"
         assert not uses_python_udf(df), f"{name} crossed into Python"
+
+
+def test_spark_infers_partial_window_group_limit(spark):
+    """r13 finding pin (SCALING.md "partial_topk vs
+    InferWindowGroupLimit"): Spark 4 inserts a map-side
+    `WindowGroupLimit ... Partial` below the Exchange for the plain
+    row_number + adjacent literal filter pattern — the built-in twin
+    of the explicit partial_topk cut. The repo KEEPS the explicit cut
+    in the ANN lanes (the rule is pattern-sensitive), but the
+    documented overlap rests on this rule firing; if a Spark upgrade
+    reshapes it, this test trips and the SCALING.md note (and the
+    option of dropping the explicit cut) must be re-evaluated."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    ranked = df.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 3)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, (
+        "InferWindowGroupLimit no longer inserts the map-side partial "
+        "rank — re-read SCALING.md r13 'partial_topk vs "
+        "InferWindowGroupLimit' before trusting the built-in bound"
+    )
+    assert "Final" in plan
