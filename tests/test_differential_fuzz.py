@@ -249,3 +249,49 @@ def test_fuzzed_exact_rank_percentile(spark, duck_events, q):
         FROM ranked GROUP BY event_type
     """).fetchdf()
     assert not compare(sdf, ddf)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    k=st.integers(min_value=1, max_value=12),
+    n_parts=st.sampled_from([1, 3, 16]),
+    dup_every=st.sampled_from([0, 3]),
+)
+def test_fuzzed_knn_bruteforce_matches_numpy(spark, seed, k, n_parts,
+                                             dup_every):
+    """r13 (the partial-rank cut now sits on the exact brute lane):
+    random corpora — including duplicated vectors, which force score
+    TIES at every rank — under random physical layouts must reproduce
+    a numpy argsort reference exactly. Complements the fixed DuckDB
+    oracle with generated inputs and adversarial partitioning."""
+    import numpy as np
+
+    from team_02_spark.operators.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(k, 40))
+    vecs = rng.normal(size=(n, 8)).astype(np.float64)
+    if dup_every:
+        for i in range(0, n, dup_every):
+            vecs[i] = vecs[0]  # exact clones -> tied scores
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(n_parts)
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[0]])], "q_id long, q_vec array<double>"
+    )
+    got = sorted(
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in knn_bruteforce(queries, corpus, k, c_vec="embedding",
+                                round_decimals=6).collect()
+    )
+    # numpy reference: cosine rounded to 6dp, rank by (-score, id)
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos = np.round(cos, 6)
+    order = sorted(range(n), key=lambda i: (-cos[i], i))[:k]
+    want = sorted((100, i, r + 1) for r, i in enumerate(order))
+    assert got == want
