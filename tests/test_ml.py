@@ -518,6 +518,30 @@ def test_kmeans_twolevel_partitions_refines_and_is_deterministic(spark):
         kmeans_assign_twolevel(emb, iters=0)
 
 
+def test_kmeans_twolevel_derived_k_keeps_the_refinement_contract(spark):
+    """r13 derived-k path: target_cluster_size overrides the literal
+    shape with (kc, kf) = twolevel_split(adaptive_k(n, target)); the
+    composite ids stay in [0, kc*kf), the coarse component still
+    equals the flat kc-means assignment (refinement never crosses
+    cells — the contract must survive the derivation), and the ids
+    are exhaustive over the corpus."""
+    from team_02_spark.operators.clustering import (
+        adaptive_k, kmeans_assign, kmeans_assign_twolevel, twolevel_split,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    kc, kf = twolevel_split(adaptive_k(n, 25))
+    a = {r["vec_id"]: r["cluster"] for r in
+         kmeans_assign_twolevel(emb, k_coarse=999, k_fine=999, iters=2,
+                                target_cluster_size=25).collect()}
+    assert len(a) == n
+    assert all(0 <= c < kc * kf for c in a.values())
+    coarse = {r["vec_id"]: r["cluster"] for r in
+              kmeans_assign(emb, k=kc, iters=2).collect()}
+    assert {v: c // kf for v, c in a.items()} == coarse
+
+
 def test_adaptive_k_scales_with_corpus_size():
     """r11 verdict #4: k derives from n so the within-cluster pair
     work stays ~n*target/2 at any corpus size."""
