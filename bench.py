@@ -132,6 +132,91 @@ HEADLINE = [
 # divide it out instead of mistaking environment drift for regression.
 CALIBRATION = ("q_topk", "q_filter_compound", "q_window_rank")
 
+# Parallel-throughput probe (r13 verdict #1): the trio above measures
+# single-stage LATENCY and is nearly blind to multi-core THROUGHPUT
+# loss — a CPU-quota'd or load-contended box serializes a 32-way
+# stage while barely moving a sub-second key (BENCH_r13 read the trio
+# "benignly start-heavy" while mid-session parallel-heavy keys ran
+# 3-10x over every reproduction). This fixed-size, fully CPU-bound
+# 32-way codegen stage (range -> xxhash64 -> double sum; zero I/O,
+# one tiny shuffle) runs once per calibration position; its wall and
+# its CPU efficiency cpu_delta/(wall*ncpus) are emitted as calib_par /
+# par_eff. Measured signature on this box (SCALING.md r14): clean
+# ~1.0-1.3 s wall at eff 0.63-0.72 (16 physical cores + HT bound eff
+# ~0.65, not 1.0); pinned to 4 of 32 CPUs -> 4.6-6.8 s wall at eff
+# 0.124 = 4/32. Decision rule in box_verdict().
+PAR_PROBE_ROWS = int(os.environ.get("SPARK_GRAFT_PAR_ROWS", 6_400_000_000))
+
+
+def cpu_tree_seconds(root_pid: int | None = None) -> float | None:
+    """Total CPU seconds (utime+stime of every LIVE process in the
+    tree rooted at ``root_pid``, plus cutime/cstime for their already-
+    reaped children) read from /proc. Covers the whole bench process
+    tree — this Python driver, the local-mode JVM it spawned, and the
+    JVM's pandas_udf worker daemons — which getrusage cannot (RUSAGE_
+    CHILDREN only counts reaped children; the JVM is live). Returns
+    None off-Linux (no /proc) so callers degrade to wall-only."""
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except (OSError, ValueError, AttributeError):
+        return None
+    if root_pid is None:
+        root_pid = os.getpid()
+    procs: dict[int, int] = {}
+    children: dict[int, list[int]] = {}
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                data = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced with process exit
+        # comm (field 2) may contain spaces/parens: split AFTER the
+        # last ')' so field indices are stable; utime stime cutime
+        # cstime are stat fields 14-17 -> post-comm indices 11-14.
+        rest = data.rsplit(")", 1)[-1].split()
+        try:
+            ppid = int(rest[1])
+            cpu = sum(int(rest[i]) for i in (11, 12, 13, 14))
+        except (IndexError, ValueError):
+            continue
+        procs[pid] = cpu
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [root_pid], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        total += procs.get(pid, 0)
+        stack.extend(children.get(pid, []))
+    return total / clk
+
+
+def box_verdict(drift, pos_med: dict, par_eff: dict) -> str:
+    """Self-adjudication of the session's box state (r13 verdict #1:
+    until the record can say this itself, every round re-litigates
+    phantom regressions). Priority order:
+
+    - any position's parallel probe ran below 35% CPU efficiency
+      (11 of 32 cores) -> "throttled": a quota or competing load is
+      serializing wide stages; parallel-heavy per-key timings are
+      untrustworthy even if the latency trio reads benign (the
+      BENCH_r12/r13 contamination mode).
+    - positional latency drift > 2x, worst at START -> "warmup-heavy"
+      (benign JIT slope; keys are best-of-N so largely immune).
+    - drift > 2x elsewhere -> "contaminated": load arrived mid-
+      session, late-order timings suspect.
+    - otherwise "steady"."""
+    effs = [e for e in (par_eff or {}).values()
+            if isinstance(e, (int, float))]
+    if effs and min(effs) < 0.35:
+        return "throttled"
+    if drift is not None and drift > 2.0 and pos_med:
+        worst = max(pos_med, key=lambda p: pos_med[p])
+        return "warmup-heavy" if worst == "start" else "contaminated"
+    return "steady"
+
 
 def infer_current_round(root: str) -> int | None:
     """The round this bench run belongs to, inferred from the driver's
@@ -283,8 +368,9 @@ def clamp_line(payload: dict, limit: int) -> str:
     # letting the driver's tail-truncation silently re-create the
     # invalid-front-truncated-JSON failure this function exists to
     # prevent.
-    for extra in ("calib_pos", "calib_drift", "spread_med", "spread_max",
-                  "runs", "calib_ratio"):
+    for extra in ("calib_pos", "par_eff", "calib_par", "calib_drift",
+                  "spread_med", "spread_max", "runs", "calib_ratio",
+                  "box"):
         if len(line) <= limit:
             break
         payload.pop(extra, None)
@@ -348,13 +434,40 @@ def main() -> None:
             out[cname] = time.perf_counter() - t0
         return out
 
+    ncpus = spark.sparkContext.defaultParallelism or 1
+
+    def _par_probe() -> tuple[float, float | None]:
+        # the 32-way throughput probe (r13 verdict #1) — wall + CPU
+        # efficiency of a fixed fully-CPU-bound codegen stage; see
+        # PAR_PROBE_ROWS for the measured clean/throttled signatures
+        cpu0 = cpu_tree_seconds()
+        t0 = time.perf_counter()
+        (
+            spark.range(0, PAR_PROBE_ROWS, 1, ncpus)
+            .select(F.sum(F.xxhash64("id").cast("double")).alias("h"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        wall = time.perf_counter() - t0
+        cpu1 = cpu_tree_seconds()
+        eff = None
+        if cpu0 is not None and cpu1 is not None and wall > 0:
+            eff = round((cpu1 - cpu0) / (wall * ncpus), 3)
+        return round(wall, 3), eff
+
+    _par_probe()  # warm the probe's own plan/codegen out of "start"
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    cpu_per_key: dict[str, float | None] = {}
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     calib_pos = {"start": _calib_pass()}
+    calib_par: dict[str, float] = {}
+    par_eff: dict[str, float | None] = {}
+    calib_par["start"], par_eff["start"] = _par_probe()
     for i, name in enumerate(HEADLINE):
         if i == len(HEADLINE) // 2:
             calib_pos["mid"] = _calib_pass()
+            calib_par["mid"], par_eff["mid"] = _par_probe()
         fn = QUERIES[name].fn
         samples: list[float] = []
         # best-of-N (default 3): the first run pays one-time
@@ -363,18 +476,31 @@ def main() -> None:
         # session noise per query (VERDICT r3 #7: sub-second queries
         # drift 25-45% between sessions, which made regression
         # detection mushy on single-shot timings).
+        cpu_samples: list[float | None] = []
         for _ in range(runs):
+            cpu0 = cpu_tree_seconds()
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: computes every column of every row (unlike
             # count(), which lets Spark skip unevaluated projections).
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+            cpu1 = cpu_tree_seconds()
+            cpu_samples.append(
+                round(cpu1 - cpu0, 3)
+                if cpu0 is not None and cpu1 is not None else None
+            )
         best = min(samples)
         timings[name] = round(best, 3)
+        # cpu_s of the best-wall run: the per-key diagnostic the r13
+        # verdict asked for — dumped to stderr (not the JSON line,
+        # whose 1950-char budget can't carry 50 more floats; the
+        # positional probe localizes throttling in session time)
+        cpu_per_key[name] = cpu_samples[samples.index(best)]
         spreads[name] = round((max(samples) - best) / best, 3) if best else 0.0
 
     calib_pos["end"] = _calib_pass()
+    calib_par["end"], par_eff["end"] = _par_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -410,6 +536,9 @@ def main() -> None:
         ),
         "calib_drift": drift,
         "calib_pos": pos_med,
+        "calib_par": calib_par,
+        "par_eff": par_eff,
+        "box": box_verdict(drift, pos_med, par_eff),
         "sf": sf_num,
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -425,6 +554,13 @@ def main() -> None:
     # is still reconstructible.
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_LIMIT", "1950"))
     print(clamp_line(payload, limit))
+    # per-key cpu_s of the best-wall run (r13 verdict #1, optional
+    # half): stderr, not the budgeted JSON line — a key whose wall
+    # inflated while its cpu_s held is waiting (scheduling/contention);
+    # one whose cpu_s inflated with it genuinely computed more.
+    import sys
+
+    print("bench-cpu: " + json.dumps(cpu_per_key), file=sys.stderr)
     from team_02_spark.operators.scale import reap_bucketed_tables
 
     reap_bucketed_tables(spark)  # session-teardown warehouse maintenance

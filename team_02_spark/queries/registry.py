@@ -220,7 +220,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # later) exists, so no hand edit is needed after the CORRECTNESS file
 # lands.
 DRIVER_RECHECK: dict[str, int] = {
-    "q_crossmodal_knn": 9,       # r9: rows-only -> full DuckDB oracle
+    # (q_crossmodal_knn's r9 oracle-flip pin was superseded by its r13
+    # impl-change pin below — r13 advisor low: the duplicate literal
+    # key silently shadowed this entry, and deleting the r13 line
+    # would have silently reverted to the already-satisfied r9 pin.)
     "q_tokenize": 9,             # r9: rows-only -> full DuckDB oracle
     "q_multimodal_features": 9,  # r9: rows-only -> full DuckDB oracle
     # r10 impl changes (identical-set collapse; monotone heal) whose

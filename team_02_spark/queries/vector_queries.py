@@ -674,6 +674,13 @@ def _kmeans_ctes(seed_order: str = "vec_id",
     operators/clustering.twolevel_split), kf = (k + kc - 1) // kc —
     and seeds the COARSE chain with kc centroids; the fine chain
     (_kmeans_twolevel_ctes(adaptive=True)) then reads kk.kf."""
+    if two_level and target_cluster_size is None:
+        # r13 advisor low: without this guard the call would silently
+        # fall into the fixed-k=8 branch (no kk CTE) and a composed
+        # _kmeans_twolevel_ctes(adaptive=True) oracle would reference
+        # the nonexistent kk only at oracle-execution time.
+        raise ValueError("_kmeans_ctes: two_level=True requires "
+                         "target_cluster_size")
     if target_cluster_size is None:
         c0 = """
     c0 AS (

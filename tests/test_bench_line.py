@@ -76,6 +76,9 @@ def test_real_headline_set_fits_default_limit():
         "calib_ratio": 1.152,
         "calib_drift": 1.083,
         "calib_pos": {"start": 1.052, "mid": 1.021, "end": 1.139},
+        "calib_par": {"start": 1.054, "mid": 1.102, "end": 1.071},
+        "par_eff": {"start": 0.672, "mid": 0.691, "end": 0.643},
+        "box": "steady",
         "sf": 0.1,
         "metric": "headline_queries_total_sec",
         "value": 55.123,
@@ -84,10 +87,14 @@ def test_real_headline_set_fits_default_limit():
     d = json.loads(clamp_line(p, 1950))
     assert "queries_dropped" not in d
     assert len(d["queries"]) == len(HEADLINE)
-    # the drift instrument must survive the normal (no-clamp) path —
-    # it is the field the judge reads to adjudicate a noisy session
+    # the drift instruments must survive the normal (no-clamp) path —
+    # these are the fields the judge reads to adjudicate a noisy
+    # session (r13 verdict #1: the throughput probe + box verdict)
     assert d["calib_drift"] == 1.083
     assert d["calib_pos"]["end"] == 1.139
+    assert d["calib_par"]["mid"] == 1.102
+    assert d["par_eff"]["end"] == 0.643
+    assert d["box"] == "steady"
 
 
 def test_no_rounding_drift_across_many_drops():
@@ -222,3 +229,79 @@ def test_floor_limit_sheds_detail_fields_and_stays_valid_json(capsys):
     line2 = clamp_line(p2, 10)
     json.loads(line2)
     assert "clamp_line floor" in capsys.readouterr().err
+
+
+def test_cpu_tree_seconds_counts_self_and_descendants():
+    """r13 verdict #1: the throughput probe's CPU reading must cover
+    the whole process tree (getrusage can't see the live JVM). Pure
+    /proc logic — burn CPU in THIS process and in a child, and the
+    tree total must rise by at least the burned amount."""
+    import subprocess
+
+    from bench import cpu_tree_seconds
+
+    c0 = cpu_tree_seconds()
+    if c0 is None:  # off-Linux: documented graceful degrade
+        return
+    assert c0 > 0
+    # self-burn ~0.2 s
+    t_end = __import__("time").process_time() + 0.2
+    while __import__("time").process_time() < t_end:
+        pass
+    # child-burn ~0.2 s (cstime/cutime credited to self once reaped)
+    subprocess.run(
+        ["python", "-c",
+         "import time\nt=time.process_time()+0.2\n"
+         "while time.process_time()<t: pass"],
+        check=True,
+    )
+    c1 = cpu_tree_seconds()
+    assert c1 is not None and c1 - c0 >= 0.3, (c0, c1)
+
+
+def test_box_verdict_decision_table():
+    """r13 verdict #1's decision rule: latency-trio benign + throughput
+    probe hot => throttled box; the trio's direction semantics are
+    unchanged for the un-throttled cases."""
+    from bench import box_verdict
+
+    steady_eff = {"start": 0.67, "mid": 0.69, "end": 0.64}
+    # clean session
+    assert box_verdict(1.1, {"start": 1.05, "mid": 1.0, "end": 1.02},
+                       steady_eff) == "steady"
+    # the BENCH_r13 exhibit: trio reads benign START-heavy drift, but
+    # the 32-way probe ran at quota efficiency -> throttled wins
+    assert box_verdict(
+        1.47, {"start": 1.31, "mid": 1.16, "end": 0.89},
+        {"start": 0.64, "mid": 0.12, "end": 0.13}) == "throttled"
+    # throttled even with NO trio drift at all (quota for the whole
+    # session scales the trio uniformly -> drift ~1)
+    assert box_verdict(1.02, {"start": 1.0, "mid": 1.0, "end": 1.0},
+                       {"start": 0.12, "mid": 0.13, "end": 0.12}) \
+        == "throttled"
+    # start-heavy latency drift, healthy probe: benign JIT warm-up
+    assert box_verdict(2.5, {"start": 2.5, "mid": 1.1, "end": 1.0},
+                       steady_eff) == "warmup-heavy"
+    # end-heavy latency drift, healthy probe: load arrived mid-session
+    # (the BENCH_r12 exhibit)
+    assert box_verdict(4.0, {"start": 1.0, "mid": 1.1, "end": 4.0},
+                       steady_eff) == "contaminated"
+    # degraded inputs: no /proc efficiencies -> fall back to the trio
+    assert box_verdict(4.0, {"start": 1.0, "end": 4.0},
+                       {"start": None, "end": None}) == "contaminated"
+    assert box_verdict(None, {}, {}) == "steady"
+
+
+def test_clamp_sheds_probe_fields_before_driver_contract():
+    """The new probe fields shed under pressure like the other detail
+    fields — valid JSON with the driver-contract keys intact."""
+    p = _payload(60)
+    p["calib_par"] = {"start": 1.054, "mid": 1.102, "end": 1.071}
+    p["par_eff"] = {"start": 0.672, "mid": 0.691, "end": 0.643}
+    p["box"] = "steady"
+    line = clamp_line(p, 260)
+    d = json.loads(line)
+    assert len(line) <= 260
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+    assert "calib_par" not in d and "par_eff" not in d

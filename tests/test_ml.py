@@ -542,6 +542,21 @@ def test_kmeans_twolevel_derived_k_keeps_the_refinement_contract(spark):
     assert {v: c // kf for v, c in a.items()} == coarse
 
 
+def test_kmeans_ctes_two_level_requires_target():
+    """r13 advisor low: _kmeans_ctes(two_level=True) without
+    target_cluster_size used to fall silently into the fixed-k=8
+    branch (no kk CTE), so a composed _kmeans_twolevel_ctes oracle
+    failed only at oracle-execution time. Now it raises at
+    oracle-construction time."""
+    from team_02_spark.queries.vector_queries import _kmeans_ctes
+
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        _kmeans_ctes(two_level=True)
+    # the valid forms still build
+    assert "kk" in _kmeans_ctes(two_level=True, target_cluster_size=25)
+    assert "LIMIT 8" in _kmeans_ctes()
+
+
 def test_adaptive_k_scales_with_corpus_size():
     """r11 verdict #4: k derives from n so the within-cluster pair
     work stays ~n*target/2 at any corpus size."""

@@ -203,3 +203,36 @@ def test_readme_counts_match_registry():
     m = re.search(r"The (\d+) rows-only queries", text)
     assert m, "README rows-only sentence missing"
     assert int(m.group(1)) == len(R.QUERIES) - oracled
+    # r13 verdict #5: the bench-sentence count drifted (said 40 while
+    # HEADLINE had 50) because nothing asserted it — now it is pinned
+    # the same way as the registry sentence above.
+    from bench import HEADLINE
+
+    m = re.search(r"(\d+) headline queries", text)
+    assert m, "README headline-count sentence missing"
+    assert int(m.group(1)) == len(HEADLINE)
+
+
+def test_driver_recheck_has_no_duplicate_literal_keys():
+    """r13 advisor low: a duplicate literal key in the DRIVER_RECHECK
+    dict silently shadows the earlier entry (q_crossmodal_knn carried
+    both a round-9 and a round-13 pin; deleting the r13 line would
+    have silently reverted to the already-satisfied r9 pin). Parse
+    the source dict literal and reject duplicates loudly."""
+    import ast
+
+    src = (REPO / "team_02_spark" / "queries" / "registry.py").read_text()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.target.id == "DRIVER_RECHECK"
+                and isinstance(node.value, ast.Dict)):
+            keys = [k.value for k in node.value.keys
+                    if isinstance(k, ast.Constant)]
+            assert len(keys) == len(set(keys)), (
+                "duplicate DRIVER_RECHECK keys: "
+                f"{sorted(k for k in keys if keys.count(k) > 1)}")
+            break
+    else:
+        raise AssertionError("DRIVER_RECHECK dict literal not found")
