@@ -118,6 +118,14 @@ HEADLINE = [
     # #3 closed) — the flagship semantic-dedup lane's scale path,
     # tracked per-round like its flat siblings
     "q_semdedup_twolevel",
+    # round 14 (NEW key — prior 50 stay frozen): the fit-ONCE IVF-PQ
+    # serving lane (r13 verdict #2) — index cached per corpus under
+    # the warehouse, so this key tracks the SERVE cost (partition-
+    # pruned codes-only reads + ADC + exact rerank), while q_pq_search
+    # keeps tracking the fit-included census of the same math. The
+    # first session run pays the one-time build inside run 1;
+    # best-of-3 lands on the cached serve, matching production.
+    "q_ivf_pq_serve",
 ]
 
 # Calibration instrument (r11 verdict nit #1): two consecutive rounds
@@ -193,7 +201,35 @@ def cpu_tree_seconds(root_pid: int | None = None) -> float | None:
     return total / clk
 
 
-def box_verdict(drift, pos_med: dict, par_eff: dict) -> str:
+def mem_first_touch_mbps(mb: int = 96) -> float | None:
+    """First-touch page-fault bandwidth: mmap fresh anonymous pages
+    and write every byte, MB/s. Catches the contamination mode the
+    CPU probe is blind to (r14 discovery, SCALING.md): on this
+    virtualized box, faulting in large fresh allocations
+    INTERMITTENTLY ran at ~25 MB/s instead of the ~550-600 MB/s clean
+    band, stalling exactly the Arrow/numpy kernels that build big
+    temporaries (the PQ ADC lane read 5-11 s per batch while the
+    32-way codegen probe read clean). mmap(-1) guarantees fresh pages
+    every call — an in-process numpy loop hides the effect behind
+    allocator reuse after one round. Returns None where mmap
+    anonymous maps are unavailable."""
+    import mmap
+
+    chunk = b"\xff" * (1 << 20)
+    try:
+        buf = mmap.mmap(-1, mb << 20)
+    except (OSError, ValueError):
+        return None
+    t0 = time.perf_counter()
+    for _ in range(mb):
+        buf.write(chunk)
+    dt = time.perf_counter() - t0
+    buf.close()
+    return round(mb / dt, 1) if dt > 0 else None
+
+
+def box_verdict(drift, pos_med: dict, par_eff: dict,
+                mem_mbps: dict | None = None) -> str:
     """Self-adjudication of the session's box state (r13 verdict #1:
     until the record can say this itself, every round re-litigates
     phantom regressions). Priority order:
@@ -203,6 +239,14 @@ def box_verdict(drift, pos_med: dict, par_eff: dict) -> str:
       serializing wide stages; parallel-heavy per-key timings are
       untrustworthy even if the latency trio reads benign (the
       BENCH_r12/r13 contamination mode).
+    - first-touch memory probe collapsed at any position — below
+      150 MB/s absolute, OR below 0.3x the session's own best reading
+      (the within-session ratio is the robust form: absolute MB/s
+      varies ~2.5x with allocator warmth, but a clean session's three
+      readings stay within ~0.8x of each other while the r14 exhibit
+      read 253 vs 1427 = 0.18x mid-session) -> "mem-degraded":
+      host-side page-fault stalls; allocation-heavy Arrow/numpy lanes
+      suspect even though codegen lanes read clean.
     - positional latency drift > 2x, worst at START -> "warmup-heavy"
       (benign JIT slope; keys are best-of-N so largely immune).
     - drift > 2x elsewhere -> "contaminated": load arrived mid-
@@ -212,6 +256,10 @@ def box_verdict(drift, pos_med: dict, par_eff: dict) -> str:
             if isinstance(e, (int, float))]
     if effs and min(effs) < 0.35:
         return "throttled"
+    mems = [v for v in (mem_mbps or {}).values()
+            if isinstance(v, (int, float))]
+    if mems and (min(mems) < 150 or min(mems) < 0.3 * max(mems)):
+        return "mem-degraded"
     if drift is not None and drift > 2.0 and pos_med:
         worst = max(pos_med, key=lambda p: pos_med[p])
         return "warmup-heavy" if worst == "start" else "contaminated"
@@ -368,9 +416,9 @@ def clamp_line(payload: dict, limit: int) -> str:
     # letting the driver's tail-truncation silently re-create the
     # invalid-front-truncated-JSON failure this function exists to
     # prevent.
-    for extra in ("calib_pos", "par_eff", "calib_par", "calib_drift",
-                  "spread_med", "spread_max", "runs", "calib_ratio",
-                  "box"):
+    for extra in ("calib_pos", "par_eff", "calib_par", "calib_mem",
+                  "calib_drift", "spread_med", "spread_max", "runs",
+                  "calib_ratio", "box"):
         if len(line) <= limit:
             break
         payload.pop(extra, None)
@@ -463,11 +511,14 @@ def main() -> None:
     calib_pos = {"start": _calib_pass()}
     calib_par: dict[str, float] = {}
     par_eff: dict[str, float | None] = {}
+    calib_mem: dict[str, float | None] = {}
     calib_par["start"], par_eff["start"] = _par_probe()
+    calib_mem["start"] = mem_first_touch_mbps()
     for i, name in enumerate(HEADLINE):
         if i == len(HEADLINE) // 2:
             calib_pos["mid"] = _calib_pass()
             calib_par["mid"], par_eff["mid"] = _par_probe()
+            calib_mem["mid"] = mem_first_touch_mbps()
         fn = QUERIES[name].fn
         samples: list[float] = []
         # best-of-N (default 3): the first run pays one-time
@@ -501,6 +552,7 @@ def main() -> None:
 
     calib_pos["end"] = _calib_pass()
     calib_par["end"], par_eff["end"] = _par_probe()
+    calib_mem["end"] = mem_first_touch_mbps()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -538,7 +590,8 @@ def main() -> None:
         "calib_pos": pos_med,
         "calib_par": calib_par,
         "par_eff": par_eff,
-        "box": box_verdict(drift, pos_med, par_eff),
+        "calib_mem": calib_mem,
+        "box": box_verdict(drift, pos_med, par_eff, calib_mem),
         "sf": sf_num,
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -460,7 +460,11 @@ def q_pq_search(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 5)
+    # r14: a single-file fixture scans as ONE partition, serializing
+    # the encode + ADC Arrow stages onto one core (event-logged: the
+    # whole shortlist ran as a 1-task broadcast build); same remedy
+    # as q_knn_topk, a no-op on well-partitioned 100 TB inputs
+    corpus = ensure_parallelism(emb.filter(F.col("vec_id") >= 5))
     # empty-corpus guard (same contract as knn_ivf): KMeans cannot fit
     # zero rows — return the empty result with the stable schema
     if corpus.select("vec_id").first() is None:
@@ -473,6 +477,55 @@ def q_pq_search(spark, sf_dir):
     books = fit_pq_codebooks(corpus, m=8, n_codes=16)
     encoded = pq_encode(corpus, books).select("vec_id", "pq_codes")
     return pq_search_rerank(probes, encoded, corpus, books, k=10)
+
+
+@query("q_ivf_pq_serve")  # rows-only: KMeans codebooks/cells are impl-specific
+def q_ivf_pq_serve(spark, sf_dir):
+    """J5 serving form (r13 verdict #2): IVF-PQ with the index built
+    ONCE per corpus and cached under the warehouse — partition-pruned
+    codes-only reads of the probed cells, ADC shortlist, exact rerank
+    (operators/similarity.ivf_pq_serve). q_pq_search is the
+    fit-included census of the same math; THIS key carries the
+    production cost profile (fit at ingest, serve from bytes), which
+    at 100 TB is the only affordable shape. Recall vs brute force is
+    pinned by tests/test_ml.py::test_ivf_pq_serve_caches_and_recalls.
+
+    The cache dir is keyed by corpus identity (embeddings file path +
+    size + mtime) and the fit params, so a changed fixture or a
+    param change lands in a fresh dir and "rebuilt when missing" is
+    the whole invalidation story."""
+    import hashlib
+    import os
+
+    from team_02_spark.operators.similarity import ivf_pq_serve
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # single-file fixture -> 1 scan partition; parallelize the build's
+    # encode stage (the serve path reads the cached layout instead)
+    corpus = ensure_parallelism(emb.filter(F.col("vec_id") >= 5))
+    if corpus.select("vec_id").first() is None:  # KMeans can't fit 0 rows
+        return probes.select(
+            "q_id",
+            F.col("q_id").alias("vec_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    params = "v5:c8:m8:n16:s42"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{params}"
+    except OSError:
+        sig = f"{os.path.abspath(src)}:{params}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    cache_dir = os.path.join(
+        warehouse, "ivfpq_serve_" + hashlib.md5(sig.encode()).hexdigest()[:12])
+    return ivf_pq_serve(spark, corpus, cache_dir, probes, k=10,
+                        n_cells=8, m=8, n_codes=16, seed=42, n_probe=4)
 
 
 # ----------------------------------------------------- MMR (round 4)

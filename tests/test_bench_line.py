@@ -78,6 +78,7 @@ def test_real_headline_set_fits_default_limit():
         "calib_pos": {"start": 1.052, "mid": 1.021, "end": 1.139},
         "calib_par": {"start": 1.054, "mid": 1.102, "end": 1.071},
         "par_eff": {"start": 0.672, "mid": 0.691, "end": 0.643},
+        "calib_mem": {"start": 581.2, "mid": 544.9, "end": 603.1},
         "box": "steady",
         "sf": 0.1,
         "metric": "headline_queries_total_sec",
@@ -94,6 +95,7 @@ def test_real_headline_set_fits_default_limit():
     assert d["calib_pos"]["end"] == 1.139
     assert d["calib_par"]["mid"] == 1.102
     assert d["par_eff"]["end"] == 0.643
+    assert d["calib_mem"]["mid"] == 544.9
     assert d["box"] == "steady"
 
 
@@ -290,6 +292,34 @@ def test_box_verdict_decision_table():
     assert box_verdict(4.0, {"start": 1.0, "end": 4.0},
                        {"start": None, "end": None}) == "contaminated"
     assert box_verdict(None, {}, {}) == "steady"
+    # the r14 exhibit: CPU probe clean, trio clean, but first-touch
+    # memory bandwidth collapsed at one position -> mem-degraded
+    # (allocation-heavy Arrow/numpy lanes stall while codegen is fine)
+    assert box_verdict(
+        1.1, {"start": 1.05, "mid": 1.0, "end": 1.02}, steady_eff,
+        {"start": 581.2, "mid": 24.7, "end": 549.0}) == "mem-degraded"
+    # the within-session ratio form (the ACTUAL r14 bench reading:
+    # 1427/253/1181 — every value above the absolute floor, but the
+    # mid reading at 0.18x the session best)
+    assert box_verdict(
+        1.1, {"start": 1.05, "mid": 1.0, "end": 1.02}, steady_eff,
+        {"start": 1427.3, "mid": 253.3, "end": 1181.5}) == "mem-degraded"
+    # clean memory band stays steady; throttled outranks mem-degraded
+    assert box_verdict(
+        1.1, {"start": 1.0}, steady_eff,
+        {"start": 581.2, "mid": 544.9, "end": 603.1}) == "steady"
+    assert box_verdict(
+        1.0, {}, {"start": 0.12}, {"start": 24.7}) == "throttled"
+
+
+def test_mem_first_touch_probe_runs():
+    """The probe must return a sane MB/s on this box (clean band
+    ~550-600; anything positive passes — the band is environment) and
+    never crash."""
+    from bench import mem_first_touch_mbps
+
+    v = mem_first_touch_mbps(mb=16)
+    assert v is None or v > 0
 
 
 def test_clamp_sheds_probe_fields_before_driver_contract():

@@ -425,6 +425,54 @@ def test_ivf_pq_layout_prunes_and_recalls(spark, tmp_path):
     assert res.groupBy("q_id").count().filter("count > 10").count() == 0
 
 
+def test_ivf_pq_serve_caches_and_recalls(spark, tmp_path, monkeypatch):
+    """r13 verdict #2: the serving form fits ONCE — the first call
+    builds the layout + _index_meta.json atomically; the second call
+    must serve the identical answer WITHOUT refitting (KMeans fit
+    functions are poisoned), read the probed cells partition-pruned,
+    and hold the same recall floor as the fit-included lane."""
+    import json
+    import os
+
+    from team_02_spark.operators import similarity as sim
+    from team_02_spark.plans import explain_str
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cache = str(tmp_path / "serve_idx")
+
+    first = sim.ivf_pq_serve(spark, corpus, cache, probes, k=10,
+                             n_cells=8, n_probe=4, shortlist=80)
+    rows1 = sorted((r["q_id"], r["vec_id"], r["rank"])
+                   for r in first.collect())
+    meta = json.load(open(os.path.join(cache, "_index_meta.json")))
+    assert meta["params"]["n_cells"] == 8 and meta["codebooks"]
+
+    # fit-once: any refit attempt on the second call must blow up
+    def _poisoned(*a, **kw):
+        raise AssertionError("serve path refitted the index")
+
+    monkeypatch.setattr(sim, "fit_ivf_centroids", _poisoned)
+    monkeypatch.setattr(sim, "fit_pq_codebooks", _poisoned)
+    second = sim.ivf_pq_serve(spark, corpus, cache, probes, k=10,
+                              n_cells=8, n_probe=4, shortlist=80)
+    plan = explain_str(second)
+    assert "PartitionFilters" in plan and "__cell" in plan
+    rows2 = sorted((r["q_id"], r["vec_id"], r["rank"])
+                   for r in second.collect())
+    assert rows1 == rows2
+
+    exact = sim.knn_bruteforce(probes, corpus, 10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(q, v) for q, v, _ in rows2}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF-PQ serve recall collapsed: {recall}"
+    assert second.groupBy("q_id").count().filter("count > 10").count() == 0
+
+
 def test_mmr_diversify_prefers_diverse_over_redundant(spark):
     """Synthetic corpus: two near-identical high-relevance vectors and
     one moderately-relevant orthogonal-ish vector. Pure top-2 takes

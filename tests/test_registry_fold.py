@@ -94,12 +94,28 @@ def test_synthetic_green_keys_sort_to_back_without_hand_edit(
     monkeypatch.setattr(
         R, "DRIVER_VERIFIED",
         R.DRIVER_VERIFIED | {k for k, g in rows.items() if g})
+    # the staleness map is what actually orders the verified block —
+    # without this the r99 greens would keep their old (stale) rank
+    # (r14: the test was vacuous while every key happened to be
+    # verified, because the unchecked-count it asserted against was 0)
+    monkeypatch.setattr(
+        R, "_DRIVER_LATEST_ROUND",
+        {**R._DRIVER_LATEST_ROUND, **{v: 99 for v in victims}})
     names_after = R._ordered_names()
-    unverified_tail = len(R.QUERIES) - len(
-        set(R.QUERIES) & R.DRIVER_VERIFIED)
+    # rows-only keys tail-sort unconditionally (r9 verdict #2), so the
+    # unchecked keys that front the window are the ORACLED ones only
+    unchecked_oracled = [
+        n for n in names_after
+        if n not in R.DRIVER_VERIFIED and n not in pinned
+        and R.QUERIES[n].oracle is not None]
     for v in victims:
-        assert names_after.index(v) >= unverified_tail, (
-            f"{v} still sorts into the unchecked window")
+        for u in unchecked_oracled:
+            assert names_after.index(v) > names_after.index(u), (
+                f"{v} (freshly green) sorts before unchecked {u}")
+        # and the freshest round sorts behind every staler verified key
+        assert names_after.index(v) >= len(names_after) - len(
+            [n for n in names_after if R.QUERIES[n].oracle is None]) - 2, (
+            f"{v} did not move to the back of the staleness order")
 
 
 def test_malformed_correctness_file_is_ignored(tmp_path):

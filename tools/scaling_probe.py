@@ -1529,6 +1529,9 @@ def main() -> None:
     if mode == "twolevel":
         twolevel_probe(arg)
         return
+    if mode == "twolevelcascade":
+        twolevel_cascade_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -1774,6 +1777,51 @@ def twolevel_probe(replication: int) -> None:
         "k_total": k_total, "k_coarse": kc, "k_fine": kf,
         "runs_sec": runs, "best_sec": min(runs),
     }))
+    spark.stop()
+
+
+def twolevel_cascade_probe(replication: int) -> None:
+    """Second decade point for the FULL SemDeDup cascade on the
+    two-level derived-k assignment (r13 verdict #6: the assignment was
+    measured at 100× in r13, the cascade — collapse + within-cluster
+    pair prune + survivor anti-join on top of it — was not). Runs the
+    EXACT declared lane: the replicated corpus is written as
+    ``embeddings.parquet`` under a temp sf-dir and
+    ``q_semdedup_twolevel``'s registered fn is called on it, so the
+    measured plan is byte-identical to the driver's/bench's (scan
+    included). N=100 → k_total=8000 (kc=90, kf=89), the production
+    shape. Best-of-2 through the noop sink; the r13 assignment-only
+    reading at the same N isolates the cascade's own overhead by
+    subtraction."""
+    import shutil
+    import tempfile
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.clustering import adaptive_k, twolevel_split
+    from team_02_spark.queries import QUERIES
+
+    spark = get_spark(f"scaling-twolevelcascade-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    _, df, total = _replicate_embeddings(spark, replication)
+    k_total = adaptive_k(total, 25)
+    kc, kf = twolevel_split(k_total)
+
+    tmp = tempfile.mkdtemp(prefix="twolevelcascade_")
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        fn = QUERIES["q_semdedup_twolevel"].fn
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, tmp).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 2))
+        print(json.dumps({
+            "mode": "twolevelcascade", "replication": replication,
+            "n_vectors": total, "k_total": k_total, "k_coarse": kc,
+            "k_fine": kf, "runs_sec": runs, "best_sec": min(runs),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 

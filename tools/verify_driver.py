@@ -10,6 +10,10 @@ Usage:
     python tools/verify_driver.py --window           # the projected
         50-key driver window (pins + new + stalest), the end-of-round
         pre-driver evidence sweep
+    python tools/verify_driver.py --times ...        # also print each
+        key's wall seconds (Spark side only, query + compare fetch),
+        so staleness sweeps double as coarse per-key perf evidence
+        between official benches (r13 verdict optional #7b)
 
 Exit code 0 iff every checked key matches (rows-only keys must run).
 """
@@ -18,6 +22,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
@@ -37,6 +42,9 @@ def main() -> int:
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2:]
+    times = "--times" in args
+    if times:
+        args.remove("--times")
     if "--window" in args:
         # sweep exactly the keys the round driver will check next:
         # the first 50 of the registry's retry/recheck/new/staleness
@@ -80,6 +88,7 @@ def main() -> int:
             print(f"{name}: UNKNOWN KEY")
             bad += 1
             continue
+        t0 = time.perf_counter()
         try:
             if name in osql:
                 problems = compare(
@@ -94,6 +103,10 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             bad += 1
             print(f"{name}: EXCEPTION {type(exc).__name__}: {exc}")
+        if times:
+            # single-shot wall incl. the DuckDB twin + compare — a
+            # coarse ceiling on the lane's cost, not a bench number
+            print(f"{name}: {time.perf_counter() - t0:.2f}s")
     n_oracle = sum(1 for k in keys if k in osql)
     print(
         f"checked {len(keys)} keys ({n_oracle} oracle, "
