@@ -280,6 +280,14 @@ DRIVER_RECHECK: dict[str, int] = {
     # day; the pin makes the official book prove it too).
     "q_kmeans_adaptive": 13,
     "q_semdedup_adaptive": 13,
+    # r14 impl changes (ADC kernel LUT rewrite + ensure_parallelism)
+    # touched ONLY rows-only lanes (q_pq_search, q_ivf_pq_serve and
+    # the IVF-PQ internals) — deliberately NOT pinned: rows-only keys
+    # tail-sort unconditionally (r9 verdict #2) so a pin here could
+    # never produce a driver row and would never self-prune. The
+    # same-day re-proof is local instead: bitwise-identity assertion
+    # on the kernel, the pq/ivf recall suite, and verify_driver runs
+    # at sf0.01 AND sf0.1 (SCALING.md r14, COVERAGE.md §2.19).
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
