@@ -808,6 +808,18 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
 
     meta_path = os.path.join(cache_dir, "_index_meta.json")
     if not os.path.exists(meta_path):
+        # a crashed builder leaves an orphaned tmp dir; sweep siblings
+        # older than a day (never the final cache_dir — its age is
+        # irrelevant by design, the content key IS the invalidation)
+        import glob
+        import time as _time
+
+        for stale in glob.glob(f"{cache_dir}.tmp.*"):
+            try:
+                if os.path.getmtime(stale) < _time.time() - 86_400:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         tmp = f"{cache_dir}.tmp.{os.getpid()}"
         centroids, books = ivf_pq_build_layout(
             corpus, tmp, c_vec=c_vec, n_cells=n_cells, m=m,

@@ -1532,6 +1532,9 @@ def main() -> None:
     if mode == "twolevelcascade":
         twolevel_cascade_probe(arg)
         return
+    if mode == "prunedial":
+        prune_dial_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -1822,6 +1825,54 @@ def twolevel_cascade_probe(replication: int) -> None:
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+def prune_dial_probe(replication: int) -> None:
+    """target_cluster_size sizing study for the SemDeDup cascade (r13
+    verdict optional #7a): fixed corpus (sf0.1 embeddings replicated
+    N×), the two-level derived-k cascade run at target ∈ {10, 25, 50,
+    100}, best-of-2 each. The dial trades the two stages against each
+    other: k_total = n/target, so a SMALLER target means more
+    clusters (assignment per-row work ~√k grows) but fewer pair
+    candidates per cluster (prune work ~n·target/2 falls); a LARGER
+    target the reverse. Survivor count is reported beside wall so the
+    recall side of the dial (larger clusters prune MORE near-dups —
+    cosine neighbors split across cluster boundaries are invisible to
+    SemDeDup by design) is visible in the same record."""
+    import shutil
+    import tempfile
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.clustering import adaptive_k, twolevel_split
+    from team_02_spark.queries.vector_queries import _semdedup_frame
+
+    spark = get_spark(f"scaling-prunedial-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    _, df, total = _replicate_embeddings(spark, replication)
+    tmp = tempfile.mkdtemp(prefix="prunedial_")
+    out = {"mode": "prunedial", "replication": replication,
+           "n_vectors": total, "points": []}
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        for target in (10, 25, 50, 100):
+            k_total = adaptive_k(total, target)
+            kc, kf = twolevel_split(k_total)
+            runs, survivors = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                frame = _semdedup_frame(spark, tmp, two_level=True,
+                                        target_cluster_size=target)
+                survivors = frame.count()
+                runs.append(round(time.perf_counter() - t0, 2))
+            out["points"].append({
+                "target": target, "k_total": k_total, "kc": kc, "kf": kf,
+                "survivors": survivors, "runs_sec": runs,
+                "best_sec": min(runs),
+            })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
     spark.stop()
 
 
