@@ -300,7 +300,8 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
     LSH: k-means cells partition the corpus; each query searches only
     its ``n_probe`` nearest cells, exact cosine re-ranks inside them.
 
-    Centroids come from MLlib KMeans (public API, seeded); the corpus
+    Centroids come from a seeded driver-side Lloyd fit over a bounded
+    deterministic sample (fit_ivf_centroids); the corpus
     is assigned once (map-side, broadcast centroids as literals) and at
     production scale that assignment is written into the table layout
     (partition by cell) so probes are partition-pruned reads — that
@@ -366,20 +367,29 @@ def _bounded_fit_sample(corpus: DataFrame, c_vec: str,
 def fit_ivf_centroids(corpus: DataFrame, *, c_vec: str = "embedding",
                       n_cells: int = 16, seed: int = 42,
                       fit_sample_cap: int = 100_000) -> list[list[float]]:
-    """Fit the IVF cell centroids (MLlib KMeans, seeded, public API).
-    Returns plain python lists — small driver state (n_cells x dim)
-    that broadcasts into expressions as literals. The fit trains on a
-    deterministic ``fit_sample_cap``-row sample (cluster structure
-    needs a sample, not the corpus); assignment still covers every
-    row."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit the IVF cell centroids (seeded Lloyd over a bounded
+    deterministic sample). Returns plain python lists — small driver
+    state (n_cells x dim) that broadcasts into expressions as
+    literals. The fit trains on a deterministic ``fit_sample_cap``-row
+    sample (cluster structure needs a sample, not the corpus);
+    assignment still covers every row.
 
-    train = _bounded_fit_sample(corpus, c_vec, fit_sample_cap).select(
-        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
-    )
-    km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(train)
-    return [[float(x) for x in c] for c in km.clusterCenters()]
+    r14: the fit moved from an MLlib KMeans to the same driver-side
+    seeded ``_lloyd`` the PQ codebooks already use, for the same
+    reason fit_pq_codebooks did (r6): one MLlib fit costs ~10
+    driver-coordinated Spark jobs at ANY corpus size — pure
+    scheduling overhead once the sample is bounded — while the
+    sample collect is one TakeOrdered job and the Lloyd iterations
+    are numpy on <=cap rows (100k x 64 doubles ~ 50 MB driver state,
+    the documented cap trade). Measured: the fit-included knn_ivf
+    lane dropped ~3 s at fixture scale (SCALING.md r14). Index
+    metadata is self-describing (centroids persist beside IVF-PQ
+    layouts), so caches built by the MLlib fit stay valid."""
+    rows = _bounded_fit_sample(corpus, c_vec, fit_sample_cap).collect()
+    if not rows:
+        raise ValueError("fit_ivf_centroids: empty corpus")
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _lloyd(mat, n_cells, seed, iters=5).tolist()
 
 
 def _cell_scores(vec_col: str, centroids: list[list[float]]) -> F.Column:
