@@ -806,18 +806,46 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
     codebooks + fit params are built in a tmp dir and POSIX-renamed
     into place, so a cache is either absent or complete — a crashed
     build leaves no half-index, and of two concurrent builders the
-    loser just discards its tmp. Callers key ``cache_dir`` by corpus
-    content (path+size+mtime) and params, so staleness = a different
-    dir and "rebuilt when missing" is the whole invalidation story.
-    The side effect is an idempotent, content-keyed cache fill — the
-    r7 "queries never mutate shared warehouse state" rule is about
-    destructive/serial state, which this is not."""
+    loser just discards its tmp. A COMPLETE cache dir is never
+    deleted by this function (r14 review: the junk-recovery rmtree
+    re-checks for the meta file immediately first, and every rename
+    failure falls back to serving THIS call from the tmp build — the
+    function can serve a correct answer on every path without ever
+    destroying a winner's index; a leftover junk/tmp dir is healed by
+    the >1-day sweep or the next builder). The loaded meta's params
+    are validated against the requested ones — a mismatch means the
+    caller's cache key stopped encoding the params, and the stale
+    index is rebuilt in place rather than silently served. Callers
+    key ``cache_dir`` by corpus content (path+size+mtime) and params,
+    so staleness = a different dir and "rebuilt when missing" is the
+    whole invalidation story. The side effect is an idempotent,
+    content-keyed cache fill — the r7 "queries never mutate shared
+    warehouse state" rule is about destructive/serial state, which
+    this is not."""
     import json
     import os
     import shutil
 
+    want_params = {"n_cells": n_cells, "m": m, "n_codes": n_codes,
+                   "seed": seed}
     meta_path = os.path.join(cache_dir, "_index_meta.json")
-    if not os.path.exists(meta_path):
+
+    def _load_meta(path):
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    meta = _load_meta(meta_path)
+    if meta is not None and meta.get("params") != want_params:
+        # stale index under a cache key that no longer encodes the
+        # params (caller bug / key-derivation drift): rebuild, never
+        # silently serve mismatched cells/codebooks
+        meta = None
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    serve_dir = cache_dir
+    if meta is None:
         # a crashed builder leaves an orphaned tmp dir; sweep siblings
         # older than a day (never the final cache_dir — its age is
         # irrelevant by design, the content key IS the invalidation)
@@ -836,22 +864,40 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
             n_codes=n_codes, seed=seed)
         with open(os.path.join(tmp, "_index_meta.json"), "w") as fh:
             json.dump({"version": 1, "centroids": centroids,
-                       "codebooks": books,
-                       "params": {"n_cells": n_cells, "m": m,
-                                  "n_codes": n_codes, "seed": seed}}, fh)
+                       "codebooks": books, "params": want_params}, fh)
         try:
             os.rename(tmp, cache_dir)
         except OSError:
-            if os.path.exists(meta_path):
-                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            fresh = _load_meta(meta_path)
+            if fresh is not None and fresh.get("params") == want_params:
+                # lost the race to a builder with the same params:
+                # use the winner's index, discard our tmp
+                shutil.rmtree(tmp, ignore_errors=True)
             else:
-                # leftover junk dir without a complete index: replace
-                shutil.rmtree(cache_dir, ignore_errors=True)
-                os.rename(tmp, cache_dir)
-    with open(meta_path) as fh:
-        meta = json.load(fh)
+                # leftover junk dir without a usable index: try to
+                # replace it, but NEVER crash or delete a completed
+                # index — re-check for the meta right before the
+                # rmtree, and if the retry also loses, serve this
+                # call from our own complete tmp build
+                if not os.path.exists(meta_path):
+                    shutil.rmtree(cache_dir, ignore_errors=True)
+                try:
+                    os.rename(tmp, cache_dir)
+                except OSError:
+                    serve_dir = tmp
+        meta = _load_meta(
+            os.path.join(serve_dir, "_index_meta.json"))
+        if meta is None or meta.get("params") != want_params:
+            # cache_dir was raced into an unusable state after our
+            # rename appeared to succeed — our tmp build is complete
+            # and correct, serve from it
+            tmp_meta = _load_meta(os.path.join(tmp, "_index_meta.json"))
+            if tmp_meta is None:
+                raise RuntimeError(
+                    f"ivf_pq_serve: no usable index at {cache_dir}")
+            serve_dir, meta = tmp, tmp_meta
     return ivf_pq_search(
-        spark, cache_dir, meta["centroids"], meta["codebooks"], queries,
+        spark, serve_dir, meta["centroids"], meta["codebooks"], queries,
         k, q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec,
         n_probe=n_probe, shortlist=shortlist)
 

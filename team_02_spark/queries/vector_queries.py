@@ -513,19 +513,22 @@ def q_ivf_pq_serve(spark, sf_dir):
             F.lit(0.0).alias("score"),
             F.lit(0).alias("rank"),
         ).limit(0)
-    params = "v5:c8:m8:n16:s42"
+    # ONE params dict feeds both the cache key and the serve call, so
+    # a param edit cannot miss the key (r14 review); ivf_pq_serve
+    # additionally validates the loaded meta against these.
+    params = {"n_cells": 8, "m": 8, "n_codes": 16, "seed": 42}
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        sig = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{params}"
-    except OSError:
-        sig = f"{os.path.abspath(src)}:{params}"
+    # stat failure is LOUD, not a weaker key: a key without size+mtime
+    # would silently serve a stale index after an in-place regenerate
+    st = os.stat(src)
+    sig = (f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+           f":corpus=v>=5:{sorted(params.items())}")
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
     cache_dir = os.path.join(
         warehouse, "ivfpq_serve_" + hashlib.md5(sig.encode()).hexdigest()[:12])
     return ivf_pq_serve(spark, corpus, cache_dir, probes, k=10,
-                        n_cells=8, m=8, n_codes=16, seed=42, n_probe=4)
+                        n_probe=4, **params)
 
 
 # ----------------------------------------------------- MMR (round 4)

@@ -251,8 +251,10 @@ def test_cpu_tree_seconds_counts_self_and_descendants():
     while __import__("time").process_time() < t_end:
         pass
     # child-burn ~0.2 s (cstime/cutime credited to self once reaped)
+    import sys
+
     subprocess.run(
-        ["python", "-c",
+        [sys.executable, "-c",
          "import time\nt=time.process_time()+0.2\n"
          "while time.process_time()<t: pass"],
         check=True,

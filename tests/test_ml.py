@@ -473,6 +473,43 @@ def test_ivf_pq_serve_caches_and_recalls(spark, tmp_path, monkeypatch):
     assert second.groupBy("q_id").count().filter("count > 10").count() == 0
 
 
+def test_ivf_pq_serve_heals_junk_and_param_drift(spark, tmp_path):
+    """r14 review findings: (a) a leftover cache dir WITHOUT a
+    complete index (crashed pre-tmp-protocol build) must be replaced,
+    not crash the rename; (b) a cache whose persisted params no
+    longer match the requested ones (key-derivation drift) must be
+    rebuilt, never silently served."""
+    import json
+    import os
+
+    from team_02_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cache = str(tmp_path / "idx")
+
+    # (a) junk dir, no meta
+    os.makedirs(cache)
+    with open(os.path.join(cache, "garbage"), "w") as fh:
+        fh.write("not an index")
+    res = sim.ivf_pq_serve(spark, corpus, cache, probes, k=5,
+                           n_cells=4, n_probe=2, shortlist=40)
+    assert res.count() > 0
+    meta = json.load(open(os.path.join(cache, "_index_meta.json")))
+    assert meta["params"]["n_cells"] == 4
+    assert not os.path.exists(os.path.join(cache, "garbage"))
+
+    # (b) same cache dir, different params -> rebuild with new params
+    res2 = sim.ivf_pq_serve(spark, corpus, cache, probes, k=5,
+                            n_cells=8, n_probe=2, shortlist=40)
+    assert res2.count() > 0
+    meta2 = json.load(open(os.path.join(cache, "_index_meta.json")))
+    assert meta2["params"]["n_cells"] == 8
+
+
 def test_mmr_diversify_prefers_diverse_over_redundant(spark):
     """Synthetic corpus: two near-identical high-relevance vectors and
     one moderately-relevant orthogonal-ish vector. Pure top-2 takes
