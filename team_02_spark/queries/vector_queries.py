@@ -88,7 +88,9 @@ def q_knn_lsh(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return knn_lsh(probes, emb, 10, dim=64)
+    # r14: single-file fixture scans as 1 partition — parallelize the
+    # corpus-side hash/re-rank stages (no-op on partitioned inputs)
+    return knn_lsh(probes, ensure_parallelism(emb), 10, dim=64)
 
 
 @query(
@@ -319,7 +321,9 @@ def q_knn_ivf(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 5)
+    # r14: single-file fixture scans as 1 partition — parallelize the
+    # cell-tag/score stages (no-op on partitioned inputs)
+    corpus = ensure_parallelism(emb.filter(F.col("vec_id") >= 5))
     from team_02_spark.operators.similarity import knn_ivf
     return knn_ivf(probes, corpus, k=10, n_cells=8, n_probe=4)
 
