@@ -78,7 +78,8 @@ def test_real_headline_set_fits_default_limit():
         "calib_pos": {"start": 1.052, "mid": 1.021, "end": 1.139},
         "calib_par": {"start": 1.054, "mid": 1.102, "end": 1.071},
         "par_eff": {"start": 0.672, "mid": 0.691, "end": 0.643},
-        "calib_mem": {"start": 581.2, "mid": 544.9, "end": 603.1},
+        "calib_mem": {"start": 581.2, "mid": 544.9, "end": 603.1,
+                      "lanes_min": 498.7},
         "box": "steady",
         "sf": 0.1,
         "metric": "headline_queries_total_sec",
@@ -312,6 +313,138 @@ def test_box_verdict_decision_table():
         {"start": 581.2, "mid": 544.9, "end": 603.1}) == "steady"
     assert box_verdict(
         1.0, {}, {"start": 0.12}, {"start": 24.7}) == "throttled"
+
+
+def test_box_verdict_mem_suspect_tier():
+    """r14 verdict #2: the 0.3x cutoff alone certified BENCH_r14's
+    official session (min 0.59x of best) as "steady" while untouched
+    alloc-heavy lanes ran 1.7-2.4x over every reproduction. The soft
+    tier flags the 0.3x-0.6x band as mem-suspect without touching the
+    hard flag; the documented clean band (readings within ~0.8x of
+    each other) still reads steady."""
+    from bench import box_verdict
+
+    steady_eff = {"start": 0.67, "mid": 0.69, "end": 0.64}
+    trio = {"start": 1.05, "mid": 1.0, "end": 1.02}
+    # THE r14 official exhibit: 1570.9/1249.7/934.8, min 0.59x of best
+    assert box_verdict(
+        1.1, trio, steady_eff,
+        {"start": 1570.9, "mid": 1249.7, "end": 934.8}) == "mem-suspect"
+    # just inside the clean band (0.8x) stays steady
+    assert box_verdict(
+        1.1, trio, steady_eff,
+        {"start": 1400.0, "mid": 1180.0, "end": 1150.0}) == "steady"
+    # hard tier still wins below 0.3x (the r14 mid-stall exhibit)
+    assert box_verdict(
+        1.1, trio, steady_eff,
+        {"start": 1427.3, "mid": 253.3, "end": 1181.5}) == "mem-degraded"
+    # the soft flag outranks the trio's drift classification: a 0.5x
+    # mem dip IS the explanation for a hot tail, not a separate story
+    assert box_verdict(
+        2.5, {"start": 1.0, "mid": 1.1, "end": 2.5}, steady_eff,
+        {"start": 1400.0, "mid": 700.0, "end": 1300.0}) == "mem-suspect"
+    # per-lane samples participate via the lanes_min fold
+    assert box_verdict(
+        1.1, trio, steady_eff,
+        {"start": 1400.0, "mid": 1350.0, "end": 1380.0,
+         "lanes_min": 700.0}) == "mem-suspect"
+
+
+def test_cpu_delta_nulls_impossible_negatives():
+    """r14 verdict #4: a worker alive at the start sample that exits
+    (and gets reparented away) before the end sample subtracts its
+    whole accumulated CPU from the tree total — BENCH_r14 recorded
+    cpu_s -196.38. The delta helper emits None for that contaminated
+    pair instead of an impossible negative or a misleading 0."""
+    from bench import cpu_delta
+
+    assert cpu_delta(10.0, 12.5) == 2.5
+    assert cpu_delta(10.0, 10.0) == 0.0
+    assert cpu_delta(210.0, 13.62) is None  # the r14 exhibit shape
+    assert cpu_delta(None, 12.5) is None
+    assert cpu_delta(10.0, None) is None
+
+
+def test_cpu_delta_with_synthetic_exiting_child():
+    """The real mechanism, reproduced: a DOUBLE-FORKED grandchild (so
+    its CPU is never credited to our cutime — it reparents to init on
+    its parent's exit, exactly like a pandas_udf daemon's workers)
+    burns CPU inside the sample window and exits. The raw tree delta
+    goes negative; cpu_delta must return a usable value or None,
+    never a negative."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from bench import cpu_delta, cpu_tree_seconds
+
+    if cpu_tree_seconds() is None:  # off-Linux degrade
+        return
+    # child spawns a CPU-burning grandchild, waits for the burn to be
+    # underway, then EXITS without reaping it -> grandchild reparents
+    # to init and leaves our tree with its accumulated CPU
+    child = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import subprocess, sys, time\n"
+            "p = subprocess.Popen([sys.executable, '-c',\n"
+            "    'import time\\n"
+            "t=time.process_time()+0.6\\n"
+            "while time.process_time()<t: pass'])\n"
+            "time.sleep(0.45)\n"  # grandchild has burned ~0.45 s\n
+        )],
+    )
+    _time.sleep(0.3)  # sample while child+grandchild are in our tree
+    cpu0 = cpu_tree_seconds()
+    child.wait()       # child exits; grandchild now orphaned
+    _time.sleep(0.5)   # grandchild finishes and exits too
+    cpu1 = cpu_tree_seconds()
+    d = cpu_delta(cpu0, cpu1)
+    # this process did ~nothing between samples: either the raw delta
+    # went negative (grandchild CPU left the tree -> None) or it is a
+    # small non-negative residue — never a negative emission
+    assert d is None or d >= 0.0, (cpu0, cpu1, d)
+
+
+def test_par_probe_rows_scales_per_core(monkeypatch):
+    """r14 advisor low: the probe's row count is per-core so probe
+    wall stays ~1 s on any box (the old absolute 6.4e9 total cost
+    tens of seconds per invocation on a small-core host);
+    $SPARK_GRAFT_PAR_ROWS still overrides with an absolute total."""
+    from bench import PAR_PROBE_ROWS_PER_CPU, par_probe_rows
+
+    monkeypatch.delenv("SPARK_GRAFT_PAR_ROWS", raising=False)
+    assert par_probe_rows(32) == 32 * PAR_PROBE_ROWS_PER_CPU
+    assert par_probe_rows(4) == 4 * PAR_PROBE_ROWS_PER_CPU
+    assert par_probe_rows(0) == PAR_PROBE_ROWS_PER_CPU  # degenerate
+    monkeypatch.setenv("SPARK_GRAFT_PAR_ROWS", "123456")
+    assert par_probe_rows(32) == 123456
+
+
+def test_emission_order_json_line_last():
+    """r14 verdict #1 (the round's parsed:null root cause): the round
+    driver records only the last ~2000 chars of COMBINED output, so
+    the budgeted JSON line must be the final print in main() — every
+    side-channel diagnostic (bench-cpu, bench-mem) must be emitted
+    BEFORE it, with stderr flushed ahead of the stdout print. Pinned
+    statically against the source so the guarantee cannot regress
+    without touching this test."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    i_cpu = src.index('"bench-cpu: "')
+    i_mem = src.index('"bench-mem: "')
+    i_flush = src.index("sys.stderr.flush()")
+    i_json = src.index("print(clamp_line(")
+    assert i_cpu < i_json and i_mem < i_json, \
+        "side-channel lines must precede the JSON line"
+    assert i_cpu < i_flush < i_json, \
+        "stderr must be flushed between the side channel and the JSON line"
+    # and nothing prints after the JSON line in main()
+    tail = src[i_json:]
+    assert tail.count("print(") == 1, \
+        "the JSON line must be the last print in main()"
 
 
 def test_mem_first_touch_probe_runs():
