@@ -108,15 +108,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, *,
 
 def reap_bucketed_tables(spark, prefix: str | tuple[str, ...] =
                          ("b7_", "b8_", "b9_", "b9s_", "b9r_", "b9x_",
-                          "b9cdc_"), *,
+                          "b9cdc_", "ivfpq_serve_"), *,
                          max_age_s: int = 7 * 86_400,
                          warehouse: str | None = None) -> list[str]:
     """Maintenance reaper for per-application bucketed-table dirs
     (the ``write_bucketed`` artifacts named ``<prefix><appId>`` that
-    accumulate in the warehouse across sessions). Lives HERE — not
-    inside any declared query — so query functions stay side-effect-
-    free on shared state (r7 verdict #8); call it from session
-    teardown or a tools-level maintenance job.
+    accumulate in the warehouse across sessions) and for abandoned
+    ``ivfpq_serve_<md5>`` index caches (r14 advisor low: content-
+    keyed serve dirs — each a full corpus copy — were never reaped,
+    so every fixture regeneration or param change stranded one
+    forever). Lives HERE — not inside any declared query — so query
+    functions stay side-effect-free on shared state (r7 verdict #8);
+    call it from session teardown or a tools-level maintenance job.
 
     Safety rules (r7 advisor): the CURRENT application's dirs are
     skipped unconditionally (never reap a table a live session may
@@ -124,7 +127,14 @@ def reap_bucketed_tables(spark, prefix: str | tuple[str, ...] =
     week (well past any plausible session lifetime, vs the old 24 h
     inside the query), and only a local-scheme warehouse is walked —
     a remote warehouse belongs to a real catalog's own retention.
-    Returns the reaped dir paths (for tests/logging)."""
+    Serve-index dirs carry no appId (they are content-keyed and
+    shared BY DESIGN across sessions) — their liveness guard is the
+    freshness touch instead: ivf_pq_serve os.utime()s the dir on
+    every serve, so only an index no session has served for a week
+    (its corpus or params moved to a new key) ages past the cutoff;
+    the glob also collects their orphaned ``.tmp.*``/``.junk.*``
+    siblings by prefix. Returns the reaped dir paths (for
+    tests/logging)."""
     import glob
     import os
     import shutil

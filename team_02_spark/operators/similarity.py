@@ -590,6 +590,38 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]], *,
     return df.withColumn("pq_codes", _codes(F.col(c_vec)))
 
 
+def adc_lut_kernel(q: "np.ndarray", c: "np.ndarray",
+                   books: "np.ndarray") -> "np.ndarray":
+    """The per-batch ADC scoring kernel, module-level so its
+    equivalence to the naive per-pair form is pinned by a persisted
+    pure-numpy test (r14 advisor low: the r14 rewrite's
+    "bitwise-identical" claim lived only in a one-off session
+    assertion — tests/test_ml.py::test_adc_lut_kernel_bitwise_naive
+    now holds it against numpy behavior churn).
+
+    ``q`` (n, m*dsub) float64 probe rows, ``c`` (n, m) int64 codes,
+    ``books`` (m, n_codes, dsub) float64. Builds the m x n_codes LUT
+    once per BYTEWISE-distinct probe row (void view: unique-by-bytes,
+    ~30x faster than np.unique(axis=0)'s lexicographic row sort; rows
+    that differ only in float representation — or NaN rows — simply
+    don't collapse, which costs shared work, never correctness) and
+    scores every row by m gathered lookups. Identical operands in
+    identical order to the naive (sub - books)**2 per-pair form, so
+    the outputs are bitwise-equal — only the redundancy is gone."""
+    m, _n_codes, dsub = books.shape
+    qc = np.ascontiguousarray(q)
+    v = qc.view(np.dtype((np.void,
+                          qc.dtype.itemsize * qc.shape[1]))).ravel()
+    _, idx, inv = np.unique(v, return_index=True, return_inverse=True)
+    # reshape(-1) guards the np.unique return_inverse shape churn
+    # (numpy 2.0 returned the input's shape, 2.1 reverted to flat)
+    inv = inv.reshape(-1)
+    sub = qc[idx].reshape(len(idx), m, dsub)
+    lut = ((sub[:, :, None, :] - books[None]) ** 2).sum(-1)
+    picked = lut[inv[:, None], np.arange(m)[None, :], c]  # (n, m)
+    return picked.sum(axis=1)
+
+
 def pq_search_adc(queries: DataFrame, encoded: DataFrame,
                   codebooks: list[list[list[float]]], k: int, *,
                   q_id: str = "q_id", c_id: str = "vec_id",
@@ -637,7 +669,6 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
     from pyspark.sql.functions import pandas_udf
 
     books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
-    m, _n_codes, dsub = books.shape
 
     @pandas_udf("double")
     def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
@@ -645,19 +676,7 @@ def pq_search_adc(queries: DataFrame, encoded: DataFrame,
             return pd.Series([], dtype="float64")
         q = np.vstack(qv.to_numpy()).astype(np.float64, copy=False)
         c = np.vstack(codes.to_numpy()).astype(np.int64, copy=False)
-        # LUT once per BYTEWISE-distinct probe row in the batch (void
-        # view: unique-by-bytes, ~30x faster than np.unique(axis=0)'s
-        # lexicographic row sort; rows that differ only in float
-        # representation — or NaN rows — simply don't collapse, which
-        # costs shared work, never correctness)
-        qc = np.ascontiguousarray(q)
-        v = qc.view(np.dtype((np.void,
-                              qc.dtype.itemsize * qc.shape[1]))).ravel()
-        _, idx, inv = np.unique(v, return_index=True, return_inverse=True)
-        sub = qc[idx].reshape(len(idx), m, dsub)
-        lut = ((sub[:, :, None, :] - books[None]) ** 2).sum(-1)
-        picked = lut[inv[:, None], np.arange(m)[None, :], c]  # (n, m)
-        return pd.Series(picked.sum(axis=1))
+        return pd.Series(adc_lut_kernel(q, c, books))
 
     if on:
         scored = encoded.join(F.broadcast(queries), on)
@@ -806,22 +825,33 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
     codebooks + fit params are built in a tmp dir and POSIX-renamed
     into place, so a cache is either absent or complete — a crashed
     build leaves no half-index, and of two concurrent builders the
-    loser just discards its tmp. A COMPLETE cache dir is never
-    deleted by this function (r14 review: the junk-recovery rmtree
-    re-checks for the meta file immediately first, and every rename
-    failure falls back to serving THIS call from the tmp build — the
-    function can serve a correct answer on every path without ever
-    destroying a winner's index; a leftover junk/tmp dir is healed by
-    the >1-day sweep or the next builder). The loaded meta's params
-    are validated against the requested ones — a mismatch means the
-    caller's cache key stopped encoding the params, and the stale
-    index is rebuilt in place rather than silently served. Callers
-    key ``cache_dir`` by corpus content (path+size+mtime) and params,
-    so staleness = a different dir and "rebuilt when missing" is the
-    whole invalidation story. The side effect is an idempotent,
-    content-keyed cache fill — the r7 "queries never mutate shared
-    warehouse state" rule is about destructive/serial state, which
-    this is not."""
+    loser just discards its tmp. A cache dir is never rmtree'd while
+    other sessions could be reading it (r14 advisor low: the old
+    check-then-rmtree junk recovery had a TOCTOU window where a
+    concurrent builder's just-completed index got deleted, and the
+    param-mismatch branch rmtree'd an index other sessions may still
+    have open): an unusable-or-mismatched dir is instead os.rename'd
+    ASIDE to a ``.junk.<pid>`` sibling — atomic, and readers holding
+    open file handles keep the old inode tree — then replaced by a
+    rename of our complete tmp build; the aside dir is collected by
+    the same >1-day sweep that heals crashed tmp dirs. Every rename
+    failure still falls back to serving THIS call from the tmp
+    build, so the function returns a correct answer on every path.
+    The loaded meta's params are validated against the requested
+    ones — a mismatch means the caller's cache key stopped encoding
+    the params, and the stale index is rebuilt rather than silently
+    served. Callers key ``cache_dir`` by corpus content
+    (path+size+mtime) and params, so staleness = a different dir and
+    "rebuilt when missing" is the whole invalidation story. A serve
+    from a complete cache touches the dir's mtime, which is what the
+    warehouse reaper (operators.scale.reap_bucketed_tables, the
+    ``ivfpq_serve_`` prefix) ages against — an index untouched for a
+    week is abandoned (its corpus changed or its params moved to a
+    new key) and gets collected instead of stranding a full corpus
+    copy forever. The side effect is an idempotent, content-keyed
+    cache fill — the r7 "queries never mutate shared warehouse
+    state" rule is about destructive/serial state, which this is
+    not."""
     import json
     import os
     import shutil
@@ -837,22 +867,40 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
         except (OSError, ValueError):
             return None
 
+    def _move_aside(path):
+        # atomic same-filesystem rename: in-flight readers keep the
+        # inode tree they already opened; nothing is destroyed here —
+        # the >1-day sweep below collects the aside dir later. The
+        # suffix carries a nanosecond stamp besides the pid: one
+        # process can displace the same key twice (rebuild after
+        # param drift), and rename onto an existing non-empty dir
+        # fails ENOTEMPTY
+        import time as _t
+
+        try:
+            os.rename(path, f"{path}.junk.{os.getpid()}.{_t.time_ns()}")
+        except OSError:
+            pass  # already gone / already moved by a racing session
+
     meta = _load_meta(meta_path)
     if meta is not None and meta.get("params") != want_params:
         # stale index under a cache key that no longer encodes the
         # params (caller bug / key-derivation drift): rebuild, never
         # silently serve mismatched cells/codebooks
         meta = None
-        shutil.rmtree(cache_dir, ignore_errors=True)
+        _move_aside(cache_dir)
     serve_dir = cache_dir
     if meta is None:
-        # a crashed builder leaves an orphaned tmp dir; sweep siblings
-        # older than a day (never the final cache_dir — its age is
-        # irrelevant by design, the content key IS the invalidation)
+        # a crashed builder leaves an orphaned tmp dir, a junk
+        # recovery an aside dir; sweep siblings older than a day
+        # (never the final cache_dir — its age is irrelevant here,
+        # the content key IS the invalidation; abandoned-key aging is
+        # the warehouse reaper's job)
         import glob
         import time as _time
 
-        for stale in glob.glob(f"{cache_dir}.tmp.*"):
+        for stale in (glob.glob(f"{cache_dir}.tmp.*")
+                      + glob.glob(f"{cache_dir}.junk.*")):
             try:
                 if os.path.getmtime(stale) < _time.time() - 86_400:
                     shutil.rmtree(stale, ignore_errors=True)
@@ -874,13 +922,14 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
                 # use the winner's index, discard our tmp
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                # leftover junk dir without a usable index: try to
-                # replace it, but NEVER crash or delete a completed
-                # index — re-check for the meta right before the
-                # rmtree, and if the retry also loses, serve this
-                # call from our own complete tmp build
-                if not os.path.exists(meta_path):
-                    shutil.rmtree(cache_dir, ignore_errors=True)
+                # leftover junk dir without a usable index: move it
+                # ASIDE (atomic — even if a racing builder completed
+                # between the meta read and this rename, its index is
+                # parked intact, not deleted, and what we rename in
+                # next is deterministic same-key content) and retry;
+                # if the retry also loses, serve this call from our
+                # own complete tmp build
+                _move_aside(cache_dir)
                 try:
                     os.rename(tmp, cache_dir)
                 except OSError:
@@ -896,6 +945,13 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
                 raise RuntimeError(
                     f"ivf_pq_serve: no usable index at {cache_dir}")
             serve_dir, meta = tmp, tmp_meta
+    if serve_dir == cache_dir:
+        # freshness touch for the warehouse reaper: an index being
+        # actively served is never "abandoned", however old its build
+        try:
+            os.utime(cache_dir)
+        except OSError:
+            pass
     return ivf_pq_search(
         spark, serve_dir, meta["centroids"], meta["codebooks"], queries,
         k, q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec,

@@ -391,6 +391,52 @@ def test_pq_recall(spark):
     assert approx.groupBy("q_id").count().filter("count > 10").count() == 0
 
 
+def test_adc_lut_kernel_bitwise_naive():
+    """r14 advisor low: the ADC LUT rewrite's bitwise-identity claim
+    must be a PERSISTED test, not a one-off session assertion — a
+    numpy behavior change (e.g. the np.unique return_inverse shape
+    churn between 2.0/2.1) would otherwise regress silently. The
+    void-view-unique/gather kernel must equal the naive per-pair
+    (sub - books)**2 / take_along_axis form BITWISE on a batch with
+    duplicated probe rows, -0.0 vs +0.0 rows (bytewise-distinct, must
+    not collapse), and NaN rows (NaN propagates identically)."""
+    import numpy as np
+
+    from team_02_spark.operators.similarity import adc_lut_kernel
+
+    rng = np.random.default_rng(7)
+    m, n_codes, dsub = 4, 8, 3
+    books = rng.normal(size=(m, n_codes, dsub))
+    base = rng.normal(size=(5, m * dsub))
+    # duplicated probes (the batch shape the LUT collapse exists for),
+    # a signed-zero pair, and a NaN row
+    zp = np.zeros((1, m * dsub))
+    zn = np.copysign(np.zeros((1, m * dsub)), -1.0)
+    nanrow = np.full((1, m * dsub), np.nan)
+    q = np.vstack([base, base[[0, 0, 3]], zp, zn, nanrow])
+    c = rng.integers(0, n_codes, size=(len(q), m)).astype(np.int64)
+
+    got = adc_lut_kernel(q, c, books)
+
+    sub = q.reshape(len(q), m, dsub)
+    d = ((sub[:, :, None, :] - books[None]) ** 2).sum(-1)  # (n,m,codes)
+    naive = np.take_along_axis(d, c[:, :, None], axis=2)[..., 0].sum(axis=1)
+
+    # bitwise: identical IEEE bit patterns, NaNs included
+    assert got.shape == naive.shape
+    assert np.array_equal(got.view(np.int64), naive.view(np.int64))
+    assert np.isnan(got[-1])
+    # duplicated rows scored with their duplicates' shared LUT still
+    # equal their originals' independent scores wherever codes agree
+    same = c[5] == c[0]
+    per_code_got = np.take_along_axis(
+        ((q[5].reshape(m, dsub)[:, None, :] - books) ** 2).sum(-1),
+        c[5][:, None], axis=1)[:, 0]
+    assert np.array_equal(per_code_got[same], np.take_along_axis(
+        ((q[0].reshape(m, dsub)[:, None, :] - books) ** 2).sum(-1),
+        c[0][:, None], axis=1)[:, 0][same])
+
+
 def test_ivf_pq_layout_prunes_and_recalls(spark, tmp_path):
     """IVF-PQ composition: the layout's probed-cell read must be
     partition-pruned (PartitionFilters in the scan), and the
@@ -508,6 +554,52 @@ def test_ivf_pq_serve_heals_junk_and_param_drift(spark, tmp_path):
     assert res2.count() > 0
     meta2 = json.load(open(os.path.join(cache, "_index_meta.json")))
     assert meta2["params"]["n_cells"] == 8
+
+
+def test_ivf_pq_serve_parks_displaced_index_aside(spark, tmp_path):
+    """r14 advisor low (TOCTOU): a displaced cache dir is never
+    rmtree'd by the serve path — the param-mismatch branch (and the
+    junk recovery) os.rename it ASIDE to a .junk.<pid> sibling, so a
+    concurrent session still lazily reading the old tree keeps its
+    inodes and a racing builder's just-completed index can never be
+    deleted; the aside dir is collected by the >1-day sibling sweep /
+    warehouse reaper. A serve from a complete cache must also touch
+    the dir's mtime (the reaper's liveness signal)."""
+    import glob
+    import json
+    import os
+    import time
+
+    from team_02_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cache = str(tmp_path / "idx")
+
+    sim.ivf_pq_serve(spark, corpus, cache, probes, k=5,
+                     n_cells=4, n_probe=2, shortlist=40).count()
+    # age the index, then serve again: the freshness touch must
+    # bring mtime forward (this is what keeps the reaper off it)
+    old = time.time() - 3 * 86_400
+    os.utime(cache, (old, old))
+    sim.ivf_pq_serve(spark, corpus, cache, probes, k=5,
+                     n_cells=4, n_probe=2, shortlist=40).count()
+    assert os.path.getmtime(cache) > old + 86_400
+
+    # param drift: the old COMPLETE index is parked aside intact,
+    # not destroyed — its meta (old params and all) survives in the
+    # .junk sibling while the cache dir carries the rebuilt index
+    sim.ivf_pq_serve(spark, corpus, cache, probes, k=5,
+                     n_cells=8, n_probe=2, shortlist=40).count()
+    asides = glob.glob(cache + ".junk.*")
+    assert asides, "displaced index was deleted, not parked aside"
+    parked = json.load(open(os.path.join(asides[0], "_index_meta.json")))
+    assert parked["params"]["n_cells"] == 4  # the old index, complete
+    fresh = json.load(open(os.path.join(cache, "_index_meta.json")))
+    assert fresh["params"]["n_cells"] == 8
 
 
 def test_mmr_diversify_prefers_diverse_over_redundant(spark):

@@ -168,6 +168,40 @@ def test_reap_default_prefixes_are_delimited():
     assert "b9cdc_" in defaults
 
 
+def test_reap_collects_abandoned_serve_indexes(spark, tmp_path):
+    """r14 advisor low: ivfpq_serve_* index caches (content-keyed,
+    each a full corpus copy) were never reaped — a fixture
+    regeneration or param change stranded the old dir forever. The
+    default prefix set now covers them, age-gated by the freshness
+    touch (ivf_pq_serve utimes the dir on every serve, so only a
+    week-untouched index — nothing serves it anymore — ages out);
+    orphaned .tmp./.junk. siblings collect by the same prefix."""
+    import os
+    import time
+
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    os.makedirs(warehouse, exist_ok=True)
+    old = time.time() - 8 * 86_400
+    stale = os.path.join(warehouse, "ivfpq_serve_deadbeef0123")
+    junk = os.path.join(warehouse, "ivfpq_serve_deadbeef0123.junk.999")
+    active = os.path.join(warehouse, "ivfpq_serve_cafebabe4567")
+    for d in (stale, junk, active):
+        os.makedirs(d, exist_ok=True)
+        os.utime(d, (old, old))
+    os.utime(active)  # a serve touched it this week -> alive
+    try:
+        reaped = reap_bucketed_tables(spark)
+        assert stale in reaped and junk in reaped
+        assert not os.path.isdir(stale) and not os.path.isdir(junk)
+        assert os.path.isdir(active)
+    finally:
+        import shutil
+
+        shutil.rmtree(active, ignore_errors=True)
+
+
 def test_reap_bucketed_tables_remote_warehouse_noop(spark):
     """A remote-scheme warehouse is never walked — retention there
     belongs to the real catalog."""
