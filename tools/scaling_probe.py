@@ -1535,6 +1535,9 @@ def main() -> None:
     if mode == "prunedial":
         prune_dial_probe(arg)
         return
+    if mode == "prunedialnoise":
+        prune_dial_noise_probe(arg)
+        return
     if mode == "embedding":
         embedding_probe(arg)
         return
@@ -1869,6 +1872,90 @@ def prune_dial_probe(replication: int) -> None:
                 "target": target, "k_total": k_total, "kc": kc, "kf": kf,
                 "survivors": survivors, "runs_sec": runs,
                 "best_sec": min(runs),
+            })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def prune_dial_noise_probe(replication: int) -> None:
+    """Recall side of the target_cluster_size dial (r14 verdict #6).
+    The r14 prunedial cost study replicated the fixture BYTEWISE, so
+    every copy collapsed in the exact pre-collapse stage and survivor
+    counts could not vary with the dial — the study read cost only.
+    Here each replica gets small DETERMINISTIC per-component noise
+    (xxhash64(new_vec_id, dim) -> uniform in [-1,1], relative
+    amplitude eps=0.02, cosine(copy, base) >= ~0.999), so copies
+    survive the exact collapse and must be caught by the within-
+    cluster cosine>=0.95 prune. Ground truth is planted: the ideal
+    dedup prunes every one of the (replication-1)*n_base noisy
+    copies (their base row, the min vec_id, is the keeper), so
+
+        planted_recall = 1 - surviving_copies / planted_copies
+
+    directly reads what the dial trades away: a SMALLER target means
+    more (finer) clusters, and a copy split across a cluster boundary
+    from its base is invisible to SemDeDup by design."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from team_02_spark import get_spark
+    from team_02_spark.operators.clustering import adaptive_k, twolevel_split
+    from team_02_spark.queries.vector_queries import _semdedup_frame
+
+    spark = get_spark(f"scaling-prunedialnoise-{replication}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    n0 = base.count()
+    emb_type = base.schema["embedding"].dataType.simpleString()
+    eps = 0.02
+    df = base
+    for i in range(1, replication):
+        noisy_id = (F.col("vec_id") + F.lit(i * n0)).alias("vec_id")
+        # per-(new id, dim) uniform in [-1, 1]; relative noise keeps
+        # zero components zero (a zero vector stays bytewise-equal
+        # and is handled by the exact collapse like before)
+        df = df.unionByName(base.select(
+            noisy_id,
+            F.transform(
+                "embedding",
+                lambda x, j: x * (
+                    1.0 + eps * (F.pmod(
+                        F.xxhash64(F.col("vec_id") + F.lit(i * n0), j),
+                        F.lit(1001)).cast("double") / 500.0 - 1.0)
+                ),
+            ).cast(emb_type).alias("embedding"),
+        ))
+    df = df.repartition(32).persist()
+    total = df.count()
+    planted = (replication - 1) * n0
+    tmp = tempfile.mkdtemp(prefix="prunedialnoise_")
+    out = {"mode": "prunedialnoise", "replication": replication,
+           "n_base": n0, "n_vectors": total, "planted_copies": planted,
+           "eps": eps, "points": []}
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        for target in (10, 25, 50, 100):
+            k_total = adaptive_k(total, target)
+            kc, kf = twolevel_split(k_total)
+            t0 = time.perf_counter()
+            frame = _semdedup_frame(spark, tmp, two_level=True,
+                                    target_cluster_size=target).persist()
+            survivors = frame.count()
+            wall = round(time.perf_counter() - t0, 2)
+            surviving_copies = frame.filter(F.col("vec_id") >= n0).count()
+            frame.unpersist()
+            out["points"].append({
+                "target": target, "k_total": k_total, "kc": kc, "kf": kf,
+                "survivors": survivors,
+                "surviving_copies": surviving_copies,
+                "planted_recall": round(1 - surviving_copies / planted, 4),
+                "wall_sec": wall,
             })
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
