@@ -288,6 +288,12 @@ DRIVER_RECHECK: dict[str, int] = {
     # same-day re-proof is local instead: bitwise-identity assertion
     # on the kernel, the pq/ivf recall suite, and verify_driver runs
     # at sf0.01 AND sf0.1 (SCALING.md r14, COVERAGE.md §2.19).
+    # r15 impl changes (serve-cache rename-aside + reaper prefix +
+    # adc_lut_kernel extraction) again touch ONLY rows-only lanes —
+    # same convention: no pin (it could never self-prune); same-day
+    # local re-proof via the persisted bitwise kernel test, the
+    # parking/reaper tests, and verify_driver sf0.1 runs
+    # (COVERAGE.md §2.20 carries the dated rows-only sweep).
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so
