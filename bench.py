@@ -175,8 +175,18 @@ ALLOC_HEAVY = frozenset({
 
 def par_probe_rows(ncpus: int) -> int:
     env = os.environ.get("SPARK_GRAFT_PAR_ROWS")
-    if env and env.strip().isdigit():
-        return int(env.strip())
+    if env:
+        # same loud-fallthrough convention as infer_current_round's
+        # SPARK_GRAFT_ROUND handling: a malformed or non-positive
+        # override warns and is IGNORED, never silently "takes
+        # effect" as the default (r15 self-review: int literals with
+        # underscores / scientific notation fail isdigit)
+        if env.strip().isdigit() and int(env.strip()) > 0:
+            return int(env.strip())
+        import sys
+        print(f"bench: SPARK_GRAFT_PAR_ROWS={env!r} is not a positive "
+              "row count; ignoring the override and sizing per-core",
+              file=sys.stderr)
     return PAR_PROBE_ROWS_PER_CPU * max(1, ncpus)
 
 
@@ -693,20 +703,30 @@ def main() -> None:
     # JSON line must be the FINAL thing this process prints —
     # BENCH_r14 went parsed:null because the ~1,300-char bench-cpu
     # line was emitted AFTER it and pushed the JSON head out of the
-    # tail window. Side-channel diagnostics (bench-cpu, bench-mem) go
-    # first, on stderr, each stream flushed before the JSON print so
-    # pipe buffering cannot reorder them past it.
-    # test_bench_line.py::test_emission_order pins this.
+    # tail window. Everything with output potential runs BEFORE the
+    # JSON print: the side-channel diagnostics (bench-cpu, bench-mem)
+    # on stderr, and ALSO the teardown work — the warehouse reaper
+    # could traceback and spark.stop() could log, and a multi-KB
+    # stderr burst after the JSON line would recreate the r14
+    # failure (r15 self-review). Both teardown steps are
+    # exception-guarded for the same reason.
+    # test_bench_line.py::test_emission_order pins the print order.
     import sys
 
+    from team_02_spark.operators.scale import reap_bucketed_tables
+
+    try:
+        reap_bucketed_tables(spark)  # session-teardown maintenance
+    except Exception as exc:  # noqa: BLE001 — teardown must not tear the record
+        print(f"bench: reap failed: {exc!r}", file=sys.stderr)
+    try:
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: spark.stop failed: {exc!r}", file=sys.stderr)
     print("bench-cpu: " + json.dumps(cpu_per_key), file=sys.stderr)
     print("bench-mem: " + json.dumps(lane_mem), file=sys.stderr)
     sys.stderr.flush()
     print(clamp_line(payload, limit), flush=True)
-    from team_02_spark.operators.scale import reap_bucketed_tables
-
-    reap_bucketed_tables(spark)  # session-teardown warehouse maintenance
-    spark.stop()
 
 
 if __name__ == "__main__":

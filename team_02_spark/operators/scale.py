@@ -155,7 +155,17 @@ def reap_bucketed_tables(spark, prefix: str | tuple[str, ...] =
                 continue
             try:
                 if os.path.getmtime(stale) < cutoff:
-                    shutil.rmtree(stale, ignore_errors=True)
+                    # rename-then-delete (r15 self-review): an atomic
+                    # rename claims the dir first, so a concurrent
+                    # session that just revived it (ivf_pq_serve's
+                    # freshness touch races the getmtime check at the
+                    # exact cutoff boundary) loses a path, not files
+                    # mid-read — the same TOCTOU-narrowing the serve
+                    # path's rename-aside uses; a racing reaper's
+                    # failed rename skips cleanly
+                    doomed = f"{stale}.reaping.{os.getpid()}"
+                    os.rename(stale, doomed)
+                    shutil.rmtree(doomed, ignore_errors=True)
                     reaped.append(stale)
             except OSError:
                 pass

@@ -877,10 +877,19 @@ def ivf_pq_serve(spark, corpus: DataFrame, cache_dir: str,
         # fails ENOTEMPTY
         import time as _t
 
+        aside = f"{path}.junk.{os.getpid()}.{_t.time_ns()}"
         try:
-            os.rename(path, f"{path}.junk.{os.getpid()}.{_t.time_ns()}")
+            os.rename(path, aside)
         except OSError:
-            pass  # already gone / already moved by a racing session
+            return  # already gone / already moved by a racing session
+        try:
+            # rename preserves mtime, so a >1-day-old index would be
+            # swept the very next glob — touching starts the 1-day
+            # grace AT DISPLACEMENT time, which is what in-flight
+            # readers of the old tree actually need (r15 self-review)
+            os.utime(aside)
+        except OSError:
+            pass
 
     meta = _load_meta(meta_path)
     if meta is not None and meta.get("params") != want_params:

@@ -398,11 +398,17 @@ def test_cpu_delta_with_synthetic_exiting_child():
     child.wait()       # child exits; grandchild now orphaned
     _time.sleep(0.5)   # grandchild finishes and exits too
     cpu1 = cpu_tree_seconds()
-    d = cpu_delta(cpu0, cpu1)
-    # this process did ~nothing between samples: either the raw delta
-    # went negative (grandchild CPU left the tree -> None) or it is a
-    # small non-negative residue — never a negative emission
-    assert d is None or d >= 0.0, (cpu0, cpu1, d)
+    # r15 self-review: "d is None or d >= 0" is cpu_delta's
+    # unconditional postcondition — asserting only that would pass
+    # even when the race never reproduced. Check the RAW delta: the
+    # fixture is only evidence when it actually went negative.
+    raw = cpu1 - cpu0
+    if raw >= 0:
+        import pytest
+
+        pytest.skip(f"negative-delta race not reproduced (raw={raw:.3f}) "
+                    "— timing-dependent; covered by the pure cases above")
+    assert cpu_delta(cpu0, cpu1) is None, (cpu0, cpu1, raw)
 
 
 def test_par_probe_rows_scales_per_core(monkeypatch):

@@ -1536,7 +1536,7 @@ def main() -> None:
         prune_dial_probe(arg)
         return
     if mode == "prunedialnoise":
-        prune_dial_noise_probe(arg)
+        prune_dial_probe(arg, noise_eps=0.02)
         return
     if mode == "embedding":
         embedding_probe(arg)
@@ -1831,72 +1831,33 @@ def twolevel_cascade_probe(replication: int) -> None:
     spark.stop()
 
 
-def prune_dial_probe(replication: int) -> None:
+def prune_dial_probe(replication: int,
+                     noise_eps: float | None = None) -> None:
     """target_cluster_size sizing study for the SemDeDup cascade (r13
-    verdict optional #7a): fixed corpus (sf0.1 embeddings replicated
-    N×), the two-level derived-k cascade run at target ∈ {10, 25, 50,
-    100}, best-of-2 each. The dial trades the two stages against each
-    other: k_total = n/target, so a SMALLER target means more
-    clusters (assignment per-row work ~√k grows) but fewer pair
+    verdict optional #7a / r14 verdict #6): fixed corpus (sf0.1
+    embeddings replicated N×), the two-level derived-k cascade run at
+    target ∈ {10, 25, 50, 100}. The dial trades the two stages
+    against each other: k_total = n/target, so a SMALLER target means
+    more clusters (assignment per-row work ~√k grows) but fewer pair
     candidates per cluster (prune work ~n·target/2 falls); a LARGER
-    target the reverse. Survivor count is reported beside wall so the
-    recall side of the dial (larger clusters prune MORE near-dups —
-    cosine neighbors split across cluster boundaries are invisible to
-    SemDeDup by design) is visible in the same record."""
-    import shutil
-    import tempfile
+    target the reverse.
 
-    from team_02_spark import get_spark
-    from team_02_spark.operators.clustering import adaptive_k, twolevel_split
-    from team_02_spark.queries.vector_queries import _semdedup_frame
+    Two modes, one scaffold (r15 self-review: they must measure the
+    SAME pipeline):
 
-    spark = get_spark(f"scaling-prunedial-{replication}x")
-    spark.sparkContext.setLogLevel("ERROR")
-    _, df, total = _replicate_embeddings(spark, replication)
-    tmp = tempfile.mkdtemp(prefix="prunedial_")
-    out = {"mode": "prunedial", "replication": replication,
-           "n_vectors": total, "points": []}
-    try:
-        df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
-        for target in (10, 25, 50, 100):
-            k_total = adaptive_k(total, target)
-            kc, kf = twolevel_split(k_total)
-            runs, survivors = [], None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                frame = _semdedup_frame(spark, tmp, two_level=True,
-                                        target_cluster_size=target)
-                survivors = frame.count()
-                runs.append(round(time.perf_counter() - t0, 2))
-            out["points"].append({
-                "target": target, "k_total": k_total, "kc": kc, "kf": kf,
-                "survivors": survivors, "runs_sec": runs,
-                "best_sec": min(runs),
-            })
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    print(json.dumps(out))
-    spark.stop()
-
-
-def prune_dial_noise_probe(replication: int) -> None:
-    """Recall side of the target_cluster_size dial (r14 verdict #6).
-    The r14 prunedial cost study replicated the fixture BYTEWISE, so
-    every copy collapsed in the exact pre-collapse stage and survivor
-    counts could not vary with the dial — the study read cost only.
-    Here each replica gets small DETERMINISTIC per-component noise
-    (xxhash64(new_vec_id, dim) -> uniform in [-1,1], relative
-    amplitude eps=0.02, cosine(copy, base) >= ~0.999), so copies
-    survive the exact collapse and must be caught by the within-
-    cluster cosine>=0.95 prune. Ground truth is planted: the ideal
-    dedup prunes every one of the (replication-1)*n_base noisy
-    copies (their base row, the min vec_id, is the keeper), so
-
-        planted_recall = 1 - surviving_copies / planted_copies
-
-    directly reads what the dial trades away: a SMALLER target means
-    more (finer) clusters, and a copy split across a cluster boundary
-    from its base is invisible to SemDeDup by design."""
+    - ``noise_eps=None`` (mode "prunedial"): bytewise replicas,
+      best-of-2 walls — the COST study. Copies collapse in the exact
+      pre-collapse stage, so survivors are constant by construction.
+    - ``noise_eps=0.02`` (mode "prunedialnoise"): each replica gets
+      small deterministic per-component noise (xxhash64(new_vec_id,
+      dim) → uniform·eps relative; cosine(copy, base) ≥ ~0.999), so
+      copies survive the exact collapse and must be caught by the
+      within-cluster cosine ≥ 0.95 prune — the RECALL study. Ground
+      truth is planted: ideal dedup prunes all (N−1)·n_base copies
+      (the base row, min vec_id, is the keeper), so planted_recall =
+      1 − surviving_copies/planted reads what the dial trades away
+      (a copy split across a cluster boundary from its base is
+      invisible to SemDeDup by design)."""
     import shutil
     import tempfile
 
@@ -1906,57 +1867,72 @@ def prune_dial_noise_probe(replication: int) -> None:
     from team_02_spark.operators.clustering import adaptive_k, twolevel_split
     from team_02_spark.queries.vector_queries import _semdedup_frame
 
-    spark = get_spark(f"scaling-prunedialnoise-{replication}x")
+    mode = "prunedialnoise" if noise_eps else "prunedial"
+    spark = get_spark(f"scaling-{mode}-{replication}x")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(
-        "/root/testdata/sf0.1/embeddings.parquet"
-    ).select("vec_id", "embedding")
-    n0 = base.count()
-    emb_type = base.schema["embedding"].dataType.simpleString()
-    eps = 0.02
-    df = base
-    for i in range(1, replication):
-        noisy_id = (F.col("vec_id") + F.lit(i * n0)).alias("vec_id")
-        # per-(new id, dim) uniform in [-1, 1]; relative noise keeps
-        # zero components zero (a zero vector stays bytewise-equal
-        # and is handled by the exact collapse like before)
-        df = df.unionByName(base.select(
-            noisy_id,
-            F.transform(
-                "embedding",
-                lambda x, j: x * (
-                    1.0 + eps * (F.pmod(
-                        F.xxhash64(F.col("vec_id") + F.lit(i * n0), j),
-                        F.lit(1001)).cast("double") / 500.0 - 1.0)
-                ),
-            ).cast(emb_type).alias("embedding"),
-        ))
-    df = df.repartition(32).persist()
-    total = df.count()
+    if noise_eps is None:
+        base, df, total = _replicate_embeddings(spark, replication)
+        n0 = base.count()
+    else:
+        base = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        n0 = base.count()
+        emb_type = base.schema["embedding"].dataType.simpleString()
+        df = base
+        for i in range(1, replication):
+            # per-(new id, dim) uniform in [-1, 1]; relative noise
+            # keeps zero components zero (a zero vector stays
+            # bytewise-equal and is handled by the exact collapse)
+            df = df.unionByName(base.select(
+                (F.col("vec_id") + F.lit(i * n0)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x * (
+                        1.0 + noise_eps * (F.pmod(
+                            F.xxhash64(F.col("vec_id") + F.lit(i * n0), j),
+                            F.lit(1001)).cast("double") / 500.0 - 1.0)
+                    ),
+                ).cast(emb_type).alias("embedding"),
+            ))
+        df = df.repartition(32).persist()
+        total = df.count()
     planted = (replication - 1) * n0
-    tmp = tempfile.mkdtemp(prefix="prunedialnoise_")
-    out = {"mode": "prunedialnoise", "replication": replication,
-           "n_base": n0, "n_vectors": total, "planted_copies": planted,
-           "eps": eps, "points": []}
+    tmp = tempfile.mkdtemp(prefix=f"{mode}_")
+    out = {"mode": mode, "replication": replication, "n_base": n0,
+           "n_vectors": total, "points": []}
+    if noise_eps:
+        out["planted_copies"] = planted
+        out["eps"] = noise_eps
     try:
         df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
         for target in (10, 25, 50, 100):
             k_total = adaptive_k(total, target)
             kc, kf = twolevel_split(k_total)
-            t0 = time.perf_counter()
-            frame = _semdedup_frame(spark, tmp, two_level=True,
-                                    target_cluster_size=target).persist()
-            survivors = frame.count()
-            wall = round(time.perf_counter() - t0, 2)
-            surviving_copies = frame.filter(F.col("vec_id") >= n0).count()
-            frame.unpersist()
-            out["points"].append({
+            runs, survivors = [], None
+            # recall mode is deterministic — one run; cost mode keeps
+            # the r14 best-of-2 wall discipline
+            for _ in range(1 if noise_eps else 2):
+                t0 = time.perf_counter()
+                frame = _semdedup_frame(spark, tmp, two_level=True,
+                                        target_cluster_size=target)
+                if noise_eps:
+                    frame = frame.persist()
+                survivors = frame.count()
+                runs.append(round(time.perf_counter() - t0, 2))
+            point = {
                 "target": target, "k_total": k_total, "kc": kc, "kf": kf,
-                "survivors": survivors,
-                "surviving_copies": surviving_copies,
-                "planted_recall": round(1 - surviving_copies / planted, 4),
-                "wall_sec": wall,
-            })
+                "survivors": survivors, "runs_sec": runs,
+                "best_sec": min(runs),
+            }
+            if noise_eps:
+                surviving_copies = frame.filter(
+                    F.col("vec_id") >= n0).count()
+                frame.unpersist()
+                point["surviving_copies"] = surviving_copies
+                point["planted_recall"] = round(
+                    1 - surviving_copies / planted, 4)
+            out["points"].append(point)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
