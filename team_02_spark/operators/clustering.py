@@ -26,13 +26,18 @@ the classic cross-engine k-means failure. Specifically:
   is one IEEE op; FLOOR is exact. (Integer `div` is avoided because
   truncation direction for negatives differs across engines.)
 
-Scale posture (100 TB): per iteration, assignment is a k-row
-broadcast crossJoin (k ≤ 64 centroids of d longs — bytes, not data)
-plus one groupBy(id) min-struct shuffle; the update is one
-groupBy(cluster, pos) integer-sum shuffle (k·d output rows) plus a
-k-row centroid rebuild. No driver collect, no iteration-growing
-lineage beyond the fixed unrolled depth. Empty clusters drop (plain
-Lloyd semantics) — both engines drop them identically.
+Scale posture (100 TB): per iteration, assignment is MAP-SIDE — the
+k centroids (k ≤ 65536 of d longs — broadcast bytes, not data) are
+gathered into ONE cid-sorted array row, broadcast, and the argmin is
+an expression evaluated per corpus row (r15: formerly a k-row
+crossJoin re-aggregated with groupBy(id).min(struct), which — struct
+min not being hash-aggregable — sort-aggregated the full corpus
+across an Exchange once per assignment); the update is one
+groupBy(cluster, pos) integer-sum shuffle (k·d output rows, map-side
+combined) plus a k-row centroid rebuild. No driver collect, no
+corpus shuffle anywhere, no iteration-growing lineage beyond the
+fixed unrolled depth. Empty clusters drop (plain Lloyd semantics) —
+both engines drop them identically.
 
 Overflow headroom: |q_i| ≤ scale·max|v|; per-pair term ≤ (2·scale)²,
 ×d ≈ 2.6e10 at scale=1e4, d=64. The update sum ≤ scale·N — exact in
@@ -67,29 +72,55 @@ def _sqdist(a, b):
     )
 
 
-def _assign(qdf: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """(id, __q) × broadcast centroids (cid, __c) → (id, cluster).
-    k-row broadcast crossJoin: every row scores every centroid, the
-    min (dist, cid) struct is the deterministic argmin."""
-    scored = qdf.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.struct(
-            _sqdist(F.col("__q"), F.col("__c")).alias("d"),
-            F.col("cid"),
-        ).alias("__dc"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.min("__dc").getField("cid").alias("cluster")
+def _gather(cents: DataFrame) -> DataFrame:
+    """k-row (cid, __c) centroid frame → ONE row holding the
+    cid-sorted array of (cid, __c) structs — the broadcast build side
+    of the map-side argmin (r15 optimization). k is bounded (≤ 65536,
+    typically ≤ a few hundred), so the gathered row is broadcast-sized
+    by construction at any corpus scale."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "__c"))).alias("__cents")
     )
 
 
-def _update(qdf: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
-    """Recompute centroids from an assignment: exact BIGINT component
-    sums, then one double divide + FLOOR per component (see module
-    docstring for why not integer div)."""
+def _argmin_cid(qcol):
+    """Deterministic argmin over the gathered ``__cents`` array: min
+    of (dist, cid) struct pairs — identical arithmetic and tie-break
+    (smaller cid) to the former groupBy(id).min(struct) form, but
+    evaluated per ROW in the map stage, so assignment shuffles
+    NOTHING (r15: the old crossJoin + groupBy(id) shuffled and
+    SORT-aggregated the whole corpus once per assignment — struct min
+    is not hash-aggregable, so each assign cost a full-corpus sort on
+    both sides of an Exchange)."""
+    return F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                _sqdist(qcol, s.getField("__c")).alias("d"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
+    ).getField("cid")
+
+
+def _tag(qdf: DataFrame, gathered: DataFrame) -> DataFrame:
+    """qdf + map-side ``cluster`` column: one-row broadcast crossJoin
+    with the gathered centroid array, argmin evaluated per row, array
+    column dropped immediately so it never widens downstream rows."""
+    return (
+        qdf.crossJoin(F.broadcast(gathered))
+        .withColumn("cluster", _argmin_cid(F.col("__q")))
+        .drop("__cents")
+    )
+
+
+def _update(tag: DataFrame) -> DataFrame:
+    """Recompute centroids from a tagged frame (``cluster`` is a
+    map-side column on the quantized rows — no join needed): exact
+    BIGINT component sums, then one double divide + FLOOR per
+    component (see module docstring for why not integer div)."""
     ex = (
-        qdf.join(assign, id_col)
-        .select("cluster", F.posexplode("__q").alias("pos", "v"))
+        tag.select("cluster", F.posexplode("__q").alias("pos", "v"))
         .groupBy("cluster", "pos")
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
     )
@@ -154,9 +185,17 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
                   scale: int = 10_000,
                   target_cluster_size: int | None = None,
                   seeding: str = "first_ids",
-                  _qdf: DataFrame | None = None) -> DataFrame:
+                  keep: tuple[str, ...] = (),
+                  _qdf: DataFrame | None = None,
+                  _return_tag: bool = False) -> DataFrame:
     """Lloyd's k-means, ``iters`` unrolled iterations, deterministic.
-    Returns (id_col, cluster int).
+    Returns (id_col, cluster int[, *keep]).
+
+    ``keep`` (r15 optimization): extra ``df`` columns carried through
+    to the result. Assignment is MAP-SIDE since r15 (see _tag), so
+    carrying payload columns is free — callers that previously joined
+    the assignment back to the source frame (one full-corpus shuffle
+    on each side) can ask for the columns directly instead.
 
     ``target_cluster_size`` (r11 verdict #4): when set, ``k`` is
     IGNORED and derived as ``adaptive_k(df.count(), target)`` — one
@@ -192,7 +231,8 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         qdf = _qdf
     else:
         qdf = df.select(
-            F.col(id_col), quantize_vec(vec_col, scale).alias("__q")
+            F.col(id_col), quantize_vec(vec_col, scale).alias("__q"),
+            *[F.col(c) for c in keep],
         )
     if seeding == "first_ids":
         seed_order = [F.col(id_col)]
@@ -204,44 +244,73 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
         )
     w = Window.orderBy(*seed_order)
     cents = (
-        qdf.orderBy(*seed_order).limit(k)
+        qdf.select(id_col, "__q").orderBy(*seed_order).limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
                 F.col("__q").alias("__c"))
     )
-    assign = _assign(qdf, cents, id_col)
+    # r15: assignment is a map-side column (see _tag/_argmin_cid) —
+    # zero corpus exchanges per iteration; the only shuffle left per
+    # update is the map-side-combined (cluster, pos) integer-sum agg
+    # (k·d output rows), and the final assignment never shuffles.
+    tag = _tag(qdf, _gather(cents))
     for _ in range(iters - 1):
-        cents = _update(qdf, assign, id_col)
-        assign = _assign(qdf, cents, id_col)
-    return assign.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
+        cents = _update(tag)
+        tag = _tag(qdf, _gather(cents))
+    if _return_tag:
+        return tag  # (id_col, __q, *keep, cluster) — twolevel caller
+    return tag.select(
+        F.col(id_col), F.col("cluster").cast("int").alias("cluster"),
+        *[F.col(c) for c in keep],
+    )
 
 
 # --------------------------------------- two-level (IVF-style) k-means
 
-def _fine_assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """(id, __cc, __q) ⋈ broadcast (cc/fcid/centroid) ON the coarse
-    cell → (id, __cc, fcid). The join key is the cell id, so each row
-    scores only its OWN cell's ≤ k_fine centroids (per-row work
-    k_fine·d, not k·d); the centroid side is k_coarse·k_fine rows of
-    longs — broadcast bytes at any realistic k."""
-    scored = pts.join(F.broadcast(cents), "__cc").select(
-        F.col(id_col),
-        F.col("__cc"),
-        F.struct(
-            _sqdist(F.col("__q"), F.col("__c")).alias("d"),
-            F.col("fcid"),
-        ).alias("__dc"),
-    )
-    return scored.groupBy(id_col, "__cc").agg(
-        F.min("__dc").getField("fcid").alias("fcid")
+def _fine_gather(cents: DataFrame) -> DataFrame:
+    """(__cc, fcid, __c) fine-centroid frame → one row PER COARSE CELL
+    holding the fcid-sorted array of that cell's centroids — the
+    broadcast build side of the per-cell map-side argmin. k_coarse
+    rows of ≤ k_fine centroids each — broadcast bytes at any
+    realistic k."""
+    return cents.groupBy("__cc").agg(
+        F.array_sort(F.collect_list(F.struct("fcid", "__c"))).alias("__fcents")
     )
 
 
-def _fine_update(pts: DataFrame, assign: DataFrame, id_col: str) -> DataFrame:
+def _fine_tag(pts: DataFrame, gathered: DataFrame) -> DataFrame:
+    """pts ⋈ broadcast per-cell centroid arrays ON the coarse cell,
+    then the fine argmin per ROW (r15: formerly a broadcast join that
+    exploded to one row per (point, fine centroid) and re-aggregated
+    with groupBy(id, cell).min(struct) — a full-corpus sort-aggregate
+    exchange per fine assignment; now zero corpus shuffles). Each row
+    scores only its OWN cell's ≤ k_fine centroids, per-row work
+    k_fine·d, identical arithmetic and (d, fcid) tie-break. The inner
+    join keeps every row: a non-empty cell always has ≥ 1 seed (its
+    own min-id member) and ≥ 1 surviving fine centroid."""
+    return (
+        pts.join(F.broadcast(gathered), "__cc")
+        .withColumn(
+            "fcid",
+            F.array_min(
+                F.transform(
+                    F.col("__fcents"),
+                    lambda s: F.struct(
+                        _sqdist(F.col("__q"), s.getField("__c")).alias("d"),
+                        s.getField("fcid").alias("fcid"),
+                    ),
+                )
+            ).getField("fcid"),
+        )
+        .drop("__fcents")
+    )
+
+
+def _fine_update(tag: DataFrame) -> DataFrame:
     """Per-(cell, fine-id) centroid rebuild — the _update arithmetic
-    keyed by the composite (coarse, fine) cluster."""
+    keyed by the composite (coarse, fine) cluster; ``fcid`` is a
+    map-side column on the tagged rows, so no join is needed."""
     ex = (
-        pts.join(assign.select(id_col, "fcid"), id_col)
-        .select("__cc", "fcid", F.posexplode("__q").alias("pos", "v"))
+        tag.select("__cc", "fcid", F.posexplode("__q").alias("pos", "v"))
         .groupBy("__cc", "fcid", "pos")
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
     )
@@ -285,7 +354,8 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", *, k_coarse: int = 8,
                            k_fine: int = 8, iters: int = 2,
                            scale: int = 10_000,
-                           target_cluster_size: int | None = None) -> DataFrame:
+                           target_cluster_size: int | None = None,
+                           keep: tuple[str, ...] = ()) -> DataFrame:
     """Coarse-then-refine Lloyd assignment — the faiss/IVF-style scale
     path for the regime where ``adaptive_k`` derives more clusters
     than the flat broadcast-argmin can afford (its per-iteration
@@ -304,10 +374,11 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     coarse cell — the IVF trade), but an exactly-defined, hash-
     reproducible one, not an RNG heuristic.
 
-    Returns (id_col, cluster int) with the composite id
+    Returns (id_col, cluster int[, *keep]) with the composite id
     coarse·k_fine + fine. Cells smaller than k_fine seed fewer fine
     centroids; empty fine clusters drop (plain Lloyd, both engines
-    identical).
+    identical). ``keep`` columns ride the map-side tags for free
+    (the seed windows stay narrow — see kmeans_assign).
 
     ``target_cluster_size`` (r13, the q_semdedup_twolevel composition):
     when set, k_coarse/k_fine are IGNORED and derived from one bounded
@@ -333,14 +404,19 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     # map stage is cheap), but the post-coarse pts frame below IS
     # shared, so the fine stage reuses the same quantize expression
     # instead of re-deriving it from the raw vectors
-    qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"))
-    coarse = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
-                           scale=scale, _qdf=qdf)
+    qdf = df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("__q"),
+                    *[F.col(c) for c in keep])
+    coarse_tag = kmeans_assign(df, vec_col, id_col, k=k_coarse, iters=iters,
+                               scale=scale, _qdf=qdf, _return_tag=True)
     # consumed by the seed window plus every fine assign/update pass —
     # lazily localCheckpoint so the coarse Lloyd runs ONCE, not per
-    # consumer (its own plan is already iters deep)
-    pts = qdf.join(coarse, id_col).select(
-        F.col(id_col), F.col("cluster").alias("__cc"), "__q"
+    # consumer (its own plan is already iters deep). r15: the coarse
+    # assignment is a MAP-SIDE column on the quantized rows (_tag), so
+    # the former qdf ⋈ coarse join — a full-corpus shuffle on both
+    # sides — is gone outright.
+    pts = coarse_tag.select(
+        F.col(id_col), F.col("cluster").alias("__cc"), "__q",
+        *[F.col(c) for c in keep],
     ).transform(shared_pass)
     # Per-cell min-id seeding WITHOUT sorting whole cells: a hot
     # coarse cell (clusters are data-dependent — a corpus-sized cell
@@ -354,7 +430,9 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).cast("int")
     w1 = Window.partitionBy("__cc", "__sg").orderBy(id_col)
     cand = (
-        pts.withColumn("__sg", sub)
+        # seeds need only (id, cell, vector): keep-cols stay out of
+        # the two window shuffles below
+        pts.select(id_col, "__cc", "__q").withColumn("__sg", sub)
         .withColumn("__prn", F.row_number().over(w1))
         .filter(F.col("__prn") <= k_fine)
     )
@@ -368,13 +446,14 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
             F.col("__q").alias("__c"),
         )
     )
-    assign = _fine_assign(pts, seeds, id_col)
+    tag = _fine_tag(pts, _fine_gather(seeds))
     for _ in range(iters - 1):
-        cents = _fine_update(pts, assign, id_col)
-        assign = _fine_assign(pts, cents, id_col)
-    return assign.select(
+        cents = _fine_update(tag)
+        tag = _fine_tag(pts, _fine_gather(cents))
+    return tag.select(
         F.col(id_col),
         (F.col("__cc") * k_fine + F.col("fcid")).cast("int").alias("cluster"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -234,7 +234,10 @@ DRIVER_RECHECK: dict[str, int] = {
     "q_cdc_stream": 11,           # heal monotone r10 + re-scan r11
     "q_cdc_stream_bucketed": 11,  # same heal path, bucketed state
     # r12 impl changes (same-day pins per the proven r11 convention):
-    "q_semdedup": 12,     # collapse key u -> raw embedding (advisor)
+    # (q_semdedup's r12 pin — collapse key u -> raw embedding — was
+    # superseded by its r15 impl-change pin below; same for the other
+    # kmeans-family pins of r12/r13, each bumped in place so the dict
+    # stays duplicate-free per the r13 advisor AST guard.)
     "q_dedup_simhash": 12,  # hot blocks: exclusion -> triangle split
     # q_kmeans re-checks for the kmeans_assign signature change
     # (adaptive-k/seeding args, default path plan-identical);
@@ -242,7 +245,6 @@ DRIVER_RECHECK: dict[str, int] = {
     # SAME assignment q_kmeans re-proves, and its slot is needed so
     # the window still covers the entire r5 staleness tail alongside
     # the new r12 keys (final accounting: 41 r5 + 5 pins + 4 new = 50).
-    "q_kmeans": 12,
     "q_score_multi": 12,      # svc_rbf_rff added as a sixth column
     # q_knn_jl re-checks jl_project's new d_in guard (it runs the
     # guarded map stage inside the bigger plan); q_jl_project itself
@@ -272,14 +274,9 @@ DRIVER_RECHECK: dict[str, int] = {
     # the new q_semdedup_twolevel key (auto-checked as unchecked),
     # and the spare slots must cover the entire r6 staleness tail
     # (43 keys) this round per r12 verdict #3.
-    "q_kmeans_twolevel": 13,
-    # r13 self-review: adaptive_k switched float-ceil -> exact integer
-    # ceil AND the kk-CTE oracle text changed with it — that is an
-    # impl+oracle change on these two lanes, so they pin like any
-    # other (both re-verified hash-green at sf0.01 and sf0.1 the same
-    # day; the pin makes the official book prove it too).
-    "q_kmeans_adaptive": 13,
-    "q_semdedup_adaptive": 13,
+    # (q_kmeans_twolevel's r13 pin and the r13 adaptive_k float-ceil
+    # -> integer-ceil pins on q_kmeans_adaptive/q_semdedup_adaptive
+    # were superseded in place by the r15 pins below.)
     # r14 impl changes (ADC kernel LUT rewrite + ensure_parallelism)
     # touched ONLY rows-only lanes (q_pq_search, q_ivf_pq_serve and
     # the IVF-PQ internals) — deliberately NOT pinned: rows-only keys
@@ -294,6 +291,21 @@ DRIVER_RECHECK: dict[str, int] = {
     # local re-proof via the persisted bitwise kernel test, the
     # parking/reaper tests, and verify_driver sf0.1 runs
     # (COVERAGE.md §2.20 carries the dated rows-only sweep).
+    # r15 OPTIMIZATION round: kmeans assignment moved to the map-side
+    # argmin (clustering._tag/_argmin_cid — zero corpus shuffles) and
+    # _semdedup_frame dropped its emb ⋈ clusters join-back via keep=.
+    # Identical arithmetic and tie-break, so every oracle must
+    # hash-match unchanged — the pins prove it (same-day local
+    # re-proof: verify_driver all 8 keys green at sf0.01 AND sf0.1,
+    # plus tests/test_ml.py::test_kmeans_mapside_argmin_*).
+    "q_kmeans": 15,
+    "q_kmeans_spread": 15,
+    "q_kmeans_adaptive": 15,
+    "q_kmeans_twolevel": 15,
+    "q_semdedup": 15,
+    "q_semdedup_adaptive": 15,
+    "q_semdedup_twolevel": 15,
+    "q_cluster_profile": 15,
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

@@ -1153,9 +1153,12 @@ def _semdedup_frame(spark, sf_dir, two_level: bool = False,
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     assign = kmeans_assign_twolevel if two_level else kmeans_assign
+    # r15: assignment is map-side (clustering._tag), so the raw
+    # embedding rides along via keep= — the former emb ⋈ clusters
+    # join-back (a full-corpus shuffle on both sides) is gone.
     clusters = assign(emb, "embedding", "vec_id", iters=2,
-                      **kmeans_kwargs)
-    tagged = emb.join(clusters, "vec_id").select(
+                      keep=("embedding",), **kmeans_kwargs)
+    tagged = clusters.select(
         "vec_id",
         "cluster",
         F.col("embedding").alias("__raw"),

@@ -857,6 +857,69 @@ def test_kmeans_identical_vectors_coassigned_and_deterministic(spark):
     assert len({a[0], a[1], a[2]}) == 1  # clones share a cluster
 
 
+def test_kmeans_mapside_argmin_matches_bruteforce_and_keep(spark):
+    """r15 optimization guard: assignment moved from a k-row crossJoin
+    + groupBy(id).min(struct) sort-aggregate to a MAP-SIDE argmin over
+    the gathered centroid array (clustering._tag/_argmin_cid). This
+    pins (a) the argmin — including the (dist, cid) smaller-cid
+    tie-break — against an independent pure-Python recompute of the
+    same integer arithmetic on a fixture with exact distance TIES,
+    and (b) the keep= passthrough equals the old join-back."""
+    import math
+
+    from team_02_spark.operators.clustering import kmeans_assign
+
+    # two seed points at ±1 on axis 0 → every point on the
+    # perpendicular bisector (axis-0 == 0) ties exactly; tie-break
+    # must pick the smaller cid
+    rows = [
+        (0, [-1.0, 0.0]), (1, [1.0, 0.0]),       # seeds (first_ids)
+        (2, [0.0, 5.0]), (3, [0.0, -7.0]),       # exact ties
+        (4, [-3.0, 1.0]), (5, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(df, k=2, iters=2).collect()}
+
+    # independent recompute: quantize -> assign -> update -> assign
+    q = {i: [math.floor(x * 10000.0) for x in v] for i, v in rows}
+
+    def brute(cents):
+        out = {}
+        for i, qv in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in sorted(cents.items())
+            )
+            out[i] = best[1]
+        return out
+
+    cents = {0: q[0], 1: q[1]}
+    a1 = brute(cents)
+    upd = {}
+    for cid in set(a1.values()):
+        members = [q[i] for i, c in a1.items() if c == cid]
+        upd[cid] = [
+            math.floor(sum(col) / len(members))
+            for col in zip(*members)
+        ]
+    expect = brute(upd)
+    assert got == expect
+    # the iteration-1 ties landed on the smaller cid by construction
+    # (the bisector points are equidistant from the ±1 seeds)
+    assert a1[2] == 0 and a1[3] == 0
+
+    # keep= passthrough == the old join-back form
+    kept = kmeans_assign(df, k=2, iters=2, keep=("embedding",))
+    joined = df.join(kmeans_assign(df, k=2, iters=2), "vec_id")
+    assert (
+        {(r["vec_id"], r["cluster"], tuple(r["embedding"]))
+         for r in kept.collect()}
+        == {(r["vec_id"], r["cluster"], tuple(r["embedding"]))
+            for r in joined.collect()}
+    )
+
+
 def test_semdedup_prunes_within_cluster_and_matches_oracle(spark, tmp_path):
     """The driver fixture has NO cosine-0.95 pair (max pairwise cosine
     ~0.51), so q_semdedup's driver row proves clustering + the no-op
