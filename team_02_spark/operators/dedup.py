@@ -869,12 +869,19 @@ def _substr_tokenize(df: DataFrame, id_col: str,
 def _substr_spans_from_tok(tok_all: DataFrame, id_col: str,
                            k: int) -> DataFrame:
     tok = tok_all.filter(F.size("__toks") >= k)
+    # r15 (guide §2.3 — shuffle keys, not payloads): the k-gram never
+    # exits this operator (outputs are positional spans), so the
+    # gram-keyed aggregate + join-back run on xxhash64 of the k-token
+    # SLICE — 8 bytes per position instead of a materialized ~60-100
+    # byte concat string. Tokens are \s+-split (no internal spaces),
+    # so slice equality ≡ concat equality; hash keying accepts the
+    # repo-standard 2^-64 collision tolerance.
     occ = tok.select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("__toks") - k),
-                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k)),
+                lambda i: F.xxhash64(F.slice(F.col("__toks"), i + 1, k)),
             )
         ).alias("pos", "gram"),
     ).withColumn(

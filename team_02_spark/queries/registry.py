@@ -306,6 +306,15 @@ DRIVER_RECHECK: dict[str, int] = {
     "q_semdedup_adaptive": 15,
     "q_semdedup_twolevel": 15,
     "q_cluster_profile": 15,
+    # r15 OPTIMIZATION: gram-keyed shuffles switched from materialized
+    # k-gram concat strings to xxhash64 of the token slice (grams
+    # never exit these queries; 2^-64 collision tolerance is the
+    # repo-standard convention). Same-day local re-proof:
+    # verify_driver green at sf0.01 + sf0.1, substring-dedup suite +
+    # brute-force property fuzz green.
+    "q_ngram_dup_rate": 15,
+    "q_dedup_substring": 15,
+    "q_dedup_substring_strip": 15,
 }
 
 # Deliberate re-proof set (r7 verdict #1): breadth is saturated, so

@@ -1676,13 +1676,21 @@ def q_ngram_dup_rate(spark, sf_dir):
     tok = docs.select("doc_id", "source", toks.alias("toks")).filter(
         F.size("toks") >= 3
     )
+    # r15 (guide §2.3 — shuffle keys, not payloads): the gram string
+    # never exits this query (output is per-source counts), so the
+    # shuffle key is xxhash64 of the 3-token SLICE — 8 bytes instead
+    # of a materialized ~20-40 byte concat per position, and the
+    # groupBy/join run on longs. Tokens are \s+-split (no token
+    # contains a space), so slice equality ≡ the old concat equality;
+    # hash keying accepts the repo-standard 2^-64 collision tolerance
+    # (the minhash-collapse convention).
     g = tok.select(
         "doc_id",
         "source",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3)),
+                lambda i: F.xxhash64(F.slice(F.col("toks"), i + 1, 3)),
             )
         ).alias("gram"),
     )
