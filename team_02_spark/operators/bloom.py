@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from team_02_spark.operators.contamination import find_contaminated
-from team_02_spark.operators.dedup import shingles
 from team_02_spark.util import ensure_parallelism
 
 # Driver-side build cap: 2e7 gram hash-pairs collect as ~320 MB of
@@ -53,12 +52,29 @@ def bloom_params(n_items: int, fpp: float = 1e-4) -> tuple[int, int]:
     return m, k
 
 
-def _gram_hash_pair(gram_col):
-    """Two independent 64-bit hashes per gram, computed JVM-side so
-    corpus and benchmark agree bit-for-bit: h1 = xxhash64(g),
-    h2 = xxhash64(g, 1). Double hashing (Kirsch–Mitzenmacher) derives
-    all k probe indices from the pair."""
-    return F.xxhash64(gram_col), F.xxhash64(gram_col, F.lit(1))
+def _shingle_hash_pairs(text_col: str, n: int):
+    """Per-row arrays of two independent 64-bit hashes over the
+    DISTINCT word n-gram shingles, computed JVM-side so corpus and
+    benchmark agree bit-for-bit: h1 = xxhash64(slice),
+    h2 = xxhash64(slice, 1). Double hashing (Kirsch–Mitzenmacher)
+    derives all k probe indices from the pair.
+
+    r15 (guide §2.3/§4): the gram STRING is never materialized — the
+    hashes are taken directly over the token SLICE arrays (tokens are
+    \\W+-split, so slice equality ≡ the old concat-string equality;
+    the <n whole-text case mirrors operators.dedup.shingles exactly).
+    One slice evaluation feeds both hash transforms."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\W+"), "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    slices = F.array_distinct(
+        F.when(F.size(toks) < n, F.array(toks)).otherwise(
+            F.transform(idx, lambda i: F.slice(toks, i + 1, n))
+        )
+    )
+    return (
+        F.transform(slices, lambda s: F.xxhash64(s)),
+        F.transform(slices, lambda s: F.xxhash64(s, F.lit(1))),
+    )
 
 
 def _probe_indices(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -79,11 +95,12 @@ def build_ngram_bloom(benchmark: DataFrame, *, text_col: str = "text",
     collected; eval suites are small by definition, and the cap above
     keeps an accidentally-huge 'benchmark' from melting the driver.
     """
+    bh1, bh2 = _shingle_hash_pairs(text_col, shingle_n)
     pairs = (
         benchmark.select(
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("g")
+            F.explode(F.arrays_zip(bh1.alias("h1"), bh2.alias("h2"))).alias("p")
         )
-        .select(*(c.alias(n) for c, n in zip(_gram_hash_pair(F.col("g")), ("h1", "h2"))))
+        .select(F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2"))
         .distinct()
     )
     # Bounded collect: LIMIT cap+1 caps driver memory in the SAME job
@@ -135,11 +152,26 @@ def bloom_hit_count(spark, bits: bytes, m: int, k: int):
                 continue
             flat1 = np.concatenate(arrs1)
             flat2 = np.concatenate(arrs2)
-            idx = _probe_indices(flat1, flat2, m, k)
-            ok = (
-                (barr[(idx >> np.uint64(3)).astype(np.int64)]
-                 >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
-            ).all(axis=1)
+            # r15: probe in fixed 64Ki-gram BLOCKS instead of one
+            # (G, k) matrix over the whole batch. Identical arithmetic
+            # and candidate set, but peak temporaries drop from
+            # ~100 MB+ per batch (k G-sized uint64 columns at once —
+            # the allocation profile the r14 first-touch-stall
+            # analysis flagged as the stall amplifier on this box) to
+            # ~7 MB regardless of batch size, while every op stays a
+            # whole-block vectorized kernel (a per-probe survivor
+            # cascade was measured ~25% more CPU than the matrix
+            # form — fancy-indexing copies beat the saved probes).
+            G = flat1.size
+            ok = np.empty(G, dtype=np.float64)
+            B = 65536
+            for s in range(0, G, B):
+                e = min(s + B, G)
+                idx = _probe_indices(flat1[s:e], flat2[s:e], m, k)
+                ok[s:e] = (
+                    (barr[(idx >> np.uint64(3)).astype(np.int64)]
+                     >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+                ).all(axis=1)
             row_of = np.repeat(np.arange(n), lens)
             counts = np.bincount(row_of, weights=ok, minlength=n)
             yield pd.Series(counts.astype(np.int32))
@@ -160,12 +192,10 @@ def bloom_candidates(docs: DataFrame, bits: bytes, m: int, k: int, *,
     Gram hashing stays JVM-side (xxhash64 over the shingle array);
     only the bit probing crosses to Python, Arrow-batched."""
     spark = docs.sparkSession
-    grams = F.array_distinct(shingles(text_col, shingle_n))
     # The probe hashes MUST be bit-identical to build_ngram_bloom's
-    # filter bits — both sides go through _gram_hash_pair, one
-    # definition.
-    h1 = F.transform(grams, lambda g: _gram_hash_pair(g)[0])
-    h2 = F.transform(grams, lambda g: _gram_hash_pair(g)[1])
+    # filter bits — both sides go through _shingle_hash_pairs, one
+    # definition (r15: hashes over token slices, no gram strings).
+    h1, h2 = _shingle_hash_pairs(text_col, shingle_n)
     hits = bloom_hit_count(spark, bits, m, k)
     return (
         ensure_parallelism(docs)
