@@ -49,7 +49,7 @@ HEADLINE = {
     "q_decontaminate_bloom": "corpus-wide work is ONE map pass (gram hashes JVM-side, bloom probe Arrow-batched, no explode shuffle); exact gram-join verify sees only bloom candidates",
     "q_mmr_diverse": "corpus cost = broadcast top-N scoring per query; greedy MMR runs per-query in applyInPandas over <=N-row groups — no driver loop, no corpus re-scan",
     "q_join_salted": "fact+salt vs dim×salt equi-join: hot key spreads over salt shuffle partitions; output multiset identical to the plain join",
-    "q_triangles": "degree-ordered orientation: wedge join fans out only at each edge's LOW end (out-degree bounded), closing-edge equi-join — O(m^1.5) under hub skew",
+    "q_triangles": "degree-ordered orientation: wedge join fans out only at each edge's LOW end (out-degree bounded), closing-edge equi-join on the packed (v,w) long key (r15 — half-width unique-key build) — O(m^1.5) under hub skew",
     "q_split_leakage": "shingle equi-join candidates bounded by co-occurrence; Jaccard verify in-join; cross-split filter prunes before the pair aggregate",
     "q_dsir_select": "one exploded-token pass feeds BOTH LMs (target count = filtered re-agg of the same key); 1-row totals broadcast; selection gate is row-local (no global sort)",
     "q_variant_props": "props parsed ONCE into VARIANT next to the reader; typed variant_get extraction; ReadSchema carries only event_type+props; one 5-partial agg shuffle",
@@ -63,7 +63,7 @@ HEADLINE = {
     "q_tpch_q11ish": "region-pruned partsupp values in BIGINT cents; per-part agg + 1-row totals broadcast; threshold compare pure integer",
     "q_tpch_q20ish": "date-pruned fact agg (map-side combined) joins the partsupp dimension; distinct suppliers exit through broadcast dims",
     "q_source_overlap": "distinct (source, token) collapses the corpus to vocab-sized sets; pair fan-out per token bounded by the source alphabet",
-    "q_dedup_substring": "ExactSubstr: ONE corpus explode to stride-1 gram anchors; gram-keyed aggregate is vocab-sized; join-back occurrence-keyed (no pairwise term); per-doc interval merge windows on doc_id",
+    "q_dedup_substring": "ExactSubstr: ONE corpus explode to stride-1 gram anchors; gram-keyed aggregate is vocab-sized on xxhash64 slice keys (r15 — no gram strings); join-back occurrence-keyed (no pairwise term); per-doc interval merge windows on doc_id",
     "q_cms_topk": "CMS build is one map-side-combined explode pass bounded at d*w counter rows; probe joins the parameter-sized sketch back (broadcast); min over d depths per token",
     "q_join_size_est": "join size WITHOUT the join: two independent key-stream sketch passes; the estimate joins two <=d*w tables; exact side kept alongside for error visibility",
     "q_max_open_orders": "sweep-line: fact tables collapse to per-order intervals then calendar-dated deltas BEFORE any ordering; the only global window runs over ~calendar-sized rows",
@@ -79,9 +79,9 @@ HEADLINE = {
     "q_growth_accounting": "events collapse to distinct (user, month) first; new/retained/resurrected/churned classify via ONE user_id window (lag); month cells are calendar-sized",
     "q_assoc_rules": "basket pairs bounded by per-order width (~7 lines); support/confidence/lift join item counts back at item-alphabet size — never a corpus self-join",
     "q_triangles_approx": "DOULION p=1/4: deterministic md5 edge gate is a MAP filter before the census; wedge join ~16x and closing join ~64x cheaper than exact; estimate = count x 64",
-    "q_kmeans": "integer-exact Lloyd: k-row BroadcastNestedLoopJoin per assignment (centroids are bytes), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
+    "q_kmeans": "integer-exact Lloyd: MAP-SIDE argmin over the gathered centroid array (r15 — assignment shuffles nothing), one integer-sum exchange per update; no driver collect, fixed unrolled depth",
     "q_semdedup": "SemDeDup cascade: kmeans clusters -> xxhash64(raw) min/min_by exact pre-collapse (clone-immune, r12 raw-keyed) -> within-cluster pair join on reps with Arrow pdot verify -> keep-first anti-join",
-    "q_kmeans_twolevel": "coarse-then-refine assignment: exact coarse Lloyd, two-phase per-cell seed rank (no whole-cell sort task), fine assign joins each row to ONLY its own cell's centroids via a broadcast on the cell id — per-row work (kc+kf)*d, not k*d",
+    "q_kmeans_twolevel": "coarse-then-refine assignment: exact coarse Lloyd (map-side argmin, r15), two-phase per-cell seed rank (no whole-cell sort task), fine argmin is a map over the per-cell centroid array broadcast-joined on the cell id — per-row work (kc+kf)*d, not k*d",
     "q_dedup_simhash": "4-block pigeonhole equi-joins over one localCheckpointed fingerprint pass; hot blocks triangle-split (r12) instead of excluded — recall at hamming<=3 unconditional",
     "q_jl_project": "map-only JL projection: plan-time literal sign matrix, per-row left-fold dots, posexplode exit; zero exchanges from the operator (the one visible is ensure_parallelism's local-fixture fan-out) — the map-only shape a 100 TB pre-step must have",
     "q_semdedup_twolevel": "the SemDeDup cascade on the two-level derived-k assignment (r13): corpus-count-derived (kc, kf) split, coarse-then-refine Lloyd, raw-keyed exact pre-collapse, within-COMPOSITE-cluster pair join — assignment per-row work (kc+kf)*d while the prune stage is unchanged",
