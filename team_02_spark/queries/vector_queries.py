@@ -847,8 +847,9 @@ def q_kmeans(spark, sf_dir):
     """Distributed k-means (k=8, 2 Lloyd iterations) over the
     embedding corpus — the SemDeDup-style semantic-bucketing
     primitive (cluster, then prune/mix/balance per bucket). Per
-    iteration: a k-row broadcast crossJoin for assignment + one
-    integer-sum shuffle for the update; no driver collect; empty
+    iteration: a MAP-SIDE argmin over the broadcast centroid array
+    for assignment (r15 — zero corpus shuffles) + one integer-sum
+    shuffle for the update; no driver collect; empty
     clusters drop (plain Lloyd). Deterministic seeding (k smallest
     vec_ids) so the DuckDB twin reproduces the exact assignment."""
     from team_02_spark.operators.clustering import kmeans_assign
@@ -872,7 +873,7 @@ def q_kmeans_spread(spark, sf_dir):
     render bigints and md5 identically and compare the lowercase-hex
     strings bytewise, so the seed SET and ORDER — hence the whole
     integer-exact assignment — hash-match. Everything after seeding
-    is the q_kmeans plan verbatim (k-row broadcast assign + bounded
+    is the q_kmeans plan verbatim (map-side argmin assign + bounded
     integer-sum shuffles); the seeding adds one md5 per row to the
     one-off seed scan, nothing to the iterations."""
     from team_02_spark.operators.clustering import kmeans_assign
@@ -899,7 +900,8 @@ def q_kmeans_adaptive(spark, sf_dir):
     k=8 coincides with q_kmeans; at sf0.1 (n=2000) it scales to
     k=80 — the same query text, a corpus-dependent k, hash-green at
     both. Per-iteration plan unchanged: the centroid side stays a
-    k-row broadcast (k longs × d — bytes at any realistic k)."""
+    one gathered broadcast array row (k longs × d — bytes at any
+    realistic k) probed map-side."""
     from team_02_spark.operators.clustering import kmeans_assign
 
     emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
