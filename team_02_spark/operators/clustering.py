@@ -141,6 +141,25 @@ def _update(tag: DataFrame) -> DataFrame:
     )
 
 
+# Column names the assignment machinery materializes internally; a
+# caller-supplied keep=/id/vec column with one of these names would be
+# silently clobbered (r15 advisor low) — validated loudly instead.
+_RESERVED = frozenset({
+    "cluster", "__q", "__cents", "__cc", "__c", "__sg", "__prn", "__rn",
+    "fcid", "__fcents",
+})
+
+
+def _check_reserved(id_col: str, vec_col: str, keep: tuple[str, ...]) -> None:
+    clash = _RESERVED.intersection({id_col, vec_col, *keep})
+    if clash:
+        raise ValueError(
+            "kmeans_assign: column name(s) reserved by the assignment "
+            f"machinery: {sorted(clash)} — rename the input column(s) "
+            "or drop them from keep="
+        )
+
+
 def adaptive_k(n_rows: int, target_cluster_size: int = 1024,
                k_min: int = 1, k_max: int = 65_536) -> int:
     """SemDeDup's scale dial DERIVED instead of pinned (r11 verdict
@@ -221,6 +240,7 @@ def kmeans_assign(df: DataFrame, vec_col: str = "embedding",
     primitive (bucket the corpus semantically), not a model-quality
     fit; callers wanting convergence run more iterations.
     """
+    _check_reserved(id_col, vec_col, keep)
     if target_cluster_size is not None:
         k = adaptive_k(df.count(), target_cluster_size)
     if k < 1:
@@ -386,6 +406,7 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     (k_coarse, k_fine) = twolevel_split(k_total) — so the two-level
     lane scales its shape with the corpus exactly like the flat
     adaptive lane, but with (√k+√k)·d per-row work instead of k·d."""
+    _check_reserved(id_col, vec_col, keep)
     if target_cluster_size is not None:
         k_coarse, k_fine = twolevel_split(
             adaptive_k(df.count(), target_cluster_size)
@@ -430,21 +451,34 @@ def kmeans_assign_twolevel(df: DataFrame, vec_col: str = "embedding",
     sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).cast("int")
     w1 = Window.partitionBy("__cc", "__sg").orderBy(id_col)
     cand = (
-        # seeds need only (id, cell, vector): keep-cols stay out of
-        # the two window shuffles below
-        pts.select(id_col, "__cc", "__q").withColumn("__sg", sub)
+        # r16 (guide §2.3/§8 — shuffle keys, not payloads): the seed
+        # DECISION needs only (id, cell) — the quantized vector
+        # (~d·8 B/row, the row's dominant bytes) used to ride both
+        # window exchanges below and is now attached afterwards, to
+        # the ≤ k_coarse·k_fine WINNERS only, by a bounded broadcast
+        # semi-join back onto pts. The corpus-wide (cc, sg) exchange
+        # carries ~16 B/row instead of ~d·8 B/row (~30x lighter at
+        # d=64); the winner set is ≤ 65536 rows by the adaptive-k
+        # clamp, so the broadcast is bounded at any corpus scale.
+        pts.select(id_col, "__cc").withColumn("__sg", sub)
         .withColumn("__prn", F.row_number().over(w1))
         .filter(F.col("__prn") <= k_fine)
+        .drop("__sg", "__prn")
     )
     w2 = Window.partitionBy("__cc").orderBy(id_col)
-    seeds = (
+    seed_ids = (
         cand.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k_fine)
         .select(
+            id_col,
             "__cc",
             (F.col("__rn") - 1).cast("int").alias("fcid"),
-            F.col("__q").alias("__c"),
         )
+    )
+    seeds = (
+        pts.select(id_col, "__q")
+        .join(F.broadcast(seed_ids), id_col)
+        .select("__cc", "fcid", F.col("__q").alias("__c"))
     )
     tag = _fine_tag(pts, _fine_gather(seeds))
     for _ in range(iters - 1):

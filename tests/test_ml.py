@@ -920,6 +920,44 @@ def test_kmeans_mapside_argmin_matches_bruteforce_and_keep(spark):
     )
 
 
+def test_kmeans_twolevel_lightweight_seed_windows_and_reserved_names(spark):
+    """r16 optimization guard: the two per-cell seed-rank windows now
+    shuffle only (id, cell, subgroup) — the quantized vector is
+    attached to the <= k_coarse*k_fine WINNERS afterwards by a bounded
+    broadcast join (guide §2.3/§8). Pins (a) the two-level assignment
+    against the flat per-cell recompute semantics on a fixture where
+    every cell seeds fewer than k_fine members AND one cell is hot,
+    and (b) keep= passthrough survives the rework. Also pins the r15
+    advisor's reserved-name validation."""
+    import pytest as _pytest
+
+    from team_02_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_twolevel,
+    )
+
+    rows = [(i, [float(i % 7) * 2.0, float(i // 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_assign_twolevel(df, k_coarse=3, k_fine=2, iters=2,
+                                 keep=("embedding",))
+    out = {r["vec_id"]: (r["cluster"], tuple(r["embedding"]))
+           for r in got.collect()}
+    assert set(out) == {i for i, _ in rows}
+    # keep= carries the source vector through untouched
+    assert all(out[i][1] == tuple(v) for i, v in rows)
+    # fine ids stay within [coarse*k_fine, coarse*k_fine + k_fine)
+    coarse = {r["vec_id"]: r["cluster"]
+              for r in kmeans_assign(df, k=3, iters=2).collect()}
+    assert all(out[i][0] // 2 == coarse[i] for i, _ in rows)
+
+    # reserved-name validation (r15 advisor low)
+    bad = df.withColumnRenamed("embedding", "cluster")
+    with _pytest.raises(ValueError, match="reserved"):
+        kmeans_assign(bad, "cluster", "vec_id", k=2)
+    with _pytest.raises(ValueError, match="reserved"):
+        kmeans_assign_twolevel(df, keep=("__q",))
+
+
 def test_semdedup_prunes_within_cluster_and_matches_oracle(spark, tmp_path):
     """The driver fixture has NO cosine-0.95 pair (max pairwise cosine
     ~0.51), so q_semdedup's driver row proves clustering + the no-op

@@ -22,32 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    sf = "sf0.1"
-    runs = 3
-    explain_dir = None
-    tag = "before"
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf = args[i + 1]
-        del args[i:i + 2]
-    if "--runs" in args:
-        i = args.index("--runs")
-        runs = int(args[i + 1])
-        del args[i:i + 2]
-    if "--explain" in args:
-        i = args.index("--explain")
-        explain_dir = args[i + 1]
-        del args[i:i + 2]
-    if "--tag" in args:
-        i = args.index("--tag")
-        tag = args[i + 1]
-        del args[i:i + 2]
-    keys = args
-    if not keys:
-        print("usage: bench_keys.py <key>... [--sf sfX] [--runs N] "
-              "[--explain DIR --tag TAG]", file=sys.stderr)
-        return 2
+    # argparse (r15 advisor low): the hand-rolled flag parsing raised
+    # bare IndexError on a trailing flag and silently consumed a
+    # key-looking value; argparse gives usage errors for free.
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Per-key bench isolation with bench.py methodology")
+    ap.add_argument("keys", nargs="+", help="declared query keys")
+    ap.add_argument("--sf", default="sf0.1")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="best-of-N runs (0 = explain-only)")
+    ap.add_argument("--explain", dest="explain_dir", default=None,
+                    help="write DIR/<key>_<tag>.txt explain dumps")
+    ap.add_argument("--tag", default="before")
+    ns = ap.parse_args()
+    sf, runs, explain_dir, tag, keys = (
+        ns.sf, ns.runs, ns.explain_dir, ns.tag, ns.keys)
 
     sf_dir = f"/root/testdata/{sf}"
     from team_02_spark import get_spark
@@ -81,9 +72,27 @@ def main() -> int:
         if explain_dir:
             os.makedirs(explain_dir, exist_ok=True)
             df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
             with open(os.path.join(explain_dir, f"{name}_{tag}.txt"), "w") as fh:
-                fh.write(df._sc._jvm.PythonSQLUtils.explainString(
-                    df._jdf.queryExecution(), "formatted"))
+                fh.write(plan)
+            if "ExistingRDD" in plan:
+                # checkpoint-truncated lane (r15 verdict #8): also dump
+                # the UNtruncated tree with shared_pass in explain-only
+                # passthrough mode, so the sub-plan behind every
+                # `Scan ExistingRDD` stays judge-checkable. The conf is
+                # reset before any timed run below.
+                from team_02_spark.util import SHARED_PASS_INLINE_CONF
+
+                spark.conf.set(SHARED_PASS_INLINE_CONF, "true")
+                try:
+                    fdf = fn(spark, sf_dir)
+                    with open(os.path.join(
+                            explain_dir, f"{name}_{tag}_full.txt"), "w") as fh:
+                        fh.write(fdf._sc._jvm.PythonSQLUtils.explainString(
+                            fdf._jdf.queryExecution(), "formatted"))
+                finally:
+                    spark.conf.set(SHARED_PASS_INLINE_CONF, "false")
         if runs < 1:  # explain-only mode
             print(f"{name}: explained", flush=True)
             continue
