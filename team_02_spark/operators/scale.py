@@ -94,6 +94,29 @@ def binned_range_join(intervals: DataFrame, points: DataFrame,
     return out.drop("__bin")
 
 
+def adaptive_buckets(n_rows: int, target_rows_per_bucket: int = 4_000_000,
+                     b_min: int = 1, b_max: int = 4096) -> int:
+    """Derive a bucket count from the state's size instead of pinning
+    a fixture constant (r15 verdict #4 — the CDC lane wrote 16 bucket
+    files per version for a 15k-row snapshot: ~9 KB files, 6 bucketed
+    writes per run, pure per-file overhead). Target ~target_rows_per_
+    bucket rows per bucket (default 4M ≈ 128 MB at ~32 B/row — the
+    guide §6 file-size band), clamped to [b_min, b_max]: a 1.5e9-row
+    snapshot derives ~375 buckets, the local fixture derives 1. Same
+    exact-integer ceiling convention as clustering.adaptive_k. The
+    bucket count only shapes physical layout — both merge sides must
+    simply AGREE on it per state lineage (seed fixes it; callers pass
+    the same value to every batch), so deriving it at seed time is
+    layout-safe."""
+    if target_rows_per_bucket < 1:
+        raise ValueError(
+            f"target_rows_per_bucket must be >= 1, got {target_rows_per_bucket}"
+        )
+    return min(b_max, max(b_min,
+                          (n_rows + target_rows_per_bucket - 1)
+                          // target_rows_per_bucket))
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, *,
                    num_buckets: int = 32, sort_by: str | None = None) -> None:
     """Persist a table bucketed (and optionally sorted) by its join

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from team_02_spark.queries.registry import query
 from team_02_spark.queries._util import t
+from team_02_spark.util import shared_pass
 
 
 @query(
@@ -115,7 +116,10 @@ def _cdc_feed(spark, sf_dir: str, root: str):
         .when((F.col("cnt") % 5).isin(1, 2), "U")
         .otherwise("I")
         .alias("op"),
-    )
+    ).transform(shared_pass)  # r16: 3 batch writes below consume chg —
+    # materialize the orders aggregate ONCE instead of re-running it
+    # per coalesce(1) write (measured: feed pass 0.90 → ~0.5 s warm;
+    # identical rows per batch file, so the fold is byte-identical)
     for i in range(3):  # deterministic 3-way batch split by key
         chg.filter(F.pmod("k", F.lit(3)) == i).coalesce(1).write.mode(
             "overwrite"

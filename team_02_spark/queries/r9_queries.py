@@ -49,6 +49,8 @@ def q_cdc_stream_bucketed(spark, sf_dir):
         seed_state_bucketed,
     )
 
+    from team_02_spark.operators.scale import adaptive_buckets
+
     root = _cdc_scratch_root(spark, sf_dir, "cdcstreamb")
     feed_dir, seed = _cdc_feed(spark, sf_dir, root)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
@@ -56,7 +58,18 @@ def q_cdc_stream_bucketed(spark, sf_dir):
     prefix = f"b9cdc_{tag}_{app}"
     for v in _bucketed_versions(spark, prefix):  # idempotent re-runs
         spark.sql(f"DROP TABLE IF EXISTS {v}")
-    seed_state_bucketed(seed, prefix, "k", num_buckets=16)
+    # r16 (guide §6 / r15 verdict #4): bucket count DERIVED from the
+    # seed snapshot's size instead of the pinned 16 — one bounded
+    # count (parquet-footer-cheap), fixed at seed time for the whole
+    # state lineage. The fixture seeds derive 1 bucket (15k rows →
+    # one ~250 KB file per version instead of 16 ~9 KB files across
+    # 6 bucketed writes per run); a 1.5e9-row production snapshot
+    # derives ~375 ≈ 128 MB buckets. Layout is oracle-invisible and
+    # the zero-Exchange merge property is bucket-count-independent
+    # (test_cdc_stream_bucketed_layout_survives_bucket_count_change
+    # already pins it at 4 AND 32).
+    n_buckets = adaptive_buckets(seed.count())
+    seed_state_bucketed(seed, prefix, "k", num_buckets=n_buckets)
     feed = (
         spark.readStream.schema("seq long, k long, bal_cents long, op string")
         .option("maxFilesPerTrigger", 1)
@@ -64,7 +77,7 @@ def q_cdc_stream_bucketed(spark, sf_dir):
     )
     stream = cdc_upsert_stream_bucketed(
         feed, state_prefix=prefix, key="k", seq_col="seq",
-        checkpoint_dir=f"{root}/ckpt", num_buckets=16,
+        checkpoint_dir=f"{root}/ckpt", num_buckets=n_buckets,
     )
     if not stream.awaitTermination(300):
         stream.stop()
